@@ -1,0 +1,1 @@
+from newsify_spark.functions import scalars, text, vectors  # noqa: F401

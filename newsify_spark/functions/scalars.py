@@ -1,0 +1,48 @@
+"""Scalar expression helpers mirroring the reference's Python-dict /
+datetime / arithmetic idioms (SURVEY.md §2.8).
+
+Everything here is a built-in Spark expression — no UDFs.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Interaction weights — reference: recommendation-trainer.py:34-43 and the
+# duplicate map at api_gateway_service.py:268-270.
+INTERACTION_SCORES = {"like": 1.0, "read": 0.01, "share": 0.5, "click": 0.1}
+
+
+def event_score(event_type: Column | str, scores: dict[str, float] | None = None) -> Column:
+    """Map event_type -> weight with 0.0 default (A11).
+
+    Implemented as a map literal lookup so it stays one codegen'd
+    expression; unknown event types fall through to 0.0 exactly like the
+    reference's ``dict.get(..., 0)``.
+    """
+    scores = scores if scores is not None else INTERACTION_SCORES
+    col = F.col(event_type) if isinstance(event_type, str) else event_type
+    m = F.create_map(*[F.lit(x) for x in chain.from_iterable(scores.items())])
+    return F.coalesce(m[col], F.lit(0.0))
+
+
+def hours_between(later: Column | str, earlier: Column | str) -> Column:
+    """Time delta in fractional hours (F7; reference
+    recommendation-trainer.py:79)."""
+    later = F.col(later) if isinstance(later, str) else later
+    earlier = F.col(earlier) if isinstance(earlier, str) else earlier
+    return (F.unix_timestamp(later) - F.unix_timestamp(earlier)) / 3600.0
+
+
+def freshness_decay(age_hours: Column, rate: float = 0.1) -> Column:
+    """exp(-rate * age_hours) (F8; reference recommendation-trainer.py:77-80)."""
+    return F.exp(-F.lit(rate) * age_hours)
+
+
+def safe_div(num: Column, denom: Column, default: float = 0.0) -> Column:
+    """num/denom with explicit 0-denominator handling (F9; the reference's
+    drift formula divides by a possibly-zero historical mean)."""
+    return F.when(denom != 0, num / denom).otherwise(F.lit(default))

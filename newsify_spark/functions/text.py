@@ -1,0 +1,95 @@
+"""Text-analysis expressions for the training-data-pipeline layer:
+tokenization, shingling, language-ID heuristic, quality scoring, token
+counting, fingerprinting. All built-in Spark expressions (JVM-side).
+
+These generalize the reference's text handling (title+text concat at
+duplication_service.py:63, summary truncation ui/ui.py:49) into the
+operators a 100 TB document pipeline needs. Deliberately built from
+portable SQL primitives (split/md5/length) so every one of them has an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list — enough for ratio features; deterministic.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    return F.split(F.lower(_c(text)), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (dedup/minhash input).
+
+    transform over an index sequence + slice keeps this a single
+    codegen'd expression; no UDF, no explode until the caller wants one.
+    """
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(text)
+    stop = F.filter(toks, lambda t: t.isin(*stopwords))
+    return F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def language_id(text: Column | str, threshold: float = 0.08) -> Column:
+    """N-gram-free heuristic language ID: texts whose English-stopword
+    ratio clears ``threshold`` are labeled 'en', else 'other'. A real
+    deployment swaps in a fastText-style model via pandas_udf; the
+    heuristic keeps the operator oracle-checkable."""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score from cheap lexical features:
+    length saturation, stopword presence, average word length sanity.
+    Mirrors the C4/Gopher-style rule filters used for LLM corpus
+    cleaning, expressed as one arithmetic expression."""
+    t = _c(text)
+    len_feat = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    stop_feat = F.least(stopword_ratio(t) / F.lit(0.1), F.lit(1.0))
+    awl = avg_token_len(t)
+    wordlen_feat = F.when((awl >= 3.0) & (awl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_feat + stop_feat + wordlen_feat) / F.lit(3.0), 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Two documents with the same bag of distinct words collide —
+    the cheap first-pass signature before shingle-level dedup."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))

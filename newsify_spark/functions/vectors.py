@@ -1,0 +1,66 @@
+"""Vector math over ``array<float|double>`` columns as pure Spark SQL
+higher-order functions — JVM-side, codegen-friendly, no Python UDFs.
+
+Covers the reference's numpy/sklearn/faiss array math:
+- cosine similarity   (reference: duplication_service.py:81, sklearn)
+- L2 distance         (reference: batch-cluster-service.py:81, FAISS IndexFlatL2)
+- L2 normalize        (reference: batch-cluster-service.py:215-218)
+- element-wise mean   (reference: batch-cluster-service.py:128-130, np.mean axis=0)
+
+All helpers take Column (or name) and return Column, so they compose into
+any DataFrame plan and stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length array columns (double)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm (the
+    reference would emit NaN via sklearn — we make the degenerate case
+    explicit)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def l2_dist(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance (FAISS IndexFlatL2 metric)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _c(a),
+                _c(b),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Scale to unit L2 norm; zero vectors pass through unchanged."""
+    n = l2_norm(a)
+    return F.when(
+        n > 0, F.transform(_c(a), lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(_c(a), lambda x: x.cast("double")))

@@ -1,0 +1,210 @@
+"""Deduplication family for large-scale corpus curation.
+
+Generalizes the reference's two dedup mechanisms — Redis SET-NX on link
+(ingestion_service.py:74-77, S18) and upstream-guaranteed array dedup
+(duplication_service.py:113, E4) — into the full menu a 100 TB
+training-data pipeline needs:
+
+- exact_dedup            hash-groupBy on a key or content hash
+- minhash_signatures     MinHash over word shingles
+- lsh_candidate_pairs    banded LSH self-join -> candidate pairs
+- jaccard_pairs          exact n-gram Jaccard verification
+- minhash_dedup          the composed pipeline: shingle -> minhash ->
+                         band bucket join -> exact-verify -> survivors
+- simhash64              64-bit SimHash fingerprint per document
+- embedding_near_dup     cosine near-duplicate pairs over embeddings
+
+Portability note: MinHash uses md5(seed || shingle) and takes the
+LEXICOGRAPHIC MIN of the hex digests. min over uniformly-distributed hex
+strings is a valid MinHash permutation and — unlike murmur/xxhash — md5
+is bit-identical across Spark, DuckDB, and Python, which keeps the whole
+pipeline oracle-checkable.
+
+Scale notes: every step is shuffle-on-key (explode shingles -> groupBy
+doc; band join is an equi join). Hot buckets (boilerplate shingles) are
+the classic skew source: cap bucket size via a count filter before the
+self-join (``max_bucket`` arg) exactly like production MinHash pipelines
+drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from newsify_spark.functions.text import tokens, word_shingles
+from newsify_spark.functions.vectors import cosine
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per key — deterministic, unlike
+    dropDuplicates, so results are oracle-comparable. One shuffle on the
+    key; min() is a partial aggregate (map-side combine)."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [*key_cols, id_col], "left_semi")
+
+
+def content_hash(text_col) -> F.Column:
+    """md5 of raw text — exact-duplicate key."""
+    return F.md5(text_col if not isinstance(text_col, str) else F.col(text_col))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, h0..h{K-1}) — MinHash signature row per doc.
+
+    Exploding shingles then one groupBy(doc) computes all K mins in a
+    single shuffle pass (each min is a partial agg)."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join within bands -> (id_a, id_b) with
+    id_a < id_b. ``max_bucket`` drops degenerate mega-buckets (boilerplate)
+    before the self-join — the skew guard that matters at 100 TB."""
+    n_bands = num_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        one = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    sized = bands.groupBy("band", "bucket").agg(
+        F.count("*").alias("n"), F.collect_list(id_col).alias("ids")
+    )
+    ok = sized.filter(F.col("n").between(2, max_bucket)).select("band", "bucket")
+    bands = bands.join(ok, ["band", "bucket"], "left_semi")
+    a = bands.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = bands.select("band", "bucket", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (or all) pairs.
+
+    intersection = equi-join counts on exploded distinct shingles;
+    union = |A| + |B| - intersection. This is the reference's J6/E1
+    set-similarity math (batch-cluster-service.py:56-58) lifted from
+    Python sets to a distributed join."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline -> survivor rows (lowest id per duplicate
+    group wins; groups are edges' connected pairs collapsed greedily to
+    min-id, one pass — adequate for near-dup graphs which are cliquey)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    dups = jaccard_pairs(docs, cands, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    # every doc that appears as the larger id of a dup edge is dropped
+    losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over distinct tokens: per bit position, majority
+    vote of token-hash bits. Token hash = first 16 hex chars of md5
+    (= 64 uniform bits), bit j extracted with shiftright/AND — all
+    JVM-side expressions, one explode + one groupBy."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.withColumn("th", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for j in range(60):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    All-pairs form — correct and oracle-checkable; at scale swap the
+    crossJoin for knn_join_lsh candidates (same verify step)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

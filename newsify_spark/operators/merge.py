@@ -1,0 +1,65 @@
+"""Mutation semantics on immutable tables.
+
+The reference mutates MongoDB/Postgres rows in place (S8-S12, S17:
+insert_one / update_one $set|$push / update_many $in / delete_one /
+UPDATE...SET). On a lakehouse there is no in-place update; each becomes a
+pure DataFrame transform whose result overwrites (or appends to) the
+table. At 100 TB these writes target only affected partitions
+(partitionBy date / bucket) — the transforms below are already keyed so
+dynamic partition overwrite applies directly; with Delta/Iceberg on the
+classpath they become MERGE INTO with no logic change.
+
+Reference citations: upsert batch-cluster-service.py:154-158 &
+recommendation-trainer.py:259-263 (S9); $push array append
+duplication_service.py:110-116 (S10); update_many bulk label
+batch-cluster-service.py:170-173 (S11); delete_one sweep
+batch-cluster-service.py:178-180 (S12); flag update
+bias_detection_service.py:104-117 (S17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_by_key(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """update_one(..., upsert=True): new rows win, untouched old rows
+    survive. anti-join is a single shuffle on the key (broadcast when
+    ``new`` is small — Catalyst/AQE decides)."""
+    return new.unionByName(old.join(new, keys, "left_anti"))
+
+
+def bulk_update(
+    target: DataFrame, updates: DataFrame, keys: list[str], set_cols: list[str]
+) -> DataFrame:
+    """update_many({key IN ...}, {$set: ...}): left join + coalesce keeps
+    unmatched rows unchanged. ``updates`` columns must be the keys plus
+    ``set_cols``."""
+    upd = updates.select(*keys, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
+    out = target.join(upd, keys, "left")
+    for c in set_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    return out.drop(*[f"__new_{c}" for c in set_cols])
+
+
+def delete_keys(target: DataFrame, doomed: DataFrame, keys: list[str]) -> DataFrame:
+    """delete_one per key -> one anti join."""
+    return target.join(doomed.select(*keys), keys, "left_anti")
+
+
+def array_append_distinct(
+    target: DataFrame, key: str, arr_col: str, additions: DataFrame, add_col: str
+) -> DataFrame:
+    """$push with upstream-guaranteed dedup (E4) -> array_union.
+
+    ``additions``: (key, add_col) rows; grouped to arrays then unioned
+    into the target's array column. Rows without additions pass through."""
+    grouped = additions.groupBy(key).agg(F.collect_list(add_col).alias("__adds"))
+    out = target.join(grouped, key, "left")
+    return out.withColumn(
+        arr_col,
+        F.when(
+            F.col("__adds").isNotNull(), F.array_union(F.col(arr_col), F.col("__adds"))
+        ).otherwise(F.col(arr_col)),
+    ).drop("__adds")

@@ -1,0 +1,169 @@
+"""Similarity / nearest-neighbor operators over embedding columns.
+
+Re-expresses the reference's FAISS + sklearn machinery:
+- J4 nearest-centroid assignment (duplication_service.py:74-92): each
+  article embedding vs ALL story centroids, argmax cosine, threshold.
+- J5 k-NN top-k (recommendation-trainer.py:89-100, FAISS IndexFlatL2
+  top-50; batch-cluster-service.py:72-102 index maintenance).
+
+Two scale regimes, same API:
+- ``knn_join`` — exact brute force: broadcast the smaller side, cosine as
+  a codegen'd higher-order expression, window top-k. Correct + oracle
+  checkable; right whenever one side fits in a broadcast (centroids,
+  users-of-one-tenant...). Cost O(|L|·|R|·d) FLOPs but embarrassingly
+  parallel: on a 1000-executor cluster the big side stays partitioned and
+  never shuffles (the broadcast replaces a shuffle entirely).
+- ``knn_join_lsh`` — approximate: random-hyperplane LSH buckets both
+  sides, joins within (band, signature) buckets only, then exact rerank
+  inside the candidate set. This is the 100 TB path: the cross product
+  shrinks from |L|·|R| to the bucket collision set; the join is a plain
+  equi hash join that AQE can handle/skew-split. Deterministic given
+  ``seed``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from newsify_spark.functions.vectors import cosine, dot, l2_dist
+from newsify_spark.operators.topk import top_k_per_group
+
+METRICS = {"cosine": cosine, "l2": l2_dist, "dot": dot}
+
+
+def knn_join(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    item_id: str = "item_id",
+    query_vec: str = "query_vec",
+    item_vec: str = "item_vec",
+    metric: str = "cosine",
+    broadcast_items: bool = True,
+) -> DataFrame:
+    """Exact top-k: returns (query_id, item_id, score) with score the
+    similarity (cosine/dot: higher better) or distance (l2: lower better).
+
+    Ties break on item_id ascending so results are deterministic and
+    oracle-comparable.
+    """
+    right = F.broadcast(items) if broadcast_items else items
+    sim = METRICS[metric](F.col(query_vec), F.col(item_vec))
+    asc = metric == "l2"
+    scored = (
+        queries.crossJoin(right)
+        .withColumn("score", sim)
+        .select(query_id, item_id, "score")
+    )
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(item_id).asc()]
+    return top_k_per_group(scored, [query_id], order, k)
+
+
+def nearest_centroid_assign(
+    points: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    point_id: str = "point_id",
+    centroid_id: str = "centroid_id",
+    point_vec: str = "point_vec",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Reference J4: argmax-cosine assignment with a match threshold.
+
+    Output: (point_id, centroid_id, similarity, matched). matched=false
+    rows are the reference's "mint a new story" branch
+    (duplication_service.py:86-92); the caller decides what id to mint.
+    Centroid side is broadcast — it is small by construction (one row per
+    cluster), so the big points table never shuffles.
+    """
+    best = knn_join(
+        points,
+        centroids,
+        k=1,
+        query_id=point_id,
+        item_id=centroid_id,
+        query_vec=point_vec,
+        item_vec=centroid_vec,
+        metric="cosine",
+    )
+    return best.select(
+        point_id,
+        centroid_id,
+        F.col("score").alias("similarity"),
+        (F.col("score") > threshold).alias("matched"),
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def rhp_signature(vec_col, planes: list[list[float]]):
+    """Random-hyperplane (SimHash-for-vectors) signature: one sign bit per
+    plane, packed into a bigint. Pure SQL expression over the array."""
+    bits = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits = bits + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bits
+
+
+def knn_join_lsh(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    dim: int,
+    query_id: str = "query_id",
+    item_id: str = "item_id",
+    query_vec: str = "query_vec",
+    item_vec: str = "item_vec",
+    n_bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k for when neither side broadcasts.
+
+    Each vector gets ``n_bands`` signatures of ``bits_per_band`` sign
+    bits; candidates are pairs agreeing on at least one (band, signature)
+    bucket; exact cosine reranks candidates. Recall rises with n_bands,
+    candidate count falls with bits_per_band. The bucket join is an equi
+    join on (band, sig) — shuffle-partitionable, AQE-skew-splittable.
+    """
+    q, it = queries, items
+    band_rows = []
+    for b in range(n_bands):
+        planes = _hyperplanes(dim, bits_per_band, seed + 1000 * b)
+        band_rows.append(
+            (
+                q.select(query_id, query_vec).withColumn("band", F.lit(b)).withColumn("sig", rhp_signature(F.col(query_vec), planes)),
+                it.select(item_id, item_vec).withColumn("band", F.lit(b)).withColumn("sig", rhp_signature(F.col(item_vec), planes)),
+            )
+        )
+    qsig = band_rows[0][0]
+    isig = band_rows[0][1]
+    for qb, ib in band_rows[1:]:
+        qsig = qsig.unionByName(qb)
+        isig = isig.unionByName(ib)
+    cands = (
+        qsig.join(isig, ["band", "sig"])
+        .select(query_id, item_id, query_vec, item_vec)
+        .dropDuplicates([query_id, item_id])
+    )
+    scored = cands.withColumn("score", cosine(F.col(query_vec), F.col(item_vec))).select(
+        query_id, item_id, "score"
+    )
+    return top_k_per_group(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )

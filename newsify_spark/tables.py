@@ -1,0 +1,74 @@
+"""Fixture table access.
+
+The driver materializes deterministic parquet tables under
+``/root/testdata/sf{0.001,0.01,0.1}`` (TESTDATA.md). All queries take an
+``sf_dir`` so the same code runs at any scale factor; at 100 TB the only
+change is the path (and partitioned layout — see ``write_partitioned``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan: Catalyst pushes filters
+    and prunes columns into this scan (verified in tests via .explain).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read it as raw nanos
+    (``nanosAsLong``) and convert to microsecond TimestampType in the
+    plan — a single projection, still codegen'd, still column-pruned.
+    Oracle SQL for ts-touching queries truncates DuckDB's nanos to
+    microseconds the same way (date_trunc), so both engines compute on
+    identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view so SQL-form queries can run."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(df: DataFrame, path: str, *, partition_by: list[str] | None = None, buckets: tuple[int, str] | None = None) -> None:
+    """Gold-table writer. At fixture scale plain parquet; at 100 TB the
+    call sites pass partition_by (e.g. event date) so downstream reads
+    partition-prune, and bucketing co-locates join keys.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if buckets:
+        n, col = buckets
+        # saveAsTable required for bucketing metadata; fall back to plain
+        # parquet when no catalog (local fixture runs).
+        w.bucketBy(n, col).sortBy(col).option("path", path).saveAsTable(
+            os.path.basename(path.rstrip("/")) + "_bucketed"
+        )
+        return
+    w.parquet(path)
