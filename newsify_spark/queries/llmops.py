@@ -1,1 +1,348 @@
-"""placeholder — filled in as operators land."""
+"""Training-data-pipeline operators over the documents/embeddings
+fixtures: dedup family, text analysis, fingerprinting, multimodal
+plumbing. These extend the reference's dedup surface (Redis SET-NX on
+link, ingestion_service.py:74-77) to what a 100 TB corpus pipeline needs;
+all are oracle-checked except where inherently model-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsify_spark.functions import text as TX
+from newsify_spark.operators import dedup as DD
+from newsify_spark.queries.registry import register
+from newsify_spark.queries.sqlkit import (
+    cosine_sql,
+    shingles_sql,
+    stopword_ratio_sql,
+    tokens_sql,
+)
+from newsify_spark.tables import load
+
+N_HASHES = 16
+BAND = 4
+
+
+@register(
+    "doc_exact_dedup",
+    doc="Exact dedup: content-hash groupBy, min-id survivor (the "
+    "distributed form of the reference's link-keyed SET-NX, S18).",
+    tags=("S18", "A8"),
+    bench=True,
+    oracle="""
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT)    AS group_n
+FROM documents GROUP BY md5(text)
+""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", DD.content_hash("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("group_n"))
+    )
+
+
+@register(
+    "doc_token_stats",
+    doc="Token counting: whitespace tokens, distinct tokens, average token "
+    "length — all as higher-order array expressions (no UDF).",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({tokens_sql()}) AS BIGINT)                 AS n_tokens,
+       CAST(len(list_distinct({tokens_sql()})) AS BIGINT)  AS n_distinct,
+       round(CASE WHEN len({tokens_sql()}) > 0 THEN
+             CAST(list_reduce(list_transform({tokens_sql()}, tk -> len(tk)),
+                              (a, b) -> a + b) AS DOUBLE) / len({tokens_sql()})
+             ELSE 0.0 END, 6)                              AS avg_token_len
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.distinct_token_count("text").cast("long").alias("n_distinct"),
+        F.round(TX.avg_token_len("text"), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    doc="Language-ID heuristic (stopword-ratio gate). The fixture's lang "
+    "column rides along so accuracy is inspectable.",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id, lang,
+       round({stopword_ratio_sql()}, 6) AS stop_ratio,
+       CASE WHEN {stopword_ratio_sql()} >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        TX.language_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    doc="Rule-based quality scoring (C4/Gopher-style lexical gates) as one "
+    "arithmetic expression.",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       round((least(len(text) / 500.0, 1.0)
+            + least({stopword_ratio_sql()} / 0.1, 1.0)
+            + (CASE WHEN (CASE WHEN len({tokens_sql()}) > 0 THEN
+                   CAST(list_reduce(list_transform({tokens_sql()}, tk -> len(tk)),
+                                    (a, b) -> a + b) AS DOUBLE) / len({tokens_sql()})
+                   ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+            ) / 3.0, 6) AS quality
+FROM documents
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    doc="Order-insensitive content fingerprint: md5 of sorted distinct "
+    "token set (cheap first-pass near-dup signature).",
+    tags=("text", "F15"),
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({tokens_sql()})), ' ')) AS fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+  FROM documents
+)
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_minhash_signatures",
+    doc="MinHash signatures over 3-word shingles; md5-lexicographic-min "
+    "permutations are portable across engines (operators.dedup).",
+    tags=("dedup", "minhash"),
+    bench=True,
+    oracle=_minhash_oracle(),
+)
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_signatures(docs, num_hashes=N_HASHES, shingle_n=3)
+
+
+def _lsh_oracle() -> str:
+    bands = []
+    for b in range(N_HASHES // BAND):
+        cols = " || '|' || ".join(f"h{i}" for i in range(b * BAND, (b + 1) * BAND))
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+        )
+    union = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id, {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({union})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "doc_lsh_candidates",
+    doc="Banded-LSH candidate pairs (4 bands × 4 hashes). The self-join is "
+    "an equi join on (band,bucket) — shuffle-partitionable at 100 TB, "
+    "with a bucket-size cap as the skew guard.",
+    tags=("dedup", "lsh"),
+    oracle=_lsh_oracle(),
+)
+def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, num_hashes=N_HASHES, shingle_n=3)
+    return DD.lsh_candidate_pairs(sigs, num_hashes=N_HASHES, band_size=BAND)
+
+
+@register(
+    "doc_jaccard_pairs",
+    doc="Exact n-gram-shingle Jaccard (the verify stage behind MinHash; "
+    "reference's set Jaccard at batch-cluster-service.py:56-58). Bounded "
+    "to doc_id<60 all-pairs — at scale it runs only on LSH candidates.",
+    tags=("dedup", "E1", "J6"),
+    oracle=f"""
+WITH d AS (SELECT * FROM documents WHERE doc_id < 60),
+sh AS (SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle FROM d),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+""",
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    out = DD.jaccard_pairs(docs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "doc_simhash",
+    doc="64-bit (60 used) SimHash fingerprint: per-bit majority vote over "
+    "md5 token hashes — one explode + one groupBy, fully portable.",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tokens_sql()})) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return DD.simhash64(docs)
+
+
+@register(
+    "doc_embedding_neardup",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.85). All-pairs "
+    "exact here; the LSH candidate path (mlops.ann_lsh_topk) replaces the "
+    "cross join at scale.",
+    tags=("dedup", "F11"),
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {cosine_sql('a.embedding', 'b.embedding')} >= 0.85
+""",
+)
+def doc_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_dup(emb, threshold=0.85)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+def _bands_union_sql() -> str:
+    parts = []
+    for b in range(N_HASHES // BAND):
+        cols = " || '|' || ".join(f"h{i}" for i in range(b * BAND, (b + 1) * BAND))
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "doc_minhash_dedup_survivors",
+    doc="Composed near-dup pipeline: shingle → minhash → LSH buckets → "
+    "exact-Jaccard verify (τ=0.8) → min-id survivors.",
+    tags=("dedup", "minhash", "lsh"),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle FROM documents
+),
+sigs AS (
+  SELECT doc_id, {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({_bands_union_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT i.id_a, i.id_b, CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM jac WHERE jaccard >= 0.8)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+""",
+)
+def doc_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = DD.minhash_dedup(docs, threshold=0.8, num_hashes=N_HASHES, band_size=BAND)
+    return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "mm_binary_meta",
+    doc="Multimodal plumbing: opaque binary payload column + typed "
+    "metadata (byte length, content digest). The decode/feature step is "
+    "operators.multimodal (stubbed models, real Spark plumbing).",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       md5(text)                    AS content_md5,
+       source                       AS modality_hint
+FROM documents
+""",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("content_md5"),
+        F.col("source").alias("modality_hint"),
+    )

@@ -1,1 +1,220 @@
-"""placeholder — filled in as operators land."""
+"""Vector / similarity ★ operators over the embeddings fixture
+(SURVEY.md §2: A2 centroid mean, F11-F13 vector math, J4 nearest-centroid
+assignment, J5 brute-force kNN; X5 ANN scale path is rows-only in
+mlops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsify_spark.functions.vectors import cosine, l2_dist, l2_norm, l2_normalize
+from newsify_spark.operators.similarity import nearest_centroid_assign
+from newsify_spark.queries.registry import register
+from newsify_spark.queries.sqlkit import cosine_sql, dot_sql, l2_dist_sql, norm_sql
+from newsify_spark.tables import load
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, centroid array<double>) — element-wise mean per label (A2;
+    reference np.mean(embeddings, axis=0), batch-cluster-service.py:128-130).
+
+    posexplode → (label,pos) partial-agg mean → re-assemble ordered array.
+    One shuffle keyed (label,pos); at 100 TB this is the scalable form of
+    a vector mean (no driver collection, no UDF).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    means = flat.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+# DuckDB-side flat centroid CTE (1-based pos shifted to 0-based to match
+# posexplode).
+CENTROID_FLAT_SQL = """
+cent AS (
+  SELECT label, CAST(pos - 1 AS INTEGER) AS pos, avg(v) AS m
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+)
+"""
+
+
+@register(
+    "vec_centroids",
+    doc="A2 element-wise vector mean (story centroid recompute). Flat "
+    "(label,pos,value) output — avoids nested-hash ambiguity in the oracle.",
+    tags=("A2",),
+    bench=True,
+    oracle="""
+SELECT label, pos, round(m, 6) AS centroid_val
+FROM (SELECT label, CAST(pos - 1 AS INTEGER) AS pos, avg(v) AS m
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos)
+""",
+)
+def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return flat.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("centroid_val"))
+
+
+@register(
+    "vec_cosine_pairs",
+    doc="F11 cosine similarity as a codegen'd higher-order expression "
+    "(reference sklearn cosine_similarity, duplication_service.py:81).",
+    tags=("F11",),
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim,
+       round({dot_sql('a.embedding', 'b.embedding')}, 6)    AS dot_ab
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 12 AND b.vec_id < 12 AND a.vec_id < b.vec_id
+""",
+)
+def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 12)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from newsify_spark.functions.vectors import dot
+
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine("va", "vb"), 6).alias("cos_sim"),
+            F.round(dot("va", "vb"), 6).alias("dot_ab"),
+        )
+    )
+
+
+@register(
+    "vec_norms",
+    doc="F12 L2 normalize + F13 L2 distance (FAISS IndexFlatL2 metric; "
+    "normalize at batch-cluster-service.py:215-218).",
+    tags=("F12", "F13"),
+    oracle=f"""
+WITH z AS (SELECT embedding AS z0 FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round({norm_sql('embedding')}, 6) AS l2,
+       round(CASE WHEN {norm_sql('embedding')} > 0
+                  THEN CAST(embedding[1] AS DOUBLE) / {norm_sql('embedding')}
+                  ELSE CAST(embedding[1] AS DOUBLE) END, 6) AS unit0,
+       round({l2_dist_sql('embedding', 'z0')}, 6) AS dist_to_v0
+FROM embeddings, z
+""",
+)
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("z0"))
+    return emb.crossJoin(F.broadcast(v0)).select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(F.element_at(l2_normalize("embedding"), 1), 6).alias("unit0"),
+        F.round(l2_dist("embedding", "z0"), 6).alias("dist_to_v0"),
+    )
+
+
+@register(
+    "vec_knn_bruteforce",
+    doc="J5 exact k-NN: broadcast cross join + cosine + window top-k "
+    "(replaces FAISS flat search, recommendation-trainer.py:89-100). "
+    "Scale path: operators.similarity.knn_join_lsh (rows-only, mlops).",
+    tags=("J5", "W2"),
+    bench=True,
+    oracle=f"""
+SELECT query_id, item_id, round(score, 6) AS score FROM (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+         {cosine_sql('q.embedding', 'i.embedding')} AS score,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {cosine_sql('q.embedding', 'i.embedding')} DESC, i.vec_id ASC
+         ) AS rn
+  FROM embeddings q, embeddings i
+  WHERE q.vec_id < 20 AND i.vec_id <> q.vec_id)
+WHERE rn <= 5
+""",
+)
+def vec_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # exclude self-matches from the item side before ranking
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    scored = (
+        q.crossJoin(F.broadcast(items))
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("score", cosine("query_vec", "item_vec"))
+        .select("query_id", "item_id", "score")
+    )
+    from newsify_spark.operators.topk import top_k_per_group
+
+    top = top_k_per_group(
+        scored, ["query_id"], [F.col("score").desc(), F.col("item_id").asc()], 5
+    )
+    return top.select("query_id", "item_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "vec_nearest_centroid",
+    doc="J4 nearest-centroid assignment with threshold (online story "
+    "clustering, duplication_service.py:74-92; threshold 0.8). "
+    "matched=false rows are the mint-new-story branch.",
+    tags=("J4", "W1", "P10", "A10"),
+    bench=True,
+    oracle=f"""
+WITH {CENTROID_FLAT_SQL.strip()},
+vflat AS (
+  SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos, CAST(v AS DOUBLE) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+dots AS (
+  SELECT vf.vec_id, c.label,
+         sum(vf.v * c.m) AS dp,
+         sqrt(sum(vf.v * vf.v)) AS nv,
+         sqrt(sum(c.m * c.m)) AS nc
+  FROM vflat vf JOIN cent c ON vf.pos = c.pos
+  GROUP BY vf.vec_id, c.label
+),
+sims AS (
+  SELECT vec_id, label,
+         CASE WHEN nv > 0 AND nc > 0 THEN dp / (nv * nc) ELSE 0.0 END AS sim
+  FROM dots
+),
+best AS (
+  SELECT vec_id, label, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label ASC) AS rn
+  FROM sims
+)
+SELECT vec_id AS point_id, label AS centroid_id,
+       round(sim, 6) AS similarity, sim > 0.8 AS matched
+FROM best WHERE rn = 1
+""",
+)
+def vec_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("centroid_id"), F.col("centroid").alias("centroid_vec")
+    )
+    pts = emb.select(F.col("vec_id").alias("point_id"), F.col("embedding").alias("point_vec"))
+    out = nearest_centroid_assign(pts, cents, threshold=0.8)
+    return out.select(
+        "point_id", "centroid_id", F.round("similarity", 6).alias("similarity"), "matched"
+    )
