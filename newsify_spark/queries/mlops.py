@@ -1,1 +1,333 @@
-"""placeholder — filled in as operators land."""
+"""ML-layer queries: ALS (U8-U10), clustering refinement (U6/U7
+substitute), LSH ANN (X5 scale path), greedy story matching (J6/W4),
+inference stubs (U1-U4), and the bias-report composite
+(bias_detection_service.py).
+
+Model-bound ops are rows-only (◆) with invariants in
+tests/test_operators.py; everything SQL-expressible keeps an oracle (★).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from newsify_spark.functions.text import tokens
+from newsify_spark.ml.infer import NEG_WORDS, POS_WORDS, embed_text_udf
+from newsify_spark.operators.cluster import (
+    greedy_story_assignment,
+    jaccard_match_scores,
+    kmeans_refine,
+)
+from newsify_spark.operators.similarity import knn_join_lsh, nearest_centroid_assign
+from newsify_spark.queries.registry import register
+from newsify_spark.queries.relational import EVENT_WEIGHTS_SQL
+from newsify_spark.queries.sqlkit import tokens_sql
+from newsify_spark.queries.vector import label_centroids
+from newsify_spark.tables import load
+
+
+# ---------------------------------------------------------------- rows-only
+
+
+@register(
+    "ml_als_topk",
+    doc="U8-U10: MLlib ALS (rank 5, implicit, coldStart drop — "
+    "recommendation-trainer.py:228-236) with recommendForAllUsers "
+    "replacing the reference's per-user loop. Model-bound → rows-only.",
+    tags=("U8", "U9", "U10"),
+)
+def ml_als_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.ml.als import train_als_recommendations
+    from newsify_spark.queries.recommend import interactions
+
+    inter = interactions(load(spark, sf_dir, "events"))
+    return train_als_recommendations(inter, k=5)
+
+
+@register(
+    "ml_kmeans_clusters",
+    doc="U6/U7 substitute: KMeans on L2-normalized embeddings (SURVEY "
+    "§7.5.1). Distributes where UMAP+HDBSCAN cannot. Rows-only.",
+    tags=("U6", "U7"),
+)
+def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, k=10)
+
+
+@register(
+    "ml_ann_lsh_topk",
+    doc="X5 scale path: random-hyperplane LSH banded kNN — the 100 TB "
+    "replacement for the brute-force cross join (vec_knn_bruteforce). "
+    "Rows-only; recall invariant in tests.",
+    tags=("X5", "J5"),
+)
+def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    out = knn_join_lsh(q, items, k=5, dim=dim, n_bands=8, bits_per_band=8)
+    return out.filter(F.col("query_id") != F.col("item_id"))
+
+
+@register(
+    "ml_greedy_story_assign",
+    doc="W4 greedy 1:1 cluster→story assignment (batch-cluster-service.py:"
+    "49-69): driver loop over the collected, thresholded score table; "
+    "order-dependent by reference semantics → rows-only.",
+    tags=("W4", "J6"),
+)
+def ml_greedy_story_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("centroid_id"), F.col("centroid").alias("centroid_vec")
+    )
+    pts = emb.select(F.col("vec_id").alias("point_id"), F.col("embedding").alias("point_vec"))
+    assigned = nearest_centroid_assign(pts, cents, threshold=0.8)
+    new_clusters = assigned.select(
+        F.col("point_id").alias("member_id"), F.col("centroid_id").alias("cluster")
+    )
+    old = emb.select(F.col("vec_id").alias("member_id"), F.col("label").alias("story"))
+    scores = jaccard_match_scores(new_clusters, old)
+    picked = greedy_story_assignment(scores, threshold=0.5)
+    schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("story", T.IntegerType()),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(p["cluster"]), int(p["story"]), float(p["jaccard"])) for p in picked],
+        schema,
+    )
+
+
+@register(
+    "doc_embed_stub",
+    doc="U1 embedding inference plumbing: Arrow-batched pandas UDF "
+    "returning array<float> (stub model — deterministic hash-seeded "
+    "vectors; swap in SentenceTransformer.encode for production). "
+    "Rows-only (model output).",
+    tags=("U1",),
+)
+def doc_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = embed_text_udf(dim=64)
+    return docs.select(
+        "doc_id", emb("text").alias("embedding")
+    ).select("doc_id", F.size("embedding").alias("dim"), F.element_at("embedding", 1).alias("e0"))
+
+
+# ------------------------------------------------------------------- oracle
+
+
+@register(
+    "ml_cluster_match_scores",
+    doc="J6/E1 cluster↔story Jaccard match scoring, distributed form of "
+    "map_clusters_to_stories (batch-cluster-service.py:45-70): new "
+    "clustering = deterministic nearest-centroid assignment, old = "
+    "fixture labels. Greedy 1:1 pick is ml_greedy_story_assign.",
+    tags=("J6", "E1", "W1"),
+    oracle="""
+WITH vflat AS (
+  SELECT vec_id, label, CAST(pos - 1 AS INTEGER) AS pos, CAST(v AS DOUBLE) AS v
+  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+cent AS (SELECT label, pos, avg(v) AS m FROM vflat GROUP BY label, pos),
+sims AS (
+  SELECT vf.vec_id, c.label,
+         CASE WHEN sqrt(sum(vf.v * vf.v)) > 0 AND sqrt(sum(c.m * c.m)) > 0
+              THEN sum(vf.v * c.m) / (sqrt(sum(vf.v * vf.v)) * sqrt(sum(c.m * c.m)))
+              ELSE 0.0 END AS sim
+  FROM vflat vf JOIN cent c ON vf.pos = c.pos
+  GROUP BY vf.vec_id, c.label
+),
+assigned AS (
+  SELECT vec_id AS member_id, label AS cluster
+  FROM (SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label ASC) AS rn FROM sims)
+  WHERE rn = 1
+),
+old AS (SELECT vec_id AS member_id, label AS story FROM embeddings),
+csz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz_cluster FROM assigned GROUP BY cluster),
+ssz AS (SELECT story, CAST(count(*) AS BIGINT) AS sz_story FROM old GROUP BY story),
+inter AS (
+  SELECT a.cluster, o.story, CAST(count(*) AS BIGINT) AS inter
+  FROM assigned a JOIN old o ON a.member_id = o.member_id
+  GROUP BY a.cluster, o.story
+)
+SELECT i.cluster, i.story, i.inter, c.sz_cluster, s.sz_story,
+       round(CAST(i.inter AS DOUBLE) / (c.sz_cluster + s.sz_story - i.inter), 6) AS jaccard
+FROM inter i JOIN csz c ON i.cluster = c.cluster JOIN ssz s ON i.story = s.story
+""",
+)
+def ml_cluster_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("centroid_id"), F.col("centroid").alias("centroid_vec")
+    )
+    pts = emb.select(F.col("vec_id").alias("point_id"), F.col("embedding").alias("point_vec"))
+    assigned = nearest_centroid_assign(pts, cents, threshold=0.8)
+    new_clusters = assigned.select(
+        F.col("point_id").alias("member_id"), F.col("centroid_id").alias("cluster")
+    )
+    old = emb.select(F.col("vec_id").alias("member_id"), F.col("label").alias("story"))
+    out = jaccard_match_scores(new_clusters, old)
+    return out.select(
+        "cluster", "story", "inter", "sz_cluster", "sz_story",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _lexicon_sql(words: set[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in sorted(words))
+    return f"len(list_filter({tokens_sql()}, tk -> tk IN ({lst})))"
+
+
+@register(
+    "doc_ner_entities",
+    doc="U2 NER surface in its oracle-checkable form: deterministic token "
+    "heuristic (distinct tokens >5 chars, sorted, joined). The pandas-UDF "
+    "form (swap-in spaCy) is ml/infer.ner_entities_udf.",
+    tags=("U2",),
+    oracle=f"""
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_distinct(list_filter({tokens_sql()}, tk -> len(tk) > 5))), ' '), '') AS entities
+FROM documents
+""",
+)
+def doc_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ents = F.array_sort(
+        F.array_distinct(F.filter(tokens("text"), lambda t: F.length(t) > 5))
+    )
+    return docs.select("doc_id", F.concat_ws(" ", ents).alias("entities"))
+
+
+@register(
+    "doc_summarize_head",
+    doc="U3 summarization surface, oracle-checkable extractive stub "
+    "(leading 10 tokens). pandas-UDF form: ml/infer.summarize_udf.",
+    tags=("U3",),
+    oracle=f"""
+SELECT doc_id, array_to_string(({tokens_sql()})[1:10], ' ') AS summary
+FROM documents
+""",
+)
+def doc_summarize_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.concat_ws(" ", F.slice(tokens("text"), 1, 10)).alias("summary")
+    )
+
+
+@register(
+    "doc_sentiment",
+    doc="U4/A6 sentiment scoring + corpus mean, lexicon form "
+    "(bias_detection_service.py:132-147). pandas-UDF form: "
+    "ml/infer.sentiment_udf.",
+    tags=("U4", "A6"),
+    oracle=f"""
+SELECT doc_id,
+       round(CASE WHEN len({tokens_sql()}) > 0 THEN
+             CAST({_lexicon_sql(POS_WORDS)} - {_lexicon_sql(NEG_WORDS)} AS DOUBLE) / len({tokens_sql()})
+             ELSE 0.0 END, 6) AS sentiment
+FROM documents
+""",
+)
+def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    pos = F.size(F.filter(toks, lambda t: t.isin(*sorted(POS_WORDS))))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*sorted(NEG_WORDS))))
+    sent = F.when(
+        F.size(toks) > 0, (pos - neg).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+    return docs.select("doc_id", F.round(sent, 6).alias("sentiment"))
+
+
+@register(
+    "rec_bias_report",
+    doc="Bias-detection composite (bias_detection_service.py:122-172): "
+    "per-user source-diversity (A5) + mean sentiment over consumed docs "
+    "(A6, lexicon form) + bias flag (P10) + explanation projection.",
+    tags=("A5", "A6", "P10", "S16"),
+    bench=True,
+    oracle=f"""
+WITH inter AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE {EVENT_WEIGHTS_SQL} > 0
+),
+j AS (
+  SELECT i.user_id, d.source,
+         CASE WHEN len({tokens_sql('d.text')}) > 0 THEN
+           CAST(len(list_filter({tokens_sql('d.text')}, tk -> tk IN ('fast','small','value')))
+              - len(list_filter({tokens_sql('d.text')}, tk -> tk IN ('big','error','slow'))) AS DOUBLE)
+           / len({tokens_sql('d.text')})
+         ELSE 0.0 END AS sent
+  FROM inter i JOIN documents d ON i.item = d.doc_id
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(DISTINCT source) AS DOUBLE) / count(*) AS diversity,
+         avg(sent) AS avg_sentiment,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM j GROUP BY user_id
+)
+SELECT user_id, round(diversity, 6) AS diversity,
+       round(avg_sentiment, 6) AS avg_sentiment, n_docs,
+       (diversity < 0.5 OR abs(avg_sentiment) > 0.05) AS bias_flag,
+       CASE WHEN diversity < 0.5 THEN 'low source diversity'
+            WHEN abs(avg_sentiment) > 0.05 THEN 'sentiment skew'
+            ELSE 'balanced' END AS explanation
+FROM agg
+""",
+)
+def rec_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.functions.scalars import event_score
+    from newsify_spark.queries.relational import EVENT_WEIGHTS
+
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+    inter = (
+        ev.filter(event_score("event_type", EVENT_WEIGHTS) > 0)
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("bigint").alias("item")
+        )
+        .distinct()
+    )
+    toks = tokens("text")
+    pos = F.size(F.filter(toks, lambda t: t.isin("fast", "small", "value")))
+    neg = F.size(F.filter(toks, lambda t: t.isin("big", "error", "slow")))
+    sent = F.when(
+        F.size(toks) > 0, (pos - neg).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+    d = docs.select(F.col("doc_id").alias("item"), "source", sent.alias("sent"))
+    j = inter.join(F.broadcast(d), "item")
+    agg = j.groupBy("user_id").agg(
+        (F.countDistinct("source").cast("double") / F.count("*")).alias("diversity"),
+        F.avg("sent").alias("avg_sentiment"),
+        F.count("*").alias("n_docs"),
+    )
+    return agg.select(
+        "user_id",
+        F.round("diversity", 6).alias("diversity"),
+        F.round("avg_sentiment", 6).alias("avg_sentiment"),
+        "n_docs",
+        (
+            (F.col("diversity") < 0.5) | (F.abs(F.col("avg_sentiment")) > 0.05)
+        ).alias("bias_flag"),
+        F.when(F.col("diversity") < 0.5, F.lit("low source diversity"))
+        .when(F.abs(F.col("avg_sentiment")) > 0.05, F.lit("sentiment skew"))
+        .otherwise(F.lit("balanced"))
+        .alias("explanation"),
+    )

@@ -1,1 +1,272 @@
-"""placeholder — filled in as operators land."""
+"""The flagship query — hybrid recommendations for ALL users in one
+DataFrame program (SURVEY.md §7.2; reference §3.3 training cycle,
+recommendation-trainer.py:174-263).
+
+The reference loops per user: Mongo lookups + FAISS search + Python dict
+merges, one user at a time. Here the whole cycle is a single declarative
+plan with no driver-side loop:
+
+  score events (A11) → per-(user,item) ratings (A8 dedup)
+  → user profile = rating-weighted mean embedding (J3 + A2)
+  → label centroids (A2)
+  → content score = cosine(profile, centroid) (J5/F11)
+  → per-user range normalization (A7/W3 — reference formula score/range,
+    recommendation-trainer.py:138-141)
+  → label popularity + range normalization (A1/A7)
+  → label freshness decay from event recency (F7/F8)
+  → combined weighted score (J8/F10) → top-k per user (W2)
+  → cold-start popularity fallback unioned in
+    (recommendation-trainer.py:253-256)
+
+Every step is a built-in Spark expression: the only shuffles are the
+rating groupBy, the profile groupBy, and the final window — each keyed by
+user (or label, which is tiny and broadcast). At 100 TB the events scan
+dominates; everything after the first groupBy is proportional to
+|users|·|labels|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from newsify_spark.functions.scalars import event_score, safe_div
+from newsify_spark.functions.vectors import cosine
+from newsify_spark.operators.topk import top_k_per_group
+from newsify_spark.queries.registry import register
+from newsify_spark.queries.relational import EVENT_WEIGHTS, EVENT_WEIGHTS_SQL
+from newsify_spark.queries.vector import label_centroids
+from newsify_spark.tables import load
+
+K = 3
+W_CONTENT, W_POP = 0.6, 0.4
+DECAY_PER_HOUR = 0.001
+COLD_MIN_RATING = 0.5
+
+
+def interactions(events: DataFrame) -> DataFrame:
+    """(user_id, item, rating): weighted event scores summed per user-item
+    (A11 + A8). item = props.k, the fixture's story key."""
+    return (
+        events.withColumn("item", F.get_json_object("props", "$.k").cast("bigint"))
+        .withColumn("w", event_score("event_type", EVENT_WEIGHTS))
+        .groupBy("user_id", "item")
+        .agg(F.sum("w").alias("rating"))
+        .filter(F.col("rating") > 0)
+    )
+
+
+def user_profiles(inter: DataFrame, emb: DataFrame) -> DataFrame:
+    """(user_id, profile array<double>): rating-weighted mean of the
+    embeddings of items the user interacted with — the distributed form
+    of the reference's per-user np.mean over liked-story centroids
+    (recommendation-trainer.py:58-69).
+    """
+    j = inter.join(emb, inter.item == emb.vec_id)
+    flat = j.select("user_id", "rating", F.posexplode("embedding").alias("pos", "v"))
+    means = flat.groupBy("user_id", "pos").agg(
+        (F.sum(F.col("rating") * F.col("v")) / F.sum("rating")).alias("p")
+    )
+    return means.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda s: s["p"]
+        ).alias("profile")
+    )
+
+
+def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    emb = load(spark, sf_dir, "embeddings")
+
+    inter = interactions(events)
+    profiles = user_profiles(inter, emb)
+    cents = label_centroids(spark, sf_dir)
+
+    # content score: cosine(profile, centroid) for every (user, label);
+    # centroids are tiny (one row per story cluster) -> broadcast, the
+    # user side never shuffles for this join.
+    content = (
+        profiles.crossJoin(F.broadcast(cents))
+        .select("user_id", "label", cosine("profile", "centroid").alias("cscore"))
+    )
+    wu = Window.partitionBy("user_id")
+    crange = F.max("cscore").over(wu) - F.min("cscore").over(wu)
+    content = content.withColumn("cnorm", safe_div(F.col("cscore"), crange))
+
+    # label popularity over all interactions (A1), reference-formula
+    # range normalization (A7)
+    lab = inter.join(emb, inter.item == emb.vec_id).select("rating", "label")
+    pop = lab.groupBy("label").agg(F.sum("rating").alias("pop"))
+    wl = Window.partitionBy()
+    prange = F.max("pop").over(wl) - F.min("pop").over(wl)
+    pop = pop.withColumn("pnorm", safe_div(F.col("pop"), prange))
+
+    # label freshness: exponential decay on hours since the label's
+    # latest event (F7/F8; recommendation-trainer.py:77-80)
+    ev_lab = (
+        events.withColumn("item", F.get_json_object("props", "$.k").cast("bigint"))
+        .join(emb, F.col("item") == emb.vec_id)
+        .select("label", "ts")
+    )
+    lab_ts = ev_lab.groupBy("label").agg(F.max("ts").alias("label_ts"))
+    glob = ev_lab.agg(F.max("ts").alias("mx"))
+    fresh = lab_ts.crossJoin(F.broadcast(glob)).select(
+        "label",
+        F.exp(
+            F.lit(-DECAY_PER_HOUR)
+            * (F.unix_micros("mx") - F.unix_micros("label_ts"))
+            / 3600.0e6
+        ).alias("fresh"),
+    )
+
+    label_side = F.broadcast(
+        pop.join(fresh, "label").select("label", "pnorm", "fresh")
+    )
+    scored = content.join(label_side, "label").select(
+        "user_id",
+        "label",
+        (
+            (F.lit(W_CONTENT) * F.col("cnorm") + F.lit(W_POP) * F.col("pnorm"))
+            * F.col("fresh")
+        ).alias("score"),
+    )
+    top = top_k_per_group(
+        scored,
+        ["user_id"],
+        [F.col("score").desc(), F.col("label").asc()],
+        k,
+        rank_col="rnk",
+        keep_rank=True,
+    ).withColumn("src", F.lit("hybrid"))
+
+    # cold-start fallback: users with too little positive signal get the
+    # global popularity top-k (recommendation-trainer.py:253-256)
+    totals = inter.groupBy("user_id").agg(F.sum("rating").alias("tot"))
+    all_users = events.select("user_id").distinct()
+    cold = all_users.join(
+        totals.filter(F.col("tot") >= COLD_MIN_RATING), "user_id", "left_anti"
+    )
+    pop_top = top_k_per_group(
+        pop.join(fresh, "label").select(
+            "label", (F.col("pnorm") * F.col("fresh")).alias("score")
+        ),
+        [],
+        [F.col("score").desc(), F.col("label").asc()],
+        k,
+        rank_col="rnk",
+        keep_rank=True,
+    )
+    cold_recs = cold.crossJoin(F.broadcast(pop_top)).withColumn("src", F.lit("popular"))
+
+    out = top.unionByName(cold_recs)
+    return out.select(
+        "user_id",
+        F.col("label").alias("story"),
+        "rnk",
+        F.round("score", 6).alias("score"),
+        "src",
+    )
+
+
+_ORACLE = f"""
+WITH inter AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         sum({EVENT_WEIGHTS_SQL}) AS rating
+  FROM events GROUP BY 1, 2
+  HAVING sum({EVENT_WEIGHTS_SQL}) > 0
+),
+vflat AS (
+  SELECT vec_id, label, CAST(pos - 1 AS INTEGER) AS pos, CAST(v AS DOUBLE) AS v
+  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+),
+profile AS (
+  SELECT i.user_id, f.pos, sum(i.rating * f.v) / sum(i.rating) AS p
+  FROM inter i JOIN vflat f ON i.item = f.vec_id
+  GROUP BY i.user_id, f.pos
+),
+cent AS (
+  SELECT label, pos, avg(v) AS m FROM vflat GROUP BY label, pos
+),
+content AS (
+  SELECT pr.user_id, c.label,
+         CASE WHEN sqrt(sum(pr.p * pr.p)) > 0 AND sqrt(sum(c.m * c.m)) > 0
+              THEN sum(pr.p * c.m) / (sqrt(sum(pr.p * pr.p)) * sqrt(sum(c.m * c.m)))
+              ELSE 0.0 END AS cscore
+  FROM profile pr JOIN cent c ON pr.pos = c.pos
+  GROUP BY pr.user_id, c.label
+),
+cnormed AS (
+  SELECT user_id, label,
+         CASE WHEN (max(cscore) OVER w - min(cscore) OVER w) <> 0
+              THEN cscore / (max(cscore) OVER w - min(cscore) OVER w)
+              ELSE 0 END AS cnorm
+  FROM content WINDOW w AS (PARTITION BY user_id)
+),
+pop AS (
+  SELECT e.label, sum(i.rating) AS pop
+  FROM inter i JOIN (SELECT DISTINCT vec_id, label FROM vflat) e ON i.item = e.vec_id
+  GROUP BY e.label
+),
+pnormed AS (
+  SELECT label, pop,
+         CASE WHEN (max(pop) OVER () - min(pop) OVER ()) <> 0
+              THEN pop / (max(pop) OVER () - min(pop) OVER ())
+              ELSE 0 END AS pnorm
+  FROM pop
+),
+ev_lab AS (
+  SELECT e2.label, date_trunc('microseconds', ev.ts) AS ts
+  FROM events ev
+  JOIN (SELECT DISTINCT vec_id, label FROM vflat) e2
+    ON CAST(json_extract_string(ev.props, '$.k') AS BIGINT) = e2.vec_id
+),
+fresh AS (
+  SELECT label,
+         exp(-{DECAY_PER_HOUR} * (epoch_us((SELECT max(ts) FROM ev_lab)) - epoch_us(max(ts))) / 3600.0e6) AS fresh
+  FROM ev_lab GROUP BY label
+),
+scored AS (
+  SELECT cn.user_id, cn.label,
+         ({W_CONTENT} * cn.cnorm + {W_POP} * pn.pnorm) * fr.fresh AS score
+  FROM cnormed cn JOIN pnormed pn ON cn.label = pn.label
+  JOIN fresh fr ON cn.label = fr.label
+),
+top AS (
+  SELECT user_id, label, score,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY score DESC, label ASC) AS INTEGER) AS rnk
+  FROM scored
+),
+totals AS (SELECT user_id, sum(rating) AS tot FROM inter GROUP BY user_id),
+cold AS (
+  SELECT DISTINCT e.user_id FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM totals t
+                    WHERE t.user_id = e.user_id AND t.tot >= {COLD_MIN_RATING})
+),
+pop_top AS (
+  SELECT label, score,
+         CAST(row_number() OVER (ORDER BY score DESC, label ASC) AS INTEGER) AS rnk
+  FROM (SELECT pn.label, pn.pnorm * fr.fresh AS score
+        FROM pnormed pn JOIN fresh fr ON pn.label = fr.label)
+)
+SELECT user_id, label AS story, rnk, round(score, 6) AS score, 'hybrid' AS src
+FROM top WHERE rnk <= {K}
+UNION ALL
+SELECT c.user_id, p.label AS story, p.rnk, round(p.score, 6) AS score, 'popular' AS src
+FROM cold c, pop_top p WHERE p.rnk <= {K}
+"""
+
+
+@register(
+    "rec_hybrid_topk",
+    doc="FLAGSHIP: hybrid content+popularity recommendations for all "
+    "users, one declarative plan, no per-user loop (reference training "
+    "cycle §3.3). Exercises A11/A8/A2/J3/J5/A7/W3/A1/F7/F8/F10/J8/W2 "
+    "plus the cold-start fallback.",
+    tags=("flagship",),
+    bench=True,
+    oracle=_ORACLE,
+)
+def rec_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hybrid_recommendations(spark, sf_dir)
