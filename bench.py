@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-tagged queries from the registry at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced through the noop sink so every output column is
+materialized (a bare count() would let Spark prune the projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from newsify_spark.queries import REGISTRY
+from newsify_spark.session import get_spark
+from newsify_spark.tables import DEFAULT_SF_DIR
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("newsify_bench")
+    # JVM/codegen warmup so the first timed query isn't penalized
+    force(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+
+    names = sorted(n for n, q in REGISTRY.items() if q.bench)
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        force(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (image/audio libs are not in this container):
+``decode_image_stub`` produces deterministic fake pixels from the byte
+content, and ``decode_image_real`` raises NotImplementedError with the
+one-line swap documented. Everything around the stub — schema handling,
+batch iteration, partition sizing, output shape — is the real Spark
+plumbing a 100 TB multimodal pipeline uses.
+
+Design notes for scale:
+- binary payloads ride in their own column so column pruning skips them
+  for metadata-only queries (parquet reads the bytes ONLY when the
+  feature step needs them);
+- mapInPandas streams Arrow batches — peak memory is one batch of
+  payloads per core, not one partition;
+- feature outputs are fixed-length float arrays -> downstream vector
+  operators (similarity, dedup) apply unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 16
+
+MM_SCHEMA = (
+    "doc_id bigint, modality string, byte_len bigint, width int, height int, "
+    "features array<float>"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat UTF-8 bytes of the text column as an opaque
+    media payload + typed metadata, the shape a real ingest would write."""
+    payload = F.encode(text_col, "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("image/fake").alias("modality"),
+        F.length(payload).cast("long").alias("byte_len"),
+    )
+
+
+def decode_image_stub(buf: bytes) -> np.ndarray:
+    """Deterministic fake decode: bytes -> pseudo-pixel grid. Replace with
+    PIL/torchvision/cv2 decode in production (see decode_image_real)."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    side = max(int(len(arr) ** 0.5), 1)
+    return np.resize(arr, (side, side)).astype(np.float32)
+
+
+def decode_image_real(buf: bytes):
+    raise NotImplementedError(
+        "image decode requires PIL/cv2 (not in this container); swap "
+        "decode_image_stub -> PIL.Image.open(io.BytesIO(buf)) here"
+    )
+
+
+def image_features(mm: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """binary payload -> fixed-length feature vector via mapInPandas.
+
+    Stub features: 16-bin byte histogram, L1-normalized — deterministic,
+    so tests can assert exact invariants. A real model swaps the inner
+    loop for a batched forward pass (the Arrow batch IS the model batch).
+    """
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, widths, heights = [], [], []
+            for buf in pdf["payload"]:
+                px = decode_image_stub(bytes(buf))
+                h, w = px.shape
+                hist, _ = np.histogram(px, bins=FEATURE_DIM, range=(0, 256))
+                total = hist.sum() or 1
+                feats.append((hist / total).astype(np.float32).tolist())
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": pdf["byte_len"],
+                    "width": widths,
+                    "height": heights,
+                    "features": feats,
+                }
+            )
+
+    return mm.mapInPandas(extract, schema=MM_SCHEMA)
+
+
+def frame_sample(mm: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Video-style frame sampling stub: slice the payload every N bytes
+    and emit one row per 'frame' (explode pattern). Exercises the
+    one-to-many mapInPandas shape real frame extraction uses."""
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "frame_bytes": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                for i in range(0, len(b), every_n_bytes):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i // every_n_bytes)
+                    rows["frame_bytes"].append(b[i : i + every_n_bytes])
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(sample, schema="doc_id bigint, frame_no int, frame_bytes binary")

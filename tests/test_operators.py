@@ -1,0 +1,232 @@
+"""Invariant tests for operators whose queries are rows-only (◆), plus
+semantics tests for the merge/dedup/cluster building blocks
+(SURVEY.md §5.2-5.4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------------------ LSH ANN recall
+
+
+def test_lsh_knn_recall_vs_bruteforce(spark):
+    from newsify_spark.operators.similarity import knn_join, knn_join_lsh
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+
+    exact = knn_join(q, items, k=6).filter("query_id != item_id").toPandas()
+    approx = knn_join_lsh(q, items, k=6, dim=dim, n_bands=12, bits_per_band=6).filter(
+        "query_id != item_id"
+    ).toPandas()
+
+    exact_sets = exact.groupby("query_id")["item_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["item_id"].apply(set)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean LSH recall too low: {recalls}"
+    # scores must still be exact cosine (rerank step)
+    merged = approx.merge(exact, on=["query_id", "item_id"], suffixes=("_a", "_e"))
+    assert (abs(merged.score_a - merged.score_e) < 1e-9).all()
+
+
+# --------------------------------------------------------- ALS invariants
+
+
+def test_als_topk_shape(spark):
+    from newsify_spark.queries import REGISTRY
+
+    recs = REGISTRY["ml_als_topk"].fn(spark, SF_DIR).toPandas()
+    assert len(recs) > 0
+    per_user = recs.groupby("user_id")
+    assert (per_user.size() <= 5).all()
+    # rnk must follow descending score within each user
+    for _, g in per_user:
+        g = g.sort_values("rnk")
+        assert (g.score.diff().dropna() <= 1e-9).all()
+
+
+def test_kmeans_covers_all_points(spark):
+    from newsify_spark.queries import REGISTRY
+    from newsify_spark.tables import load
+
+    labels = REGISTRY["ml_kmeans_clusters"].fn(spark, SF_DIR)
+    n_points = load(spark, SF_DIR, "embeddings").count()
+    assert labels.count() == n_points
+    assert labels.select("cluster").distinct().count() <= 10
+
+
+# ------------------------------------------------- greedy story assignment
+
+
+def test_greedy_assignment_reference_semantics(spark):
+    """Mirrors map_clusters_to_stories (batch-cluster-service.py:49-69):
+    clusters iterate in order; each takes its best unused story > 0.5."""
+    from newsify_spark.operators.cluster import greedy_story_assignment
+
+    scores = spark.createDataFrame(
+        [
+            (0, 100, 0.9),
+            (0, 101, 0.8),
+            (1, 100, 0.85),  # 100 already taken by cluster 0 -> falls to 101
+            (1, 101, 0.7),
+            (2, 101, 0.6),  # 101 taken by cluster 1 -> no story left
+            (3, 102, 0.4),  # below threshold -> unassigned
+        ],
+        "cluster int, story int, jaccard double",
+    )
+    picked = greedy_story_assignment(scores, threshold=0.5)
+    assert picked == [
+        {"cluster": 0, "story": 100, "jaccard": 0.9},
+        {"cluster": 1, "story": 101, "jaccard": 0.7},
+    ]
+
+
+def test_greedy_assignment_on_fixture_is_identity_like(spark):
+    """Nearest-centroid assignment vs true labels is nearly identity, so
+    greedy matching should map most clusters to their own label."""
+    from newsify_spark.queries import REGISTRY
+
+    picked = REGISTRY["ml_greedy_story_assign"].fn(spark, SF_DIR).toPandas()
+    assert len(picked) >= 8  # 10 labels; allow a couple of misses
+    same = (picked.cluster == picked.story).mean()
+    assert same >= 0.8
+    assert picked.story.is_unique and picked.cluster.is_unique  # 1:1
+
+
+# ------------------------------------------------------ cold-start fallback
+
+
+def test_cold_start_fallback_synthetic(spark, tmp_path):
+    """Users with no positive-weight events get the popularity top-k
+    (recommendation-trainer.py:253-256). The fixture has no cold users,
+    so synthesize one."""
+    import shutil
+
+    from newsify_spark.queries.recommend import hybrid_recommendations
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("events", "embeddings"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
+    # cold user 99999: only zero-weight 'error' events
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cold = ev.limit(3).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts",
+        F.lit(99999).alias("user_id"),
+        F.lit("error").alias("event_type"),
+        "value",
+        "props",
+    )
+    ev.unionByName(cold).write.mode("overwrite").parquet(str(sf / "events.parquet"))
+
+    out = hybrid_recommendations(spark, str(sf)).toPandas()
+    cold_rows = out[out.user_id == 99999]
+    assert len(cold_rows) == 3
+    assert (cold_rows.src == "popular").all()
+    active = out[out.src == "hybrid"]
+    assert 99999 not in set(active.user_id)
+    assert (out.groupby("user_id").size() == 3).all()
+
+
+# ------------------------------------------------------------- merge ops
+
+
+def test_merge_semantics(spark):
+    from newsify_spark.operators.merge import (
+        array_append_distinct,
+        bulk_update,
+        delete_keys,
+        upsert_by_key,
+    )
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    new = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    up = upsert_by_key(old, new, ["k"]).toPandas().set_index("k").v.to_dict()
+    assert up == {1: "a", 2: "B", 3: "C"}
+
+    tgt = spark.createDataFrame([(1, "x"), (2, "y")], "k int, lbl string")
+    upd = spark.createDataFrame([(2, "z")], "k int, lbl string")
+    bu = bulk_update(tgt, upd, ["k"], ["lbl"]).toPandas().set_index("k").lbl.to_dict()
+    assert bu == {1: "x", 2: "z"}
+
+    dk = delete_keys(tgt, spark.createDataFrame([(1,)], "k int"), ["k"]).toPandas()
+    assert dk.k.tolist() == [2]
+
+    t = spark.createDataFrame([(1, ["a"]), (2, ["b"])], "k int, arr array<string>")
+    adds = spark.createDataFrame([(1, "a"), (1, "c")], "k int, item string")
+    aa = array_append_distinct(t, "k", "arr", adds, "item").toPandas().set_index("k")
+    assert sorted(aa.loc[1, "arr"]) == ["a", "c"]
+    assert list(aa.loc[2, "arr"]) == ["b"]
+
+
+# --------------------------------------------------------- inference stubs
+
+
+def test_embed_stub_deterministic(spark):
+    from newsify_spark.ml.infer import embed_text_udf
+
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("other",)], "text string")
+    emb = embed_text_udf(dim=32)
+    out = df.select(emb("text").alias("e")).toPandas()
+    assert list(out.e[0]) == list(out.e[1])
+    assert list(out.e[0]) != list(out.e[2])
+    norm = sum(x * x for x in out.e[0]) ** 0.5
+    assert abs(norm - 1.0) < 1e-3
+
+
+def test_inference_stub_udfs_run(spark):
+    from newsify_spark.ml import infer
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(20)
+    out = docs.select(
+        infer.ner_entities_udf("text").alias("ents"),
+        infer.summarize_udf("text").alias("summ"),
+        infer.sentiment_udf("text").alias("sent"),
+    ).toPandas()
+    assert (out.sent.abs() <= 1).all()
+    assert (out.summ.str.split(" ").str.len() <= 10).all()
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features(spark):
+    from newsify_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+        image_features,
+    )
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    mm = attach_binary_payload(docs)
+    feats = image_features(mm).toPandas()
+    assert len(feats) == 50
+    assert (feats.features.str.len() == 16).all()
+    sums = feats.features.map(lambda v: abs(sum(v) - 1.0) < 1e-3)
+    assert sums.all()  # L1-normalized histograms
+    # determinism
+    feats2 = image_features(mm).toPandas().sort_values("doc_id").reset_index(drop=True)
+    feats1 = feats.sort_values("doc_id").reset_index(drop=True)
+    assert (feats1.features.map(tuple) == feats2.features.map(tuple)).all()
+
+    frames = frame_sample(mm, every_n_bytes=64).toPandas()
+    got = frames.groupby("doc_id").size()
+    want = feats1.set_index("doc_id").byte_len.map(lambda n: (n + 63) // 64)
+    assert (got == want[got.index]).all()

@@ -1,0 +1,116 @@
+"""Streaming-layer tests (SURVEY §5.5): stream/batch parity for the
+foreachBatch clustering body, watermark dedup semantics, and one real
+Structured Streaming smoke over a parquet-fed source.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _article_batches(spark, n_batches=4, per_batch=30):
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < n_batches * per_batch)
+        .select(F.col("vec_id").cast("string").alias("article_id"), "embedding")
+    )
+    pdf = emb.toPandas().sort_values("article_id", key=lambda s: s.astype(int))
+    return [
+        spark.createDataFrame(
+            pdf.iloc[i * per_batch : (i + 1) * per_batch],
+            "article_id string, embedding array<float>",
+        )
+        for i in range(n_batches)
+    ]
+
+
+def test_foreachbatch_clustering_invariants(spark):
+    from newsify_spark.streaming.pipeline import run_microbatched
+
+    batches = _article_batches(spark)
+    out, state = run_microbatched(batches, threshold=0.95)
+    o = out.toPandas()
+    # every article assigned exactly once
+    assert len(o) == 120 and o.article_id.is_unique
+    # matched similarities respect the threshold
+    assert (o.loc[~o.is_new, "similarity"] > 0.95).all()
+    # state bookkeeping: stories == minted count; members == articles
+    stories = state.stories.toPandas()
+    assert len(stories) == o.is_new.sum()
+    assert stories.n_members.sum() == 120
+    assert stories.story_id.is_unique
+
+
+def test_stream_batch_parity_first_batch(spark):
+    """Running everything as ONE batch must equal the batch recomputation:
+    with an empty initial state every article becomes/joins a story whose
+    final centroid is the mean of its members (A2 invariant)."""
+    import numpy as np
+
+    from newsify_spark.streaming.pipeline import run_microbatched
+
+    batches = _article_batches(spark, n_batches=1, per_batch=40)
+    out, state = run_microbatched(batches, threshold=0.99)
+    o = out.toPandas()
+    stories = state.stories.toPandas().set_index("story_id")
+    emb = pd.Series(
+        {r.article_id: np.array(r.embedding, dtype="float64")
+         for r in batches[0].toPandas().itertuples()}
+    )
+    members = o.groupby("story_id").article_id.apply(list)
+    for sid, arts in members.items():
+        mean = np.mean([emb[a] for a in arts], axis=0)
+        got = np.array(stories.loc[sid, "centroid"])
+        assert np.allclose(mean, got, atol=1e-9), sid
+        assert stories.loc[sid, "n_members"] == len(arts)
+
+
+def test_watermark_dedup_batch_fallback(spark):
+    from newsify_spark.streaming.pipeline import watermark_dedup
+    from newsify_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    dd = watermark_dedup(ev, ["user_id", "event_type"])
+    assert dd.count() == ev.select("user_id", "event_type").distinct().count()
+
+
+def test_structured_streaming_smoke(spark, tmp_path):
+    """Real readStream→writeStream round trip: parquet-fed micro-batches,
+    watermarked dedup, memory sink (T2/T3)."""
+    import shutil
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) AS n FROM dedup_out").first()["n"]
+    finally:
+        q.stop()
+    distinct_keys = (
+        spark.read.parquet(str(src)).select("user_id", "event_type").distinct().count()
+    )
+    # dropDuplicatesWithinWatermark keeps >= distinct keys (re-emits after
+    # watermark expiry); within this single window it should equal
+    assert n == distinct_keys
