@@ -62,7 +62,9 @@ def user_profiles(inter: DataFrame, emb: DataFrame) -> DataFrame:
     of the reference's per-user np.mean over liked-story centroids
     (recommendation-trainer.py:58-69).
     """
-    j = inter.join(emb, inter.item == emb.vec_id)
+    # items table is the small side (one row per story/item): broadcast so
+    # the ratings side never shuffles for this join
+    j = inter.join(F.broadcast(emb), inter.item == emb.vec_id)
     flat = j.select("user_id", "rating", F.posexplode("embedding").alias("pos", "v"))
     means = flat.groupBy("user_id", "pos").agg(
         (F.sum(F.col("rating") * F.col("v")) / F.sum("rating")).alias("p")
@@ -78,7 +80,14 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     events = load(spark, sf_dir, "events")
     emb = load(spark, sf_dir, "embeddings")
 
-    inter = interactions(events)
+    # one events pass feeds ratings, freshness and the user roster; the
+    # post-groupBy interaction table is |users|x|items| — small relative
+    # to raw events at any scale — so cache it for its three consumers
+    # (profiles, popularity, cold-start totals).
+    inter = interactions(events).cache()
+    # the item->label map is one row per item: always broadcastable
+    item_lab = F.broadcast(emb.select(F.col("vec_id").alias("item"), "label"))
+
     profiles = user_profiles(inter, emb)
     cents = label_centroids(spark, sf_dir)
 
@@ -94,22 +103,29 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     content = content.withColumn("cnorm", safe_div(F.col("cscore"), crange))
 
     # label popularity over all interactions (A1), reference-formula
-    # range normalization (A7)
-    lab = inter.join(emb, inter.item == emb.vec_id).select("rating", "label")
-    pop = lab.groupBy("label").agg(F.sum("rating").alias("pop"))
-    wl = Window.partitionBy()
-    prange = F.max("pop").over(wl) - F.min("pop").over(wl)
-    pop = pop.withColumn("pnorm", safe_div(F.col("pop"), prange))
+    # range normalization (A7). Range via a 1-row agg + broadcast cross
+    # join — NOT a global window (which would single-partition the data).
+    pop = (
+        inter.join(item_lab, "item")
+        .groupBy("label")
+        .agg(F.sum("rating").alias("pop"))
+    )
+    prange = pop.agg((F.max("pop") - F.min("pop")).alias("prange"))
+    pop = pop.crossJoin(F.broadcast(prange)).withColumn(
+        "pnorm", safe_div(F.col("pop"), F.col("prange"))
+    )
 
     # label freshness: exponential decay on hours since the label's
     # latest event (F7/F8; recommendation-trainer.py:77-80)
     ev_lab = (
-        events.withColumn("item", F.get_json_object("props", "$.k").cast("bigint"))
-        .join(emb, F.col("item") == emb.vec_id)
+        events.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"), "ts"
+        )
+        .join(item_lab, "item")
         .select("label", "ts")
     )
     lab_ts = ev_lab.groupBy("label").agg(F.max("ts").alias("label_ts"))
-    glob = ev_lab.agg(F.max("ts").alias("mx"))
+    glob = lab_ts.agg(F.max("label_ts").alias("mx"))
     fresh = lab_ts.crossJoin(F.broadcast(glob)).select(
         "label",
         F.exp(
