@@ -1,0 +1,66 @@
+"""As-of join — the temporal lookup join Spark lacks natively.
+
+Not in the reference's operator set (SURVEY §2.3 notes its absence), but
+required by the engine's north star (time-series enrichment at 100 TB).
+
+Implementation: the scalable union+window idiom, NOT merge_asof-per-group:
+tag both sides, union, then one window per key ordered by (time, side)
+carrying the right side's payload forward with last(ignorenulls). Cost is
+a single shuffle on the key — same as the equi join you'd pay anyway —
+and it never materializes a per-key cross product. Skewed keys behave
+like any window (AQE does not split windows, so extremely hot keys would
+need a coarse time-bucket pre-partition; noted for 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    right_time <= left_time (strictly < when inclusive=False) within the
+    same ``on`` key. Left rows with no prior right row keep NULL payloads
+    (left-join semantics, matching DuckDB's ASOF LEFT JOIN oracle).
+    """
+    # side marker orders equal timestamps: right rows first when
+    # inclusive (so a left row at t sees a right row at t), after when not
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0 if inclusive else 2).alias("__side"),
+        F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
+        *payload_cols,
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "__l",
+        "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        *[F.col("__l")[c].alias(c) for c in lcols], *payload_cols
+    )
+    return out

@@ -10,3 +10,4 @@ from newsify_spark.queries import vector  # noqa: F401,E402
 from newsify_spark.queries import llmops  # noqa: F401,E402
 from newsify_spark.queries import recommend  # noqa: F401,E402
 from newsify_spark.queries import mlops  # noqa: F401,E402
+from newsify_spark.queries import extra  # noqa: F401,E402

@@ -1,0 +1,273 @@
+"""Coverage widening: as-of join, serde roundtrip (Kafka message shape),
+P7 change-detection predicate, set-union rollup (A3), ROLLUP grouping,
+nested rec-list build/extract (F19), windowed stream aggregates in batch
+form (T6), foreachBatch clustering (T4), approximate distinct (100 TB
+variant of A8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsify_spark.operators.asof import asof_join
+from newsify_spark.queries.registry import register
+from newsify_spark.queries.sqlkit import tokens_sql
+from newsify_spark.tables import load
+
+
+@register(
+    "rel_asof_join",
+    doc="As-of join (operators.asof: union+window, one shuffle on the "
+    "key): each click event picks up the user's latest prior signup. "
+    "Oracle: DuckDB ASOF LEFT JOIN.",
+    tags=("asof", "J-extra"),
+    bench=True,
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+  FROM events WHERE event_type = 'click'
+),
+signups AS (
+  -- dedup exact-duplicate timestamps deterministically (min event id)
+  SELECT user_id, ts, min(sv) AS signup_value FROM (
+    SELECT user_id, date_trunc('microseconds', ts) AS ts, value AS sv
+    FROM events WHERE event_type = 'signup')
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       s.ts AS signup_ts,
+       round(coalesce(s.signup_value, -1.0), 4) AS signup_value
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.ts
+""",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("signup_value"))
+        .select("user_id", F.col("ts").alias("signup_ts"), "signup_value")
+    )
+    out = asof_join(
+        clicks,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_time="signup_ts",
+        payload_cols=["signup_ts", "signup_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "signup_ts",
+        F.round(F.coalesce("signup_value", F.lit(-1.0)), 4).alias("signup_value"),
+    )
+
+
+@register(
+    "rel_json_roundtrip",
+    doc="S4/S5 Kafka message shape: to_json(struct(...)) -> from_json "
+    "roundtrip (produce/consume serde, ingestion_service.py:90 / "
+    "duplication_service.py:163). Oracle compares against the original "
+    "columns — the roundtrip must be lossless.",
+    tags=("S4", "S5", "F14"),
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM events
+""",
+)
+def rel_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias("value_json"),
+        F.col("event_id").cast("string").alias("key"),
+    )
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+    parsed = msgs.select(F.from_json("value_json", schema).alias("m")).select("m.*")
+    return parsed.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "rel_needs_refresh",
+    doc="P7 missing-field / expression predicate: stories needing "
+    "re-summarization (summarization-service.py:44-49) — here: users "
+    "whose last view postdates their last click (or who never clicked).",
+    tags=("P7",),
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view'  THEN date_trunc('microseconds', ts) END) AS last_view,
+         max(CASE WHEN event_type = 'click' THEN date_trunc('microseconds', ts) END) AS last_click
+  FROM events GROUP BY user_id
+)
+SELECT user_id, last_view, last_click,
+       (last_click IS NULL OR last_view > last_click) AS needs_refresh
+FROM s WHERE last_view IS NOT NULL
+""",
+)
+def rel_needs_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias("last_view"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("last_click"),
+    )
+    return s.filter(F.col("last_view").isNotNull()).select(
+        "user_id",
+        "last_view",
+        "last_click",
+        (F.col("last_click").isNull() | (F.col("last_view") > F.col("last_click"))).alias(
+            "needs_refresh"
+        ),
+    )
+
+
+@register(
+    "rel_rollup_counts",
+    doc="ROLLUP aggregation (beyond the reference — SURVEY §2.4 notes "
+    "grouping sets absent; Spark gives them natively).",
+    tags=("A-extra",),
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 4) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rel_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "rec_user_rec_lists",
+    doc="F19 + §1.3 recommendations schema: build array<struct<story_id,"
+    "score>> rec lists (recommendation-trainer.py:259-263), then extract "
+    "fields back out (api_gateway_service.py:290). Flat CSV projection "
+    "for the oracle.",
+    tags=("F19", "S9"),
+    oracle="""
+WITH top AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+)
+SELECT user_id,
+       array_to_string(list(CAST(event_id AS VARCHAR) ORDER BY rnk), ',') AS stories_csv,
+       array_to_string(list(CAST(round(value, 2) AS VARCHAR) ORDER BY rnk), ',') AS scores_csv,
+       CAST(count(*) AS BIGINT) AS n_recs
+FROM top WHERE rnk <= 3 GROUP BY user_id
+""",
+)
+def rec_user_rec_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.topk import top_k_per_group
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    top = top_k_per_group(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 3,
+        rank_col="rnk", keep_rank=True,
+    )
+    # build the nested gold-table shape...
+    lists = top.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rnk", F.col("event_id").alias("story_id"), F.col("value").alias("score")))
+        ).alias("recommendations")
+    )
+    # ...then extract fields back out (transform = the reference's list
+    # comprehension over rec dicts)
+    return lists.select(
+        "user_id",
+        F.concat_ws(
+            ",", F.transform("recommendations", lambda r: r["story_id"].cast("string"))
+        ).alias("stories_csv"),
+        F.concat_ws(
+            ",",
+            F.transform("recommendations", lambda r: F.round(r["score"], 2).cast("string")),
+        ).alias("scores_csv"),
+        F.size("recommendations").cast("long").alias("n_recs"),
+    )
+
+
+@register(
+    "stream_window_counts",
+    doc="T6 tumbling event-time windows (the incremental form of the "
+    "drift/popularity aggregates). Same F.window expression the streaming "
+    "query uses (streaming.pipeline.streaming_event_counts), evaluated "
+    "in batch for the oracle.",
+    tags=("T6",),
+    bench=True,
+    oracle="""
+SELECT CAST(date_trunc('day', date_trunc('microseconds', ts)) AS TIMESTAMP) AS day_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("day_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_cluster_assign",
+    doc="T4/T5 foreachBatch stateful clustering: embeddings fed as 4 "
+    "micro-batches through the same batch body the streaming query uses "
+    "(streaming.pipeline). Order-dependent state evolution → rows-only; "
+    "invariants in tests/test_streaming.py.",
+    tags=("T4", "T5"),
+)
+def stream_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.streaming.pipeline import run_microbatched
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 120)
+        .select(F.col("vec_id").cast("string").alias("article_id"), "embedding")
+    )
+    pdf = emb.toPandas().sort_values("article_id", key=lambda s: s.astype(int))
+    batches = [
+        spark.createDataFrame(
+            pdf.iloc[i * 30 : (i + 1) * 30], "article_id string, embedding array<float>"
+        )
+        for i in range(4)
+    ]
+    out, _ = run_microbatched(batches, threshold=0.95)
+    return out
+
+
+@register(
+    "ml_approx_distinct",
+    doc="approx_count_distinct — the 100 TB variant of A8 (HLL sketch; "
+    "SURVEY §2.4 notes approximate aggregates as the scale extension). "
+    "Sketch values are engine-specific → rows-only; error bound asserted "
+    "in tests.",
+    tags=("A8", "approx"),
+)
+def ml_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

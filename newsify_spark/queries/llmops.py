@@ -324,6 +324,37 @@ def doc_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_entity_rollup",
+    doc="A3 set-union aggregate: union of entity sets across a group "
+    "(story entity rollup, batch-cluster-service.py:134-139) — "
+    "array_distinct(flatten(collect_list)) per source, flat-sorted "
+    "for the oracle.",
+    tags=("A3", "E4"),
+    oracle=f"""
+SELECT source,
+       array_to_string(list_sort(list(DISTINCT ent)), ' ') AS entities,
+       CAST(count(DISTINCT ent) AS BIGINT) AS n_entities
+FROM (SELECT source, unnest(list_filter({tokens_sql()}, tk -> len(tk) > 5)) AS ent
+      FROM documents)
+GROUP BY source
+""",
+)
+def doc_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ents = F.filter(TX.tokens("text"), lambda t: F.length(t) > 5)
+    per_doc = docs.select("source", ents.alias("ents"))
+    # the A3 shape: flatten per-group arrays, distinct once
+    rolled = per_doc.groupBy("source").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("ents")))).alias("ents")
+    )
+    return rolled.select(
+        "source",
+        F.concat_ws(" ", "ents").alias("entities"),
+        F.size("ents").cast("long").alias("n_entities"),
+    )
+
+
+@register(
     "mm_image_features",
     doc="Multimodal feature extraction: binary payload → fixed-length "
     "feature vector via Arrow mapInPandas (decode stubbed, plumbing "

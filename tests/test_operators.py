@@ -230,3 +230,51 @@ def test_multimodal_features(spark):
     got = frames.groupby("doc_id").size()
     want = feats1.set_index("doc_id").byte_len.map(lambda n: (n + 63) // 64)
     assert (got == want[got.index]).all()
+
+
+# ------------------------------------------------------------ approx & asof
+
+
+def test_approx_distinct_error_bound(spark):
+    from newsify_spark.queries import REGISTRY
+
+    out = REGISTRY["ml_approx_distinct"].fn(spark, SF_DIR).toPandas()
+    rel_err = (out.approx_users - out.exact_users).abs() / out.exact_users
+    assert (rel_err < 0.1).all(), rel_err
+
+
+def test_asof_join_edges(spark):
+    from newsify_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 5, "l0"), (2, 7, "l2"), (3, 1, "l3")],
+        "k int, t int, who string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 9, 200.0), (2, 8, 300.0)], "k int, t int, payload double"
+    )
+    out = (
+        asof_join(
+            left.withColumnRenamed("t", "lt"),
+            right.withColumnRenamed("t", "rt"),
+            on="k", left_time="lt", right_time="rt", payload_cols=["rt", "payload"],
+        )
+        .toPandas()
+        .set_index("who")
+    )
+    assert out.loc["l1", "payload"] == 200.0   # latest prior
+    assert out.loc["l0", "payload"] == 100.0   # inclusive: equal ts matches
+    assert pd.isna(out.loc["l2", "payload"])   # right row is in the future
+    assert pd.isna(out.loc["l3", "payload"])   # key with no right rows
+
+    strict = (
+        asof_join(
+            left.withColumnRenamed("t", "lt"),
+            right.withColumnRenamed("t", "rt"),
+            on="k", left_time="lt", right_time="rt",
+            payload_cols=["rt", "payload"], inclusive=False,
+        )
+        .toPandas()
+        .set_index("who")
+    )
+    assert pd.isna(strict.loc["l0", "payload"])  # strict: equal ts excluded
