@@ -76,3 +76,75 @@ def train_als_recommendations(
         .join(F.broadcast(i_map), "__i")
         .select(user_col, item_col, "score", "rnk")
     )
+
+
+def compute_drift(events: DataFrame, window_days: int = 7) -> float:
+    """A4 drift score: |mean(recent) − mean(all)| / mean(all) over event
+    values (recommendation-trainer.py:45-56). Driver-side scalar — the
+    gate input, not a dataset."""
+    mx = events.agg(F.max("ts").alias("mx"))
+    row = (
+        events.crossJoin(mx.hint("broadcast"))
+        .agg(
+            F.avg("value").alias("overall"),
+            F.avg(
+                F.when(
+                    F.col("ts")
+                    >= F.col("mx") - F.expr(f"INTERVAL {window_days} DAYS"),
+                    F.col("value"),
+                )
+            ).alias("recent"),
+        )
+        .first()
+    )
+    overall, recent = row["overall"], row["recent"]
+    if not overall:
+        return 0.0
+    return abs((recent or 0.0) - overall) / overall
+
+
+def retrain_if_drifted(
+    ratings: DataFrame,
+    events: DataFrame,
+    model_dir: str,
+    drift_threshold: float = 0.2,
+    k: int = 10,
+    **als_kwargs,
+):
+    """T8 drift-gated retraining (recommendation-trainer.py:269-284 and
+    the Airflow branch, recommendation_retrainer_dag.py:38-52): compute
+    drift, retrain + persist (S15) iff above threshold.
+
+    Returns (drift, recommendations_df | None).
+    """
+    drift = compute_drift(events)
+    if drift <= drift_threshold:
+        return drift, None
+    recs = train_als_recommendations(ratings, k=k, **als_kwargs)
+    return drift, recs
+
+
+def save_als_model(ratings: DataFrame, model_dir: str, **als_kwargs):
+    """S15 model persistence (model.write().overwrite().save(...),
+    recommendation-trainer.py:237) — fit and persist the raw ALSModel."""
+    df = ratings.withColumn("__u", F.col("user_id").cast("int")).withColumn(
+        "__i", F.col("item").cast("int")
+    )
+    als = ALS(
+        rank=als_kwargs.get("rank", 5),
+        implicitPrefs=True,
+        coldStartStrategy="drop",
+        userCol="__u",
+        itemCol="__i",
+        ratingCol="rating",
+        seed=als_kwargs.get("seed", 42),
+    )
+    model = als.fit(df.select("__u", "__i", "rating"))
+    model.write().overwrite().save(model_dir)
+    return model
+
+
+def load_als_model(model_dir: str):
+    from pyspark.ml.recommendation import ALSModel
+
+    return ALSModel.load(model_dir)

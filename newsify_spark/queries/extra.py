@@ -271,3 +271,109 @@ def ml_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "rel_timestamp_parse",
+    doc="S3/F4 ISO timestamp format/parse roundtrip (ingestion_service.py:"
+    "60,71 isoformat; recommendation-trainer.py:144 fromisoformat). "
+    "Format to string, parse back, prove losslessness at second grain.",
+    tags=("S3", "F4", "F6"),
+    oracle="""
+SELECT event_id,
+       strftime(date_trunc('microseconds', ts), '%Y-%m-%dT%H:%M:%S') AS iso,
+       CAST(strptime(strftime(date_trunc('microseconds', ts), '%Y-%m-%dT%H:%M:%S'),
+                     '%Y-%m-%dT%H:%M:%S') AS TIMESTAMP) AS parsed,
+       (CAST(strptime(strftime(date_trunc('microseconds', ts), '%Y-%m-%dT%H:%M:%S'),
+                      '%Y-%m-%dT%H:%M:%S') AS TIMESTAMP)
+        = date_trunc('second', date_trunc('microseconds', ts))) AS lossless
+FROM events
+""",
+)
+def rel_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    parsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss")
+    return ev.select(
+        "event_id",
+        iso.alias("iso"),
+        parsed.alias("parsed"),
+        (parsed == F.date_trunc("second", F.col("ts"))).alias("lossless"),
+    )
+
+
+@register(
+    "rel_flag_workflow",
+    doc="P8/S16/S17 boolean-flag scan + mark-processed update "
+    "(bias_detection_service.py:82-117): select unprocessed rows, flip "
+    "the flag, return the updated table. Flag synthesized as value>30.",
+    tags=("P8", "S16", "S17"),
+    oracle="""
+WITH logs AS (SELECT event_id, user_id, value >= 30 AS processed_for_bias FROM events),
+todo AS (SELECT event_id FROM logs WHERE NOT processed_for_bias)
+SELECT l.event_id, l.user_id,
+       (l.processed_for_bias OR t.event_id IS NOT NULL) AS processed_for_bias,
+       (t.event_id IS NOT NULL) AS newly_processed
+FROM logs l LEFT JOIN todo t ON l.event_id = t.event_id
+""",
+)
+def rel_flag_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    logs = ev.select(
+        "event_id", "user_id", (F.col("value") >= 30).alias("processed_for_bias")
+    )
+    todo = logs.filter(~F.col("processed_for_bias")).select("event_id")  # S16 scan
+    marked = logs.join(  # S17 flag update as join-update
+        todo.withColumn("newly_processed", F.lit(True)), "event_id", "left"
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        (F.col("processed_for_bias") | F.col("newly_processed").isNotNull()).alias(
+            "processed_for_bias"
+        ),
+        F.coalesce("newly_processed", F.lit(False)).alias("newly_processed"),
+    )
+
+
+@register(
+    "rel_array_append",
+    doc="S10/E4 in-place array append with dedup ($push + $set, "
+    "duplication_service.py:110-116): per-user item arrays built before "
+    "a cutoff, array_union'd with post-cutoff additions.",
+    tags=("S10", "E4"),
+    oracle="""
+WITH m AS (SELECT max(date_trunc('microseconds', ts)) AS mx FROM events),
+base AS (
+  SELECT user_id, list_sort(list(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))) AS items
+  FROM events, m WHERE date_trunc('microseconds', ts) < mx - INTERVAL 30 DAY GROUP BY user_id
+),
+adds AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events, m WHERE date_trunc('microseconds', ts) >= mx - INTERVAL 30 DAY
+)
+SELECT b.user_id,
+       array_to_string(list_sort(list_distinct(b.items || coalesce(list(a.item), []))), ',') AS items_csv
+FROM base b LEFT JOIN adds a ON b.user_id = a.user_id
+GROUP BY b.user_id, b.items
+""",
+)
+def rel_array_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.merge import array_append_distinct
+
+    ev = load(spark, sf_dir, "events")
+    withmx = ev.crossJoin(
+        F.broadcast(ev.agg(F.max("ts").alias("mx")))
+    ).withColumn("item", F.get_json_object("props", "$.k").cast("bigint"))
+    cutoff = F.col("mx") - F.expr("INTERVAL 30 DAYS")
+    base = (
+        withmx.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+    )
+    adds = withmx.filter(F.col("ts") >= cutoff).select("user_id", "item")
+    merged = array_append_distinct(base, "user_id", "items", adds, "item")
+    return merged.select(
+        "user_id",
+        F.concat_ws(",", F.array_sort(F.array_distinct("items"))).alias("items_csv"),
+    )

@@ -278,3 +278,39 @@ def test_asof_join_edges(spark):
         .set_index("who")
     )
     assert pd.isna(strict.loc["l0", "payload"])  # strict: equal ts excluded
+
+
+# ------------------------------------------------- drift gate & persistence
+
+
+def test_drift_gate_and_model_persistence(spark, tmp_path):
+    from newsify_spark.ml.als import (
+        compute_drift,
+        load_als_model,
+        retrain_if_drifted,
+        save_als_model,
+    )
+    from newsify_spark.queries.recommend import interactions
+    from newsify_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    inter = interactions(ev)
+
+    drift = compute_drift(ev)
+    assert 0.0 <= drift < 10.0
+
+    # gate closed: threshold above observed drift -> no retrain
+    d, recs = retrain_if_drifted(inter, ev, str(tmp_path / "m1"), drift_threshold=drift + 1)
+    assert recs is None and abs(d - drift) < 1e-12
+    # gate open: threshold below -> retrain happens
+    d, recs = retrain_if_drifted(inter, ev, str(tmp_path / "m2"), drift_threshold=-1.0, k=3)
+    assert recs is not None and recs.count() > 0
+
+    # S15: save/load roundtrip preserves factors
+    mdir = str(tmp_path / "als_model")
+    model = save_als_model(inter, mdir)
+    loaded = load_als_model(mdir)
+    assert loaded.rank == model.rank
+    a = model.userFactors.orderBy("id").limit(3).collect()
+    b = loaded.userFactors.orderBy("id").limit(3).collect()
+    assert [r["features"] for r in a] == [r["features"] for r in b]
