@@ -63,10 +63,15 @@ def minhash_signatures(
     shingled = docs.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("shingle")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    # each md5 digest yields TWO independent 64-bit (16 hex char) hash
+    # values — halves the md5 calls, the dominant cost of the signature
+    # pass at corpus scale
+    aggs = []
+    for i in range(0, num_hashes, 2):
+        d = F.md5(F.concat(F.lit(f"{i // 2}|"), F.col("shingle")))
+        aggs.append(F.min(F.substring(d, 1, 16)).alias(f"h{i}"))
+        if i + 1 < num_hashes:
+            aggs.append(F.min(F.substring(d, 17, 16)).alias(f"h{i + 1}"))
     return shingled.groupBy(id_col).agg(*aggs)
 
 

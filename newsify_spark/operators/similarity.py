@@ -167,3 +167,94 @@ def knn_join_lsh(
     return top_k_per_group(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    item_id: str = "item_id",
+    query_vec: str = "query_vec",
+    item_vec: str = "item_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate kNN: coarse-quantize items into ``n_cells``
+    KMeans cells, probe each query's ``n_probe`` nearest cells, exact
+    cosine rerank within the probed cells.
+
+    The FAISS-IVF pattern re-expressed as two broadcast joins: the cell
+    centroid table is tiny (n_cells rows), so both the item assignment
+    and the query probe are broadcast lookups; the candidate join is an
+    equi join on cell id — shuffle-partitionable, and candidate count is
+    |items| * n_probe / n_cells per query on balanced cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from newsify_spark.functions.vectors import l2_normalize
+
+    feats = items.select(
+        F.col(item_id), array_to_vector(l2_normalize(item_vec)).alias("features")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    cells = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+    spark = items.sparkSession
+    cell_df = F.broadcast(
+        spark.createDataFrame(cells, "cell int, cell_vec array<double>")
+    )
+
+    item_cells = (
+        items.crossJoin(cell_df)
+        .withColumn("csim", cosine(F.col(item_vec), F.col("cell_vec")))
+        .transform(
+            lambda df: top_k_per_group(
+                df, [item_id], [F.col("csim").desc(), F.col("cell").asc()], 1
+            )
+        )
+        .select(item_id, item_vec, "cell")
+    )
+    query_cells = (
+        queries.crossJoin(cell_df)
+        .withColumn("csim", cosine(F.col(query_vec), F.col("cell_vec")))
+        .transform(
+            lambda df: top_k_per_group(
+                df, [query_id], [F.col("csim").desc(), F.col("cell").asc()], n_probe
+            )
+        )
+        .select(query_id, query_vec, "cell")
+    )
+    cands = query_cells.join(item_cells, "cell").select(
+        query_id, item_id, query_vec, item_vec
+    )
+    scored = cands.withColumn("score", cosine(F.col(query_vec), F.col(item_vec))).select(
+        query_id, item_id, "score"
+    )
+    return top_k_per_group(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-guard equi join: salt the big side's hot keys by appending a
+    random bucket, replicate the small side across all salt values, join
+    on (key, salt). Use when AQE's skew splitting isn't enough (e.g. one
+    key holding >10% of rows). Deterministic salting via a hash of a
+    unique column would make it oracle-checkable; random salt suffices
+    because the join result is salt-invariant.
+    """
+    b = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    return b.join(s, [key, "__salt"], how).drop("__salt")

@@ -377,3 +377,105 @@ def rel_array_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.concat_ws(",", F.array_sort(F.array_distinct("items"))).alias("items_csv"),
     )
+
+
+@register(
+    "ml_ann_ivf_topk",
+    doc="IVF-style ANN (FAISS IndexIVF pattern, X5): KMeans coarse cells, "
+    "n_probe nearest cells per query, exact rerank within. Rows-only "
+    "(KMeans centroids are engine-specific); recall invariant in tests.",
+    tags=("X5", "J5"),
+)
+def ml_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.similarity import knn_join_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    out = knn_join_ivf(q, items, k=5, n_cells=8, n_probe=3)
+    return out.filter(F.col("query_id") != F.col("item_id"))
+
+
+@register(
+    "rel_sessionize",
+    doc="Sessionization: lag + gap-flag cumsum windows (the batch form of "
+    "session_window; no session analytics exist in the reference — "
+    "SURVEY §2.5 — but any event pipeline at scale needs it).",
+    tags=("W-extra", "T6"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 3_600_000_000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "rel_pivot_counts",
+    doc="Pivot (event_type columns per user-activity day-of-week) — "
+    "engine extension; Spark .pivot with an explicit value list so the "
+    "output schema is static.",
+    tags=("A-extra",),
+    oracle="""
+-- DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 — shift to match
+SELECT CAST(dayofweek(date_trunc('microseconds', ts)) + 1 AS INTEGER) AS dow,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error
+FROM events GROUP BY 1
+""",
+)
+def rel_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.withColumn("dow", F.dayofweek("ts"))
+        .groupBy("dow")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    # pivot leaves NULL for empty cells; the oracle counts 0
+    for c in kinds:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

@@ -133,10 +133,20 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+def _minhash_mins_sql() -> list[str]:
+    """Mirror operators.dedup.minhash_signatures: two 16-hex-char hash
+    values per md5 digest."""
+    mins = []
+    for i in range(0, N_HASHES, 2):
+        d = f"md5('{i // 2}|' || shingle)"
+        mins.append(f"min(substr({d}, 1, 16)) AS h{i}")
+        if i + 1 < N_HASHES:
+            mins.append(f"min(substr({d}, 17, 16)) AS h{i + 1}")
+    return mins
+
+
 def _minhash_oracle() -> str:
-    mins = ",\n       ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES)
-    )
+    mins = ",\n       ".join(_minhash_mins_sql())
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
@@ -174,7 +184,7 @@ WITH sh AS (
   FROM documents
 ),
 sigs AS (
-  SELECT doc_id, {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
+  SELECT doc_id, {", ".join(_minhash_mins_sql())}
   FROM sh GROUP BY doc_id
 ),
 bands AS ({union})
@@ -293,7 +303,7 @@ WITH sh AS (
   SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle FROM documents
 ),
 sigs AS (
-  SELECT doc_id, {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_HASHES))}
+  SELECT doc_id, {", ".join(_minhash_mins_sql())}
   FROM sh GROUP BY doc_id
 ),
 bands AS ({_bands_union_sql()}),

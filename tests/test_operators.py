@@ -314,3 +314,33 @@ def test_drift_gate_and_model_persistence(spark, tmp_path):
     a = model.userFactors.orderBy("id").limit(3).collect()
     b = loaded.userFactors.orderBy("id").limit(3).collect()
     assert [r["features"] for r in a] == [r["features"] for r in b]
+
+
+def test_ivf_knn_recall_vs_bruteforce(spark):
+    from newsify_spark.operators.similarity import knn_join, knn_join_ivf
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    exact = knn_join(q, items, k=6).filter("query_id != item_id").toPandas()
+    approx = knn_join_ivf(q, items, k=6, n_cells=8, n_probe=4).filter(
+        "query_id != item_id"
+    ).toPandas()
+    es = exact.groupby("query_id")["item_id"].apply(set)
+    as_ = approx.groupby("query_id")["item_id"].apply(set)
+    recalls = [len(es[i] & as_.get(i, set())) / len(es[i]) for i in es.index]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_salted_join_matches_plain_join(spark):
+    from newsify_spark.operators.similarity import salted_join
+    from newsify_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id")
+    dim = load(spark, SF_DIR, "events").groupBy("user_id").count()
+    plain = ev.join(dim, "user_id").agg(F.count("*"), F.sum("count")).first()
+    salted = salted_join(ev, dim, "user_id").agg(F.count("*"), F.sum("count")).first()
+    assert plain == salted
