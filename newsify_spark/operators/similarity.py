@@ -258,3 +258,61 @@ def salted_join(
         )
     )
     return b.join(s, [key, "__salt"], how).drop("__salt")
+
+
+def knn_join_matmul(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    item_id: str = "item_id",
+    query_vec: str = "query_vec",
+    item_vec: str = "item_vec",
+) -> DataFrame:
+    """Exact cosine top-k via per-partition BLAS matmul — the production
+    form of brute-force kNN at scale.
+
+    The query matrix is collected once (queries are the SMALL side by
+    contract: user batch, probe set) and shipped in the task closure; each
+    item partition streams through mapInPandas as Arrow batches, computes
+    one normalized GEMM per batch, keeps its local top-k per query, and a
+    final groupBy reduces partition-local candidates to the global top-k.
+    Shuffle volume is O(|queries| * k * n_partitions), never the cross
+    product. Results are identical to knn_join (same ties: item_id asc),
+    modulo float-summation order inside BLAS.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm
+
+    def part(it):
+        for pdf in it:
+            ids = pdf[item_id].to_numpy()
+            mat = np.array(list(pdf[item_vec]), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = qunit @ (mat / nrm).T  # |Q| x |batch|
+            kk = min(k, sims.shape[1])
+            # partial top-k per query within this batch
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {
+                query_id: np.repeat(qids, kk),
+                item_id: ids[idx].ravel(),
+                "score": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    q_dt = dict(queries.dtypes)[query_id]
+    i_dt = dict(items.dtypes)[item_id]
+    local = items.select(item_id, item_vec).mapInPandas(
+        part, schema=f"{query_id} {q_dt}, {item_id} {i_dt}, score double"
+    )
+    return top_k_per_group(
+        local, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )

@@ -344,3 +344,18 @@ def test_salted_join_matches_plain_join(spark):
     plain = ev.join(dim, "user_id").agg(F.count("*"), F.sum("count")).first()
     salted = salted_join(ev, dim, "user_id").agg(F.count("*"), F.sum("count")).first()
     assert plain == salted
+
+
+def test_matmul_knn_equals_expression_knn(spark):
+    from newsify_spark.operators.similarity import knn_join, knn_join_matmul
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    a = knn_join(q, items, k=5).toPandas().sort_values(["query_id", "item_id"]).reset_index(drop=True)
+    b = knn_join_matmul(q, items, k=5).toPandas().sort_values(["query_id", "item_id"]).reset_index(drop=True)
+    assert (a.query_id == b.query_id).all() and (a.item_id == b.item_id).all()
+    assert (abs(a.score - b.score) < 1e-9).all()
