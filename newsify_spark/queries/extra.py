@@ -479,3 +479,61 @@ def rel_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in kinds:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+@register(
+    "rel_set_ops",
+    doc="Homogeneous-table set operations (INTERSECT / EXCEPT / UNION "
+    "ALL) — SURVEY §2.7 notes the reference only has dict/set forms; "
+    "Spark's relational forms, oracle-checked.",
+    tags=("E-extra",),
+    oracle="""
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+viewers  AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+erring   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'click_and_buy' AS op, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)
+UNION ALL
+SELECT 'view_not_error' AS op, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM viewers EXCEPT SELECT * FROM erring)
+UNION ALL
+SELECT 'all_rows' AS op, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM clickers UNION ALL SELECT * FROM buyers)
+""",
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def kind(t):
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    rows = [
+        ("click_and_buy", kind("click").intersect(kind("purchase")).count()),
+        ("view_not_error", kind("view").exceptAll(kind("error")).count()),
+        ("all_rows", kind("click").unionAll(kind("purchase")).count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n bigint")
+
+
+@register(
+    "rel_percentiles",
+    doc="Exact interpolated percentiles / median per group (engine "
+    "extension; the reference has no quantile machinery). "
+    "approx variant: ml_approx_distinct pattern with percentile_approx.",
+    tags=("A-extra",),
+    oracle="""
+SELECT event_type,
+       round(median(value), 6)              AS med,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

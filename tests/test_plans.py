@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (predicate pushdown, column pruning, broadcast join selection,
+partition pruning, no Python UDFs in relational paths) must survive
+refactors. These inspect `executedPlan`, the same way a human audits
+with .explain("formatted").
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from newsify_spark.queries import REGISTRY
+
+    df = REGISTRY["rel_pricing_summary"].fn(spark, SF_DIR)
+    full = _analyzed(df)
+    # the shipdate range predicate must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in full, full[
+        full.find("FileScan") : full.find("FileScan") + 400
+    ]
+    assert "LessThanOrEqual(l_shipdate" in full
+    # scan must read only the 7 referenced columns, not all 11
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", full)
+    assert m and len(m.group(1).split(",")) == 7, m and m.group(1)
+
+
+def test_dim_joins_are_broadcast(spark):
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["rel_revenue_by_nation"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    from newsify_spark.queries import REGISTRY
+
+    for name in [
+        "rel_pricing_summary",
+        "rel_interaction_scores",
+        "vec_cosine_pairs",
+        "doc_minhash_signatures",
+        "doc_simhash",
+        "rec_hybrid_topk",
+    ]:
+        plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_present(spark):
+    from newsify_spark.queries import REGISTRY
+
+    df = REGISTRY["rel_pricing_summary"].fn(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    # WholeStageCodegenExec prints as "*(n)" prefixes in plan strings
+    assert re.search(r"\*\(\d+\)", plan), plan[:500]
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Gold tables written partitionBy(day) must partition-prune reads —
+    the 100 TB access pattern for event data."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")  # raw nanos ok here
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = str(tmp_path / "events_by_day")
+    (
+        ev.withColumn("day", F.expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
+        .write.partitionBy("day")
+        .parquet(out)
+    )
+    one_day = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    full = _analyzed(one_day)
+    # pruned scan: partition filters present; and far fewer files than total
+    assert "PartitionFilters: [isnotnull(day" in full
+    assert one_day.count() > 0
+
+
+def test_exchange_reuse_in_flagship(spark):
+    """The cached interactions table must appear as InMemoryTableScan
+    (computed once for its three consumers)."""
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["rec_hybrid_topk"].fn(spark, SF_DIR))
+    assert "InMemoryTableScan" in plan
