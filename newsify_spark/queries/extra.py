@@ -537,3 +537,91 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@register(
+    "rel_range_join",
+    doc="Banded range join (operators.rangejoin): events matched to "
+    "±12h windows around each signup of the same user — bucketized "
+    "equi join + exact predicate, never a cartesian product.",
+    tags=("J-extra", "range"),
+    oracle="""
+WITH wins AS (
+  SELECT event_id AS win_id, user_id,
+         epoch_us(date_trunc('microseconds', ts)) - 43200000000 AS lo,
+         epoch_us(date_trunc('microseconds', ts)) + 43200000000 AS hi
+  FROM events WHERE event_type = 'signup'
+),
+pts AS (
+  SELECT event_id, user_id, epoch_us(date_trunc('microseconds', ts)) AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, w.win_id, CAST(count(*) AS BIGINT) AS n
+FROM pts p JOIN wins w
+  ON p.user_id = w.user_id AND p.t >= w.lo AND p.t <= w.hi
+GROUP BY p.event_id, w.win_id
+""",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.rangejoin import range_join_points_to_intervals
+
+    ev = load(spark, sf_dir, "events")
+    wins = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("win_id"),
+        F.col("user_id").alias("w_user"),
+        (F.unix_micros("ts") - 43_200_000_000).alias("lo"),
+        (F.unix_micros("ts") + 43_200_000_000).alias("hi"),
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    j = range_join_points_to_intervals(
+        pts, wins, point_key="t", lo="lo", hi="hi", bucket_width=43_200_000_000
+    ).filter(F.col("user_id") == F.col("w_user"))
+    return j.groupBy("event_id", "win_id").agg(F.count("*").alias("n"))
+
+
+@register(
+    "rel_scd2_segments",
+    doc="SCD2 history tracking without a table format (MERGE emulation, "
+    "SURVEY guide pattern): each user's event-type changes become "
+    "validity intervals via lead() windows.",
+    tags=("W-extra", "S9"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+versioned AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+)
+SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current
+FROM versioned
+""",
+)
+def rel_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    versioned = changes.withColumn(
+        "valid_to", F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    )
+    return versioned.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -95,3 +95,23 @@ def test_exchange_reuse_in_flagship(spark):
 
     plan = _plan(REGISTRY["rec_hybrid_topk"].fn(spark, SF_DIR))
     assert "InMemoryTableScan" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key lets the sort-merge join read
+    pre-shuffled data: no Exchange above either scan — the co-located
+    join strategy for repeated 100 TB joins."""
+    import uuid
+
+    from newsify_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    left = ev.selectExpr("user_id", "value")
+    right = ev.selectExpr("user_id", "event_id")
+    suffix = uuid.uuid4().hex[:8]
+    for name, df in [(f"bl_{suffix}", left), (f"br_{suffix}", right)]:
+        df.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(name)
+    j = spark.table(f"bl_{suffix}").join(spark.table(f"br_{suffix}"), "user_id")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:800]

@@ -114,3 +114,71 @@ def test_structured_streaming_smoke(spark, tmp_path):
     # dropDuplicatesWithinWatermark keeps >= distinct keys (re-emits after
     # watermark expiry); within this single window it should equal
     assert n == distinct_keys
+
+
+def test_stateful_clustering_matches_reference_loop(spark, tmp_path):
+    """applyInPandasWithState output must EXACTLY match a driver-side
+    simulation of the reference's per-message loop
+    (duplication_service.py:74-92, 142-170) over the same article order."""
+    import numpy as np
+
+    from newsify_spark.streaming.stateful import (
+        assign_sequential,
+        streaming_cluster_stateful,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < 80)
+        .select(F.col("vec_id").cast("string").alias("article_id"), "embedding")
+    )
+    pdf = emb.toPandas().sort_values("article_id", key=lambda s: s.astype(int))
+
+    # two stream files -> two micro-batches, deterministic order within each
+    src = tmp_path / "articles"
+    src.mkdir()
+    half = len(pdf) // 2
+    for i, chunk in enumerate([pdf.iloc[:half], pdf.iloc[half:]]):
+        spark.createDataFrame(
+            chunk, "article_id string, embedding array<float>"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    schema = "article_id string, embedding array<float>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_cluster_stateful(stream, threshold=0.95)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM stateful_out").toPandas()
+    finally:
+        q.stop()
+
+    # driver-side reference simulation over the same global order
+    ids, counts, cents, nid = [], [], [], 0
+    want = []
+    for half_pdf in [pdf.iloc[:half], pdf.iloc[half:]]:
+        arts = [
+            (str(a), np.asarray(list(v), dtype=np.float64))
+            for a, v in zip(half_pdf["article_id"], half_pdf["embedding"])
+        ]
+        out, nid = assign_sequential(arts, ids, counts, cents, nid, 0.95)
+        want.extend(out)
+    import pandas as pd_
+
+    want = pd_.DataFrame(want)
+    g = got.sort_values("article_id", key=lambda s: s.astype(int)).reset_index(drop=True)
+    w = want.sort_values("article_id", key=lambda s: s.astype(int)).reset_index(drop=True)
+    assert len(g) == len(w) == 80
+    assert (g.article_id == w.article_id).all()
+    assert (g.story_id == w.story_id).all()
+    assert (g.is_new == w.is_new).all()
+    assert (abs(g.similarity - w.similarity) < 1e-9).all()
