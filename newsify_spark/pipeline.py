@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from newsify_spark.functions import text as TX
 from newsify_spark.ml.infer import embed_text_udf, ner_entities_udf, summarize_udf
-from newsify_spark.operators.cluster import jaccard_match_scores
 from newsify_spark.operators.dedup import exact_dedup
 from newsify_spark.operators.similarity import nearest_centroid_assign
 from newsify_spark.queries.recommend import hybrid_recommendations

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from newsify_spark.operators.asof import asof_join
 from newsify_spark.queries.registry import register
-from newsify_spark.queries.sqlkit import tokens_sql
 from newsify_spark.tables import load
 
 
@@ -624,4 +623,49 @@ def rel_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "rel_gap_fill",
+    doc="Time-series resample/gap-fill: generate the full day spine per "
+    "user via sequence()+explode, left-join observed daily aggregates, "
+    "zero-fill gaps (engine extension for training-data pipelines).",
+    tags=("T6", "A-extra"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', date_trunc('microseconds', ts)) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT s.user_id, s.day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       round(coalesce(d.total, 0.0), 4) AS total,
+       d.n IS NULL AS gap_filled
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""",
+)
+def rel_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    out = spine.join(daily, ["user_id", "day"], "left")
+    return out.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("total", F.lit(0.0)), 4).alias("total"),
+        F.col("n").isNull().alias("gap_filled"),
     )

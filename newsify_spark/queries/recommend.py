@@ -286,3 +286,64 @@ FROM cold c, pop_top p WHERE p.rnk <= {K}
 )
 def rec_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_recommendations(spark, sf_dir)
+
+
+@register(
+    "rec_read_path",
+    doc="§3.1 read path — GET /recommendations/{user_id} re-expressed: "
+    "point lookup on the (computed) gold recs for the lowest user id, "
+    "exploded and projected with defaults (P2/F17), with the latest-N "
+    "fallback (O3) unioned for a user with no recs "
+    "(api_gateway_service.py:285-312).",
+    tags=("read-path", "S7", "O3", "F17", "F19"),
+    oracle=f"""
+WITH base AS ({_ORACLE}),
+target AS (SELECT min(user_id) AS uid FROM events)
+SELECT b.user_id, b.story, b.rnk, b.score, 'rec' AS route
+FROM base b, target t WHERE b.user_id = t.uid AND b.src = 'hybrid'
+UNION ALL
+SELECT -1 AS user_id, CAST(label AS INTEGER) AS story,
+       CAST(row_number() OVER (ORDER BY mx DESC, label ASC) AS INTEGER) AS rnk,
+       0.0 AS score, 'fallback' AS route
+FROM (SELECT e.label, max(date_trunc('microseconds', ev.ts)) AS mx
+      FROM events ev
+      JOIN (SELECT DISTINCT vec_id, label FROM embeddings) e
+        ON CAST(json_extract_string(ev.props, '$.k') AS BIGINT) = e.vec_id
+      GROUP BY e.label)
+QUALIFY rnk <= 3
+""",
+)
+def rec_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    emb = load(spark, sf_dir, "embeddings")
+    recs = hybrid_recommendations(spark, sf_dir)
+
+    # point lookup (S7): one user's rec list from the gold table
+    target = events.agg(F.min("user_id").alias("uid"))
+    mine = (
+        recs.join(F.broadcast(target), recs.user_id == F.col("uid"))
+        .filter(F.col("src") == "hybrid")
+        .select("user_id", "story", "rnk", "score", F.lit("rec").alias("route"))
+    )
+
+    # fallback (O3): latest-updated stories for a user with no rec doc
+    ev_lab = (
+        events.select(F.from_json("props", "k bigint")["k"].alias("item"), "ts")
+        .join(F.broadcast(emb.select(F.col("vec_id").alias("item"), "label")), "item")
+        .groupBy("label")
+        .agg(F.max("ts").alias("mx"))
+    )
+    fallback = (
+        top_k_per_group(
+            ev_lab, [], [F.col("mx").desc(), F.col("label").asc()], 3,
+            rank_col="rnk", keep_rank=True,
+        )
+        .select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.col("label").cast("int").alias("story"),
+            "rnk",
+            F.lit(0.0).alias("score"),
+            F.lit("fallback").alias("route"),
+        )
+    )
+    return mine.unionByName(fallback)

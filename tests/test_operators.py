@@ -6,7 +6,6 @@ semantics tests for the merge/dedup/cluster building blocks
 from __future__ import annotations
 
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR

@@ -5,7 +5,6 @@ semantics.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
