@@ -213,3 +213,54 @@ def embedding_near_dup(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def minhash_signatures_pandas(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Same signature definition as minhash_signatures (bit-identical
+    output), computed in Python via mapInPandas: shingling + hashlib.md5
+    + per-doc mins in one Arrow batch pass, no explode/shuffle for the
+    signature itself. Wins when shingle-per-doc counts are high — the
+    JVM expression form materializes one row per (doc, shingle) through
+    a full shuffle; this form reduces to one row per doc map-side.
+    """
+    import hashlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    half = (num_hashes + 1) // 2
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split(" ")
+                if len(toks) >= shingle_n:
+                    shingles = {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                else:
+                    shingles = {" ".join(toks)}
+                mins = [None] * num_hashes
+                for sh in shingles:
+                    for seed in range(half):
+                        d = hashlib.md5(f"{seed}|{sh}".encode()).hexdigest()
+                        a, b = d[:16], d[16:32]
+                        i = 2 * seed
+                        if mins[i] is None or a < mins[i]:
+                            mins[i] = a
+                        if i + 1 < num_hashes and (mins[i + 1] is None or b < mins[i + 1]):
+                            mins[i + 1] = b
+                rows.append([doc_id, *mins])
+            yield pd.DataFrame(rows, columns=[id_col, *[f"h{i}" for i in range(num_hashes)]])
+
+    schema = f"{id_col} bigint, " + ", ".join(f"h{i} string" for i in range(num_hashes))
+    return docs.select(id_col, text_col).mapInPandas(sig, schema=schema)

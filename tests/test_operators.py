@@ -358,3 +358,16 @@ def test_matmul_knn_equals_expression_knn(spark):
     b = knn_join_matmul(q, items, k=5).toPandas().sort_values(["query_id", "item_id"]).reset_index(drop=True)
     assert (a.query_id == b.query_id).all() and (a.item_id == b.item_id).all()
     assert (abs(a.score - b.score) < 1e-9).all()
+
+
+def test_minhash_impls_identical(spark):
+    from newsify_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_pandas,
+    )
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(100)
+    a = minhash_signatures(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = minhash_signatures_pandas(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
