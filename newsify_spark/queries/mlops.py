@@ -303,9 +303,7 @@ def rec_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     inter = (
         ev.filter(event_score("event_type", EVENT_WEIGHTS) > 0)
-        .select(
-            "user_id", F.get_json_object("props", "$.k").cast("bigint").alias("item")
-        )
+        .select("user_id", F.from_json("props", "k bigint")["k"].alias("item"))
         .distinct()
     )
     toks = tokens("text")

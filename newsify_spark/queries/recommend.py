@@ -64,17 +64,28 @@ def user_profiles(inter: DataFrame, emb: DataFrame) -> DataFrame:
     of the reference's per-user np.mean over liked-story centroids
     (recommendation-trainer.py:58-69).
     """
+    import numpy as np
+    import pandas as pd
+
     # items table is the small side (one row per story/item): broadcast so
     # the ratings side never shuffles for this join
-    j = inter.join(F.broadcast(emb), inter.item == emb.vec_id)
-    flat = j.select("user_id", "rating", F.posexplode("embedding").alias("pos", "v"))
-    means = flat.groupBy("user_id", "pos").agg(
-        (F.sum(F.col("rating") * F.col("v")) / F.sum("rating")).alias("p")
+    j = inter.join(F.broadcast(emb), inter.item == emb.vec_id).select(
+        "user_id", "rating", "embedding"
     )
-    return means.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda s: s["p"]
-        ).alias("profile")
+
+    # one shuffle on user_id, then a vectorized weighted mean per group —
+    # replaces the posexplode form (|inter| x dim rows through two
+    # shuffles) with |inter| rows through one
+    def wmean(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        w = pdf["rating"].to_numpy()
+        prof = (w[:, None] * mat).sum(axis=0) / w.sum()
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "profile": [prof.tolist()]}
+        )
+
+    return j.groupBy("user_id").applyInPandas(
+        wmean, schema="user_id bigint, profile array<double>"
     )
 
 

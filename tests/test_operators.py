@@ -122,7 +122,9 @@ def test_cold_start_fallback_synthetic(spark, tmp_path):
     for t in ("events", "embeddings"):
         shutil.copy(f"{SF_DIR}/{t}.parquet", sf / f"{t}.parquet")
     # cold user 99999: only zero-weight 'error' events
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from newsify_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
     cold = ev.limit(3).select(
         (F.col("event_id") + 10_000_000).alias("event_id"),
         "ts",
