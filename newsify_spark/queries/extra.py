@@ -669,3 +669,30 @@ def rel_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("total", F.lit(0.0)), 4).alias("total"),
         F.col("n").isNull().alias("gap_filled"),
     )
+
+
+@register(
+    "rel_stats_agg",
+    doc="Statistical aggregates (stddev/variance/corr/argmax) — engine "
+    "extension; arg_max/max_by give the reference's per-group argmax "
+    "(A10) in one aggregate instead of a window.",
+    tags=("A-extra", "A10"),
+    oracle="""
+SELECT event_type,
+       round(stddev_samp(value), 6)      AS sd,
+       round(var_samp(value), 6)         AS var,
+       round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_uv,
+       CAST(arg_max(event_id, value) AS BIGINT) AS top_event_id,
+       CAST(arg_min(event_id, value) AS BIGINT) AS bottom_event_id
+FROM events GROUP BY event_type
+""",
+)
+def rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6).alias("corr_uv"),
+        F.max_by("event_id", "value").alias("top_event_id"),
+        F.min_by("event_id", "value").alias("bottom_event_id"),
+    )

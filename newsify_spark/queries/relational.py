@@ -22,9 +22,12 @@ from newsify_spark.tables import load
 # read .01 / else 0).
 EVENT_WEIGHTS = {"purchase": 1.0, "signup": 0.5, "click": 0.1, "view": 0.01}
 
+# CAST to DOUBLE: DuckDB types bare numeric literals as DECIMAL, and
+# DECIMAL aggregates surface as Decimal objects to the driver's hash —
+# a type mismatch even when the values are equal.
 EVENT_WEIGHTS_SQL = (
-    "CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 0.5 "
-    "WHEN 'click' THEN 0.1 WHEN 'view' THEN 0.01 ELSE 0.0 END"
+    "CAST(CASE event_type WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 0.5 "
+    "WHEN 'click' THEN 0.1 WHEN 'view' THEN 0.01 ELSE 0.0 END AS DOUBLE)"
 )
 
 
