@@ -332,3 +332,48 @@ def rec_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("balanced"))
         .alias("explanation"),
     )
+
+
+@register(
+    "doc_udtf_shingles",
+    doc="Python UDTF (Spark 4 user-defined table function — no UDTF "
+    "exists in the reference, SURVEY §2.9): lateral-explodes word "
+    "shingles with positions. Same definition as functions.text."
+    "word_shingles, so fully oracle-checkable.",
+    tags=("UDTF", "dedup"),
+    oracle="""
+SELECT doc_id, CAST(idx AS INTEGER) AS idx, shingle
+FROM (
+  SELECT doc_id,
+         generate_subscripts(sh, 1) AS idx,
+         unnest(sh) AS shingle
+  FROM (
+    SELECT doc_id,
+           (CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+              list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 2),
+                             i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))
+            ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS sh
+    FROM documents WHERE doc_id < 50)
+)
+""",
+)
+def doc_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="idx int, shingle string")
+    class ShingleUDTF:
+        def eval(self, text: str, n: int):
+            toks = (text or "").lower().split(" ")
+            if len(toks) >= n:
+                for i in range(len(toks) - n + 1):
+                    yield i + 1, " ".join(toks[i : i + n])
+            else:
+                yield 1, " ".join(toks)
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("shingle_udtf", ShingleUDTF)
+    return spark.sql(
+        "SELECT d.doc_id, s.idx, s.shingle "
+        "FROM __udtf_docs d, LATERAL shingle_udtf(d.text, 3) s"
+    )
