@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Scale-up experiment: replicate the sf0.1 fixtures Nx on disk and
+measure how headline operators' wall-clock grows. Near-linear growth
+(ratio ≈ N on a fixed core count) means no super-linear shuffle or
+driver bottleneck is hiding in the plan — the property that must hold
+for the 1000-executor / 100 TB target. Writes SCALING.md.
+
+Usage: python scale_check.py [N]   (default 8)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from newsify_spark.queries import REGISTRY
+from newsify_spark.session import get_spark
+from newsify_spark.tables import TABLES
+
+
+def replicate(spark, src: str, dst: str, n: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        in_path = f"{src}/{t}.parquet"
+        out_path = f"{dst}/{t}.parquet"
+        if t in ("events", "documents", "embeddings", "lineitem", "orders"):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(in_path)
+            rep = spark.range(n).select(F.col("id").alias("__rep"))
+            big = df.crossJoin(rep)
+            # re-key ids so replicas don't collide (keeps group counts
+            # realistic instead of multiplying group sizes)
+            for key in ("event_id", "doc_id", "vec_id", "l_orderkey", "o_orderkey"):
+                if key in df.columns:
+                    big = big.withColumn(
+                        key, F.col(key) + F.col("__rep") * F.lit(10_000_000)
+                    )
+            if "user_id" in df.columns:
+                big = big.withColumn(
+                    "user_id", F.col("user_id") + F.col("__rep") * F.lit(1_000_000)
+                )
+            big.drop("__rep").write.mode("overwrite").parquet(out_path)
+        else:
+            shutil.copytree(in_path, out_path, dirs_exist_ok=True) if os.path.isdir(
+                in_path
+            ) else shutil.copy(in_path, out_path)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+QUERIES = [
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_window_topk",
+    "doc_exact_dedup",
+    "doc_minhash_signatures",
+    "vec_knn_matmul",
+    "vec_nearest_centroid",
+    "rel_asof_join",
+    "rec_hybrid_topk",
+]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    src = "/root/testdata/sf0.1"
+    spark = get_spark("scale_check")
+    force(spark.range(1_000_000).selectExpr("sum(id) s"))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        dst = os.path.join(tmp, f"sf0.1x{n}")
+        replicate(spark, src, dst, n)
+
+        rows = []
+        for name in QUERIES:
+            q = REGISTRY[name]
+            t0 = time.perf_counter()
+            force(q.fn(spark, src))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            force(q.fn(spark, dst))
+            tn = time.perf_counter() - t0
+            rows.append((name, round(t1, 2), round(tn, 2), round(tn / t1, 2)))
+            print(f"# {name}: 1x={t1:.2f}s {n}x={tn:.2f}s ratio={tn/t1:.2f}", file=sys.stderr)
+
+    with open("SCALING.md", "w") as f:
+        f.write(
+            f"# SCALING — {n}x data replication experiment (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], sf0.1 base)\n\n"
+            "Wall-clock growth when the input is replicated "
+            f"{n}x with re-keyed ids (users/documents/vectors scale out, not up).\n"
+            f"A ratio near {n} (or below — fixed overheads amortize) means the plan "
+            "scales linearly in data volume on fixed cores: no super-linear shuffle, "
+            "no driver-side collection creeping in. Ratios well below N mean the 1x "
+            "run was overhead-dominated.\n\n"
+            f"| query | 1x sec | {n}x sec | ratio |\n|---|---|---|---|\n"
+        )
+        for name, t1, tn, r in rows:
+            f.write(f"| {name} | {t1} | {tn} | {r} |\n")
+
+
+if __name__ == "__main__":
+    main()
