@@ -316,3 +316,37 @@ def knn_join_matmul(
     return top_k_per_group(
         local, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
+
+
+def knn_auto(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    dim: int | None = None,
+    broadcast_rows_max: int = 2_000_000,
+    exact_pairs_max: int = 50_000_000,
+    **kw,
+) -> DataFrame:
+    """Strategy-selecting kNN: the operator-level analogue of Catalyst's
+    join selection.
+
+    - items small enough to broadcast AND pair count modest -> exact
+      expression form (knn_join): zero Python, oracle-exact.
+    - pair count large but queries collectable -> exact BLAS form
+      (knn_join_matmul): ~30x cheaper per pair.
+    - both sides huge -> banded LSH (knn_join_lsh): approximate,
+      shuffle-partitionable; requires ``dim``.
+
+    Counts come from .count() on the inputs (cheap: column-pruned scans);
+    pass precomputed sizes via kw['n_queries']/kw['n_items'] to skip.
+    """
+    nq = kw.pop("n_queries", None) or queries.count()
+    ni = kw.pop("n_items", None) or items.count()
+    pairs = nq * ni
+    if ni <= broadcast_rows_max and pairs <= exact_pairs_max // 10:
+        return knn_join(queries, items, k, **kw)
+    if pairs <= exact_pairs_max:
+        return knn_join_matmul(queries, items, k, **kw)
+    if dim is None:
+        raise ValueError("dim required for the LSH path (both sides large)")
+    return knn_join_lsh(queries, items, k, dim=dim, **kw)

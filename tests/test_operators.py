@@ -373,3 +373,25 @@ def test_minhash_impls_identical(spark):
     a = minhash_signatures(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = minhash_signatures_pandas(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_knn_auto_strategy_selection(spark):
+    from newsify_spark.operators.similarity import knn_auto
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    # small: expression path — exact
+    small = knn_auto(q, items, k=3).toPandas()
+    assert len(small) == 15
+    # force the matmul path with a tiny pair budget — still exact
+    mm = knn_auto(q, items, k=3, exact_pairs_max=2600).toPandas()
+    a = small.sort_values(["query_id", "item_id"]).reset_index(drop=True)
+    b = mm.sort_values(["query_id", "item_id"]).reset_index(drop=True)
+    assert (a.item_id == b.item_id).all()
+    # force the LSH path — approximate but runs
+    lsh = knn_auto(q, items, k=3, dim=64, exact_pairs_max=10).toPandas()
+    assert (lsh.groupby("query_id").size() <= 3).all()
