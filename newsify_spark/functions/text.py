@@ -93,3 +93,53 @@ def fingerprint(text: Column | str) -> Column:
     token set. Two documents with the same bag of distinct words collide —
     the cheap first-pass signature before shingle-level dedup."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+MOD = 1_000_000_007
+BASE = 31
+
+
+def kgram_hashes(text: Column | str, k: int = 8) -> Column:
+    """Polynomial (Rabin-Karp-style) hash of every character k-gram:
+    h(s) = fold(acc*31 + codepoint) mod 1e9+7. Expressed as transform
+    over start positions with an inner fold — O(n·k) rather than the
+    O(n) rolling update (no cross-element running state in SQL), same
+    values, still one codegen'd expression.
+    """
+    t = F.lower(_c(text))
+    n = F.length(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.aggregate(
+                F.transform(F.sequence(F.lit(0), F.lit(k - 1)), lambda j: F.ascii(t.substr(i + j, F.lit(1)))),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * BASE + x) % MOD,
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.aggregate(
+                F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda j: F.ascii(t.substr(j, F.lit(1)))),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * BASE + x) % MOD,
+            )
+        )
+    )
+
+
+def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
+    """MOSS-style winnowing: min hash of every w-window over the k-gram
+    hash sequence, deduplicated and sorted — the document's fingerprint
+    set. Guarantees any shared substring of length >= k+w-1 yields a
+    shared fingerprint (the winnowing theorem)."""
+    h = kgram_hashes(text, k)
+    mins = F.when(
+        F.size(h) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(h) - (w - 1)),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(h)))
+    return F.array_sort(F.array_distinct(mins))

@@ -411,3 +411,44 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("content_md5"),
         F.col("source").alias("modality_hint"),
     )
+
+
+def _kgram_sql(k: int = 8) -> str:
+    return (
+        f"(CASE WHEN len(lower(text)) >= {k} THEN "
+        f"list_transform(generate_series(1, len(lower(text)) - {k - 1}), "
+        f"i -> list_reduce(list_transform(generate_series(0, {k - 1}), "
+        f"j -> CAST(ascii(substring(lower(text), i + j, 1)) AS BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % 1000000007)) "
+        f"ELSE [list_reduce(list_transform(generate_series(1, greatest(len(lower(text)), 1)), "
+        f"j -> CAST(ascii(substring(lower(text), j, 1)) AS BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % 1000000007)] END)"
+    )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    doc="Rolling-hash document fingerprinting (Rabin-Karp k-gram hashes "
+    "+ MOSS winnowing): shared substrings >= k+w-1 chars guarantee a "
+    "shared fingerprint. functions.text.winnow_fingerprints; exploded "
+    "flat output for the oracle.",
+    tags=("text", "dedup", "rolling-hash"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, {_kgram_sql(8)} AS hs FROM documents WHERE doc_id < 80
+),
+wn AS (
+  SELECT doc_id,
+         (CASE WHEN len(hs) >= 4 THEN
+            list_transform(generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))
+          ELSE [list_min(hs)] END) AS mins
+  FROM h
+)
+SELECT DISTINCT doc_id, CAST(unnest(mins) AS BIGINT) AS fp FROM wn
+""",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    # vectorized Arrow form; expression form (functions.text.
+    # winnow_fingerprints) is equality-pinned in test_operators
+    return DD.winnow_fingerprints_pandas(docs, k=8, w=4).distinct()

@@ -395,3 +395,20 @@ def test_knn_auto_strategy_selection(spark):
     # force the LSH path — approximate but runs
     lsh = knn_auto(q, items, k=3, dim=64, exact_pairs_max=10).toPandas()
     assert (lsh.groupby("query_id").size() <= 3).all()
+
+
+def test_winnow_impls_identical(spark):
+    from newsify_spark.functions.text import winnow_fingerprints
+    from newsify_spark.operators.dedup import winnow_fingerprints_pandas
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 6)
+    expr = (
+        docs.select("doc_id", F.explode(winnow_fingerprints("text", 8, 4)).alias("fp"))
+        .distinct().toPandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    )
+    arrow = (
+        winnow_fingerprints_pandas(docs, k=8, w=4).distinct()
+        .toPandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
+    )
+    assert expr.astype("int64").equals(arrow.astype("int64"))
