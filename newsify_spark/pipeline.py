@@ -98,10 +98,31 @@ def stage_cluster(articles: DataFrame, emb_table: DataFrame) -> tuple[DataFrame,
     return enriched, stories
 
 
-def stage_summarize(stories: DataFrame, articles: DataFrame) -> DataFrame:
+def stage_summarize(
+    stories: DataFrame, articles: DataFrame, existing: DataFrame | None = None
+) -> DataFrame:
     """Gold stories: J1 membership join (explode articles array → join
-    article text), F2 concat, U3 summarize stub — the incremental-update
-    predicate (P7/T7) applies when re-run against existing summaries."""
+    article text), F2 concat, U3 summarize stub.
+
+    Incremental (P7/T7, summarization-service.py:44-49): when ``existing``
+    summaries are supplied, only stories with no summary or with
+    last_updated > last_summarized are re-summarized; fresh ones keep
+    their summary — change-data recompute without a table format.
+    """
+    if existing is not None:
+        ex = existing.select("story_id", "summary", "last_summarized")
+        joined = stories.join(ex, "story_id", "left")
+        stale = joined.filter(
+            F.col("last_summarized").isNull()
+            | (F.col("last_updated") > F.col("last_summarized"))
+        ).drop("summary", "last_summarized")
+        fresh = joined.filter(
+            F.col("last_summarized").isNotNull()
+            & (F.col("last_updated") <= F.col("last_summarized"))
+        )
+        resummed = stage_summarize(stale, articles, existing=None)
+        return resummed.unionByName(fresh.select(*resummed.columns))
+
     member = stories.select(
         "story_id", F.explode("articles").alias("article_id")
     ).join(articles.select("article_id", "text"), "article_id")

@@ -63,3 +63,34 @@ def test_pipeline_end_to_end(spark, tmp_path):
     st = stories.toPandas()
     assert st.summary.str.split(" ").str.len().le(10).all()
     assert (st.n_articles == st.articles.str.len()).all()
+
+
+def test_incremental_summarization(spark):
+    """T7/P7: a second summarization pass only touches stale stories
+    (summarization-service.py:44-49)."""
+    from newsify_spark.pipeline import stage_cluster, stage_ingest, stage_summarize
+    from newsify_spark.tables import load
+
+    articles = stage_ingest(spark, SF_DIR).cache()
+    _, stories = stage_cluster(articles, load(spark, SF_DIR, "embeddings"))
+    stories = stories.cache()
+
+    first = stage_summarize(stories, articles).cache()
+    n = first.count()
+
+    # mark half the stories as freshly summarized (future timestamp),
+    # half as stale (ancient timestamp), and stamp sentinel summaries
+    existing = first.select(
+        "story_id",
+        F.lit("SENTINEL").alias("summary"),
+        F.when(
+            F.col("story_id") % 2 == 0, F.lit("2999-01-01").cast("timestamp")
+        ).otherwise(F.lit("1970-01-01").cast("timestamp")).alias("last_summarized"),
+    )
+    second = stage_summarize(stories, articles, existing=existing).cache()
+    assert second.count() == n
+    out = second.select("story_id", "summary").toPandas()
+    fresh = out[out.story_id.astype("int64") % 2 == 0]
+    stale = out[out.story_id.astype("int64") % 2 == 1]
+    assert (fresh.summary == "SENTINEL").all()      # untouched
+    assert (stale.summary != "SENTINEL").all()      # re-summarized
