@@ -215,6 +215,77 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_bands: int = 16,
+    bits_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale form of :func:`embedding_near_dup`: random-hyperplane LSH
+    self-join generates candidates, exact cosine verifies — same output
+    schema (id_a, id_b, sim), approximate recall (rises with n_bands,
+    candidate count falls with bits_per_band).
+
+    The cross product shrinks from |n|^2 to the (band, signature) bucket
+    collision set; the bucket join is a plain equi join AQE can
+    skew-split. This is the 100 TB path for corpus-level near-dup.
+    """
+    from newsify_spark.operators.similarity import _hyperplanes, rhp_signature
+
+    if dim is None:
+        raise ValueError("dim (embedding dimensionality) required for the LSH path")
+    base = emb.select(F.col(id_col), F.col(vec_col))
+    sig = None
+    for b in range(n_bands):
+        planes = _hyperplanes(dim, bits_per_band, seed + 1000 * b)
+        one = base.withColumn("band", F.lit(b)).withColumn(
+            "sig", rhp_signature(F.col(vec_col), planes)
+        )
+        sig = one if sig is None else sig.unionByName(one)
+    a = sig.select("band", "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = sig.select("band", "sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def neardup_auto(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    allpairs_rows_max: int = 100_000,
+    n_rows: int | None = None,
+    **lsh_kw,
+) -> DataFrame:
+    """Strategy-selecting embedding near-dup (VERDICT round-1 item #3):
+    all-pairs exact below ``allpairs_rows_max`` rows, LSH candidates +
+    exact verify above — the operator-level join selection that keeps the
+    O(n^2) crossJoin from ever running at corpus scale.
+
+    Pass ``n_rows`` to skip the sizing ``.count()`` (cheap: column-pruned
+    scan). The LSH route requires ``dim``.
+    """
+    n = n_rows if n_rows is not None else emb.count()
+    if n <= allpairs_rows_max:
+        return embedding_near_dup(emb, id_col, vec_col, threshold)
+    return embedding_near_dup_lsh(
+        emb, id_col, vec_col, threshold, dim=dim, **lsh_kw
+    )
+
+
 def minhash_signatures_pandas(
     docs: DataFrame,
     id_col: str = "doc_id",

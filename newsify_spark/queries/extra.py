@@ -345,11 +345,11 @@ def rel_flag_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (SELECT max(date_trunc('microseconds', ts)) AS mx FROM events),
 base AS (
   SELECT user_id, list_sort(list(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))) AS items
-  FROM events, m WHERE date_trunc('microseconds', ts) < mx - INTERVAL 30 DAY GROUP BY user_id
+  FROM events, m WHERE date_trunc('microseconds', ts) < mx - INTERVAL 7 DAY GROUP BY user_id
 ),
 adds AS (
   SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-  FROM events, m WHERE date_trunc('microseconds', ts) >= mx - INTERVAL 30 DAY
+  FROM events, m WHERE date_trunc('microseconds', ts) >= mx - INTERVAL 7 DAY
 )
 SELECT b.user_id,
        array_to_string(list_sort(list_distinct(b.items || coalesce(list(a.item), []))), ',') AS items_csv
@@ -364,7 +364,7 @@ def rel_array_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     withmx = ev.crossJoin(
         F.broadcast(ev.agg(F.max("ts").alias("mx")))
     ).withColumn("item", F.get_json_object("props", "$.k").cast("bigint"))
-    cutoff = F.col("mx") - F.expr("INTERVAL 30 DAYS")
+    cutoff = F.col("mx") - F.expr("INTERVAL 7 DAYS")
     base = (
         withmx.filter(F.col("ts") < cutoff)
         .groupBy("user_id")

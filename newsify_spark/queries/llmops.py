@@ -287,6 +287,27 @@ def doc_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+@register(
+    "doc_neardup_auto",
+    doc="Strategy-selecting embedding near-dup (operators.dedup.neardup_auto): "
+    "all-pairs exact below the row threshold, RHP-LSH candidates + exact "
+    "cosine verify above — the 100 TB route never runs the O(n^2) crossJoin. "
+    "tests/test_operators.py pins LSH-route == all-pairs on the fixture.",
+    tags=("dedup", "F11", "auto"),
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+""",
+)
+def doc_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = DD.neardup_auto(emb, threshold=0.4, dim=64)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
 def _bands_union_sql() -> str:
     parts = []
     for b in range(N_HASHES // BAND):

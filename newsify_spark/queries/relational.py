@@ -257,14 +257,18 @@ def rel_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J7", "E2"),
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 """,
 )
 def rel_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customers with no finished order — non-empty on the fixture (an
+    # unfiltered anti join matches 0 customers there, which hash-matches
+    # trivially and proves nothing)
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    fin = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        fin, cust.c_custkey == fin.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -73,13 +73,18 @@ def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vec_cosine_pairs",
-    doc="F11 cosine similarity as a codegen'd higher-order expression "
-    "(reference sklearn cosine_similarity, duplication_service.py:81).",
-    tags=("F11",),
+    doc="F11 cosine + dot (reference sklearn cosine_similarity, "
+    "duplication_service.py:81) with F12 L2 norm and F13 L2 distance per "
+    "pair (FAISS IndexFlatL2 metric; normalize at "
+    "batch-cluster-service.py:215-218) — all codegen'd higher-order "
+    "expressions, one broadcast pair join.",
+    tags=("F11", "F12", "F13"),
     oracle=f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim,
-       round({dot_sql('a.embedding', 'b.embedding')}, 6)    AS dot_ab
+       round({dot_sql('a.embedding', 'b.embedding')}, 6)    AS dot_ab,
+       round({norm_sql('a.embedding')}, 6)                  AS l2_a,
+       round({l2_dist_sql('a.embedding', 'b.embedding')}, 6) AS l2_dist_ab
 FROM embeddings a, embeddings b
 WHERE a.vec_id < 12 AND b.vec_id < 12 AND a.vec_id < b.vec_id
 """,
@@ -98,6 +103,8 @@ def vec_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(cosine("va", "vb"), 6).alias("cos_sim"),
             F.round(dot("va", "vb"), 6).alias("dot_ab"),
+            F.round(l2_norm("va"), 6).alias("l2_a"),
+            F.round(l2_dist("va", "vb"), 6).alias("l2_dist_ab"),
         )
     )
 

@@ -412,3 +412,52 @@ def test_winnow_impls_identical(spark):
         .toPandas().sort_values(["doc_id", "fp"]).reset_index(drop=True)
     )
     assert expr.astype("int64").equals(arrow.astype("int64"))
+
+
+# ------------------------------------------------ neardup_auto route parity
+
+
+def test_neardup_auto_routes_and_lsh_parity(spark):
+    """VERDICT item #3: the LSH route must return the same near-dup pairs
+    as the all-pairs route on the fixture when forced (allpairs_rows_max=0)."""
+    from newsify_spark.operators.dedup import embedding_near_dup, neardup_auto
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    exact = (
+        embedding_near_dup(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    lsh = (
+        neardup_auto(
+            emb,
+            threshold=0.4,
+            dim=dim,
+            allpairs_rows_max=0,  # force the LSH route
+            n_bands=40,
+            bits_per_band=4,
+        )
+        .select("id_a", "id_b")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # LSH + exact-verify can only miss candidates, never invent pairs;
+    # with these band params on the fixture it must find all of them
+    assert len(exact) > 0
+    pd.testing.assert_frame_equal(exact, lsh)
+
+
+def test_neardup_auto_small_takes_allpairs(spark):
+    from newsify_spark.operators import dedup
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(50)
+    out = dedup.neardup_auto(emb, threshold=-1.0, allpairs_rows_max=1_000)
+    # all-pairs at threshold -1: C(50,2) rows — proves the exact route ran
+    assert out.count() == 50 * 49 // 2
