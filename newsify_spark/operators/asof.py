@@ -33,22 +33,26 @@ def asof_join(
     (left-join semantics, matching DuckDB's ASOF LEFT JOIN oracle).
     """
     # side marker orders equal timestamps: right rows first when
-    # inclusive (so a left row at t sees a right row at t), after when not
+    # inclusive (so a left row at t sees a right row at t), after when not.
+    # The payload travels as ONE struct so a single last(ignorenulls)
+    # attaches the whole latest right row — per-column fills would mix
+    # columns from different right rows whenever a payload value is NULL
+    # (ADVICE round-1; DuckDB ASOF attaches the row, NULLs included).
     lcols = left.columns
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0 if inclusive else 2).alias("__side"),
+        F.struct(*payload_cols).alias("__p"),
+    )
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
     )
-    r = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_time).alias("__t"),
-        F.lit(0 if inclusive else 2).alias("__side"),
-        F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
-        *payload_cols,
-    )
+    r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
     u = l.unionByName(r)
     w = (
         Window.partitionBy("__k")
@@ -58,9 +62,10 @@ def asof_join(
     filled = u.select(
         "__l",
         "__side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
     out = filled.filter(F.col("__side") == 1).select(
-        *[F.col("__l")[c].alias(c) for c in lcols], *payload_cols
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col("__p")[c].alias(c) for c in payload_cols],
     )
     return out

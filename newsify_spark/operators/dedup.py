@@ -234,18 +234,14 @@ def embedding_near_dup_lsh(
     collision set; the bucket join is a plain equi join AQE can
     skew-split. This is the 100 TB path for corpus-level near-dup.
     """
-    from newsify_spark.operators.similarity import _hyperplanes, rhp_signature
+    from newsify_spark.operators.similarity import rhp_signatures_pandas
 
     if dim is None:
         raise ValueError("dim (embedding dimensionality) required for the LSH path")
-    base = emb.select(F.col(id_col), F.col(vec_col))
-    sig = None
-    for b in range(n_bands):
-        planes = _hyperplanes(dim, bits_per_band, seed + 1000 * b)
-        one = base.withColumn("band", F.lit(b)).withColumn(
-            "sig", rhp_signature(F.col(vec_col), planes)
-        )
-        sig = one if sig is None else sig.unionByName(one)
+    sig = rhp_signatures_pandas(
+        emb.select(F.col(id_col), F.col(vec_col)),
+        id_col, vec_col, dim, n_bands, bits_per_band, seed,
+    )
     a = sig.select("band", "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = sig.select("band", "sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cands = (

@@ -461,3 +461,117 @@ def test_neardup_auto_small_takes_allpairs(spark):
     out = dedup.neardup_auto(emb, threshold=-1.0, allpairs_rows_max=1_000)
     # all-pairs at threshold -1: C(50,2) rows — proves the exact route ran
     assert out.count() == 50 * 49 // 2
+
+
+# --------------------------------------------- matmul cap / salted / asof
+
+
+def test_knn_matmul_query_cap_raises(spark):
+    from newsify_spark.operators.similarity import knn_join_matmul
+    from newsify_spark.tables import load
+
+    import pytest as _pytest
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    with _pytest.raises(ValueError, match="max_queries"):
+        knn_join_matmul(q, items, k=3, max_queries=10).count()
+
+
+def test_knn_auto_reroutes_oversized_query_side(spark):
+    """knn_auto must never hand an over-cap query side to the matmul
+    collect — it takes the LSH path instead."""
+    from newsify_spark.operators import similarity
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    dim = len(emb.select("embedding").first()[0])
+    out = similarity.knn_auto(
+        q, items, k=3, dim=dim,
+        broadcast_rows_max=0,   # forbid the broadcast-expression path
+        max_queries=10,         # query side (500) exceeds the closure cap
+    )
+    # LSH path ran and produced ranked rows without raising
+    assert out.count() > 0
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest as _pytest
+
+    from newsify_spark.operators.similarity import salted_join
+    from newsify_spark.tables import load
+
+    nat = load(spark, SF_DIR, "nation")
+    cust = load(spark, SF_DIR, "customer").withColumnRenamed("c_nationkey", "n_nationkey")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(cust, nat, "n_nationkey", how="full_outer")
+    inner = salted_join(cust, nat, "n_nationkey", how="inner")
+    plain = cust.join(nat, "n_nationkey")
+    assert inner.count() == plain.count()
+
+
+def test_asof_join_null_payload_attaches_whole_row(spark):
+    """ADVICE round-1: a right row carrying NULL in one payload column
+    must attach AS A ROW (NULL included) — not mix columns from an
+    earlier right row."""
+    from newsify_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 30)], "k string, t int"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 1.0, "old"), ("k", 20, None, "new")],
+        "k string, t int, price double, tag string",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    payload_cols=["price", "tag"]).toPandas().set_index("t")
+    # t=10 sees the t=5 row whole
+    assert out.loc[10, "tag"] == "old" and out.loc[10, "price"] == 1.0
+    # t=30 sees the t=20 row WHOLE: tag=new AND price=NULL (not 1.0)
+    assert out.loc[30, "tag"] == "new"
+    assert pd.isna(out.loc[30, "price"])
+
+
+def test_rhp_signatures_pandas_matches_expression(spark):
+    """The Arrow signature pass must be bit-identical to the expression
+    form over the same hyperplanes."""
+    from newsify_spark.operators.similarity import (
+        _hyperplanes,
+        rhp_signature,
+        rhp_signatures_pandas,
+    )
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 100)
+    dim = len(emb.select("embedding").first()[0])
+    n_bands, bits, seed = 3, 7, 11
+
+    arrow = (
+        rhp_signatures_pandas(
+            emb.select("vec_id", "embedding"), "vec_id", "embedding",
+            dim, n_bands, bits, seed,
+        )
+        .select("vec_id", "band", "sig")
+        .toPandas()
+        .sort_values(["vec_id", "band"])
+        .reset_index(drop=True)
+    )
+    parts = []
+    for b in range(n_bands):
+        planes = _hyperplanes(dim, bits, seed + 1000 * b)
+        parts.append(
+            emb.select(
+                "vec_id",
+                F.lit(b).alias("band"),
+                rhp_signature(F.col("embedding"), planes).alias("sig"),
+            ).toPandas()
+        )
+    expr = (
+        pd.concat(parts).sort_values(["vec_id", "band"]).reset_index(drop=True)
+    )
+    assert (arrow.vec_id == expr.vec_id).all()
+    assert (arrow.band == expr.band).all()
+    assert (arrow.sig == expr.sig).all()
