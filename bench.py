@@ -45,6 +45,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # regression gate vs the checked-in baseline (BENCH_r01 adopted per
+    # VERDICT round-1 item #8): flag any query >1.5x its baseline time
+    regressions: dict[str, str] = {}
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        for name, t in timings.items():
+            b = base.get("queries", {}).get(name)
+            if b and t > 1.5 * b:
+                regressions[name] = f"{t:.3f}s vs baseline {b:.3f}s"
+        if regressions:
+            print(f"# REGRESSIONS (>1.5x baseline): {regressions}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -53,6 +68,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "baseline_total": base.get("value") if os.path.exists(base_path) else None,
+                "regressions": regressions,
             }
         )
     )

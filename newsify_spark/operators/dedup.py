@@ -172,26 +172,40 @@ def minhash_dedup(
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over distinct tokens: per bit position, majority
-    vote of token-hash bits. Token hash = first 16 hex chars of md5
-    (= 64 uniform bits), bit j extracted with shiftright/AND — all
-    JVM-side expressions, one explode + one groupBy."""
+    """Full 64-bit SimHash over distinct tokens: per bit position,
+    majority vote of token-hash bits. Token hash = first 16 hex chars of
+    md5 (= 64 uniform bits), carried as two 32-bit halves — bits 32-63
+    in ``simhash_hi``, 0-31 in ``simhash_lo`` — so neither engine ever
+    signed-overflows a BIGINT (the round-1 form packed one BIGINT and
+    could only use 60 bits). Hamming distance between docs is
+    popcount(hi XOR hi') + popcount(lo XOR lo'). All JVM-side
+    expressions, one explode + one groupBy."""
     toks = docs.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    toks = toks.withColumn("th", h)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(60)
-    ]
+    d = F.md5(F.col("tok"))
+    toks = toks.withColumn(
+        "th_hi", F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    ).withColumn("th_lo", F.conv(F.substring(d, 9, 8), 16, 10).cast("long"))
+    votes = []
+    for j in range(32):
+        votes.append(
+            F.sum(
+                F.when(F.shiftright(F.col("th_hi"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"hi{j}")
+        )
+        votes.append(
+            F.sum(
+                F.when(F.shiftright(F.col("th_lo"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"lo{j}")
+        )
     per_doc = toks.groupBy(id_col).agg(*votes)
-    sim = F.lit(0).cast("long")
-    for j in range(60):
-        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+    hi = F.lit(0).cast("long")
+    lo = F.lit(0).cast("long")
+    for j in range(32):
+        hi = hi + F.when(F.col(f"hi{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        lo = lo + F.when(F.col(f"lo{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select(F.col(id_col), hi.alias("simhash_hi"), lo.alias("simhash_lo"))
 
 
 def embedding_near_dup(

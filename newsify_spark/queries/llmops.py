@@ -241,24 +241,31 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_simhash",
-    doc="64-bit (60 used) SimHash fingerprint: per-bit majority vote over "
-    "md5 token hashes — one explode + one groupBy, fully portable.",
+    doc="Full 64-bit SimHash fingerprint as two 32-bit halves (hi=bits "
+    "32-63, lo=bits 0-31; no signed-BIGINT overflow on either engine): "
+    "per-bit majority vote over md5 token hashes — one explode + one "
+    "groupBy, fully portable.",
     tags=("dedup", "simhash"),
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({tokens_sql()})) AS tok FROM documents
 ),
 th AS (
-  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h_hi,
+         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS h_lo
+  FROM toks
 ),
 bits AS (
   SELECT doc_id, j,
-         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM th, (SELECT unnest(generate_series(0, 59)) AS j)
+         sum(CASE WHEN (h_hi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v_hi,
+         sum(CASE WHEN (h_lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v_lo
+  FROM th, (SELECT unnest(generate_series(0, 31)) AS j)
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+       CAST(sum(CASE WHEN v_hi > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash_hi,
+       CAST(sum(CASE WHEN v_lo > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash_lo
 FROM bits GROUP BY doc_id
 """,
 )

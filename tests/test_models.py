@@ -1,0 +1,100 @@
+"""Pluggable model-slot tests (VERDICT round-1 item #4): stub defaults
+match the pinned infer.py stubs; a fake "real" model swaps in via the
+registry and sees the configured batch geometry; small states ship via
+broadcast."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_stub_slots_match_infer_udfs(spark):
+    from newsify_spark.ml import infer, models
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(50).select("doc_id", "text")
+    got = docs.select(
+        "doc_id",
+        models.model_udf(spark, "embed")("text").alias("e"),
+        models.model_udf(spark, "ner")("text").alias("ents"),
+        models.model_udf(spark, "summarize")("text").alias("summ"),
+        models.model_udf(spark, "sentiment")("text").alias("sent"),
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = docs.select(
+        "doc_id",
+        infer.embed_text_udf()("text").alias("e"),
+        infer.ner_entities_udf("text").alias("ents"),
+        infer.summarize_udf("text").alias("summ"),
+        infer.sentiment_udf("text").alias("sent"),
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.e.map(list).equals(want.e.map(list))
+    assert got.ents.map(list).equals(want.ents.map(list))
+    assert got.summ.equals(want.summ)
+    assert (abs(got.sent - want.sent) < 1e-12).all()
+
+
+def test_fake_real_model_swap_and_batching(spark):
+    """A 'real' model impl registered at runtime must be picked up by
+    name AND via spark conf; each predict call must see <= batch_size
+    rows (the GPU-geometry contract predict_batch_udf exists for)."""
+    from newsify_spark.ml import models
+
+    def make_fn(state):
+        # emit the observed batch length per row — lets the driver-side
+        # assert reconstruct executor batch geometry
+        return lambda s: pd.Series([float(len(s))] * len(s), index=s.index)
+
+    models.register_impl(
+        "sentiment", "fake_gpu",
+        models.ModelImpl(make_fn, "double", batch_size=32),
+    )
+    df = spark.range(500).select(F.col("id").cast("string").alias("text")).coalesce(2)
+
+    out = df.select(
+        models.model_udf(spark, "sentiment", impl="fake_gpu")("text").alias("bs")
+    ).toPandas()
+    assert len(out) == 500
+    assert (out.bs <= 32).all()
+    assert (out.bs > 0).all()
+    # most rows travel in full 32-row batches (tails may be smaller)
+    assert (out.bs == 32).sum() >= 400
+
+    # conf-driven selection, no code change at the call site
+    spark.conf.set("newsify.model.sentiment", "fake_gpu")
+    try:
+        out2 = df.select(
+            models.model_udf(spark, "sentiment")("text").alias("bs")
+        ).toPandas()
+        assert (out2.bs <= 32).all()
+    finally:
+        spark.conf.unset("newsify.model.sentiment")
+
+
+def test_broadcast_state_reaches_executors(spark):
+    from newsify_spark.ml import models
+
+    def make_fn(state):
+        tag = state["tag"]
+        return lambda s: s.map(lambda t: f"{tag}:{t}")
+
+    models.register_impl(
+        "summarize", "tagged",
+        models.ModelImpl(make_fn, "string", state={"tag": "bcast"}, broadcast=True),
+    )
+    df = spark.createDataFrame([("x",), ("y",)], "text string")
+    out = df.select(
+        models.model_udf(spark, "summarize", impl="tagged")("text").alias("o")
+    ).toPandas()
+    assert sorted(out.o) == ["bcast:x", "bcast:y"]
+
+
+def test_unknown_impl_raises(spark):
+    import pytest as _pytest
+
+    from newsify_spark.ml import models
+
+    with _pytest.raises(KeyError, match="no model impl"):
+        models.model_udf(spark, "embed", impl="nope")

@@ -575,3 +575,68 @@ def test_rhp_signatures_pandas_matches_expression(spark):
     assert (arrow.vec_id == expr.vec_id).all()
     assert (arrow.band == expr.band).all()
     assert (arrow.sig == expr.sig).all()
+
+
+# ------------------------------------------- partitioned upsert / umap path
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """VERDICT round-1 item #6: dynamic partition overwrite must leave
+    untouched partitions' files byte-identical (same names, same mtimes)
+    and rewrite only the partitions present in the update."""
+    import os
+
+    from newsify_spark.operators.merge import upsert_partitioned
+
+    path = str(tmp_path / "recs")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "k int, day string, v string",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    def listing(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = {d: listing(d) for d in ("d1", "d2", "d3")}
+    new = spark.createDataFrame(
+        [(3, "d2", "C2"), (9, "d2", "new")], "k int, day string, v string"
+    )
+    upsert_partitioned(spark, path, new, keys=["k"], partition_col="day")
+    after = {d: listing(d) for d in ("d1", "d2", "d3")}
+
+    assert after["d1"] == before["d1"], "untouched partition d1 was rewritten"
+    assert after["d3"] == before["d3"], "untouched partition d3 was rewritten"
+    assert after["d2"] != before["d2"], "touched partition d2 not rewritten"
+
+    got = spark.read.parquet(path).toPandas().sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == [1, 2, 3, 4, 9]
+    assert got.set_index("k").v.to_dict() == {1: "a", 2: "b", 3: "C2", 4: "d", 9: "new"}
+
+
+def test_umap_hdbscan_flag_path(spark):
+    """The fidelity path must exist and either run (libs present) or
+    raise the documented ImportError (libs absent) — both directions."""
+    import importlib.util
+
+    from newsify_spark.operators.cluster import umap_hdbscan_refine
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(60)
+    have = all(
+        importlib.util.find_spec(m) is not None for m in ("umap", "hdbscan")
+    )
+    if have:
+        out = umap_hdbscan_refine(emb).toPandas()
+        assert len(out) == 60
+        assert set(out.columns) == {"vec_id", "cluster"}
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="kmeans_refine"):
+            umap_hdbscan_refine(emb)
