@@ -95,6 +95,67 @@ def image_features(mm: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return mm.mapInPandas(extract, schema=MM_SCHEMA)
 
 
+def resize_images(mm: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Image resize stub: decode -> nearest-neighbor downsample to
+    (height, width) -> re-emit as a flat float array. The index math is
+    real nearest-neighbor resampling; production swaps the decode +
+    interpolation for PIL/cv2 inside the same Arrow batch loop.
+    Output: (doc_id, width, height, pixels array<float> len w*h)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pixels = []
+            for buf in pdf["payload"]:
+                px = decode_image_stub(bytes(buf))
+                h, w = px.shape
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                pixels.append(px[np.ix_(ys, xs)].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pixels,
+                }
+            )
+
+    return mm.mapInPandas(
+        run, schema="doc_id bigint, width int, height int, pixels array<float>"
+    )
+
+
+def audio_features(
+    mm: DataFrame, frame_len: int = 256, hop: int = 128
+) -> DataFrame:
+    """Audio feature-extraction stub: payload bytes as signed 8-bit PCM,
+    framed (frame_len, hop) -> per-frame RMS energy + zero-crossing
+    rate. One row per frame (the one-to-many shape real spectrogram /
+    wav2vec front-ends produce); librosa/torchaudio swap into the same
+    loop. Output: (doc_id, frame_no, rms double, zcr double)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_no": [], "rms": [], "zcr": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                sig = np.frombuffer(bytes(buf), dtype=np.int8).astype(np.float64)
+                for n, start in enumerate(range(0, max(len(sig) - frame_len + 1, 1), hop)):
+                    fr = sig[start : start + frame_len]
+                    if len(fr) == 0:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(n)
+                    rows["rms"].append(float(np.sqrt(np.mean(fr * fr))))
+                    rows["zcr"].append(
+                        float(np.mean(np.abs(np.diff(np.signbit(fr).astype(np.int8)))))
+                    )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        run, schema="doc_id bigint, frame_no int, rms double, zcr double"
+    )
+
+
 def frame_sample(mm: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Video-style frame sampling stub: slice the payload every N bytes
     and emit one row per 'frame' (explode pattern). Exercises the

@@ -640,3 +640,32 @@ def test_umap_hdbscan_flag_path(spark):
 
         with _pytest.raises(ImportError, match="kmeans_refine"):
             umap_hdbscan_refine(emb)
+
+
+def test_multimodal_resize_and_audio(spark):
+    from newsify_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_features,
+        resize_images,
+    )
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").limit(30)
+    mm = attach_binary_payload(docs)
+
+    rz = resize_images(mm, width=8, height=8).toPandas()
+    assert len(rz) == 30
+    assert (rz.pixels.map(len) == 64).all()
+    assert (rz.width == 8).all() and (rz.height == 8).all()
+    # deterministic: same payload -> same pixels
+    rz2 = resize_images(mm, width=8, height=8).toPandas()
+    a = rz.sort_values("doc_id").reset_index(drop=True)
+    b = rz2.sort_values("doc_id").reset_index(drop=True)
+    assert a.pixels.map(list).equals(b.pixels.map(list))
+
+    au = audio_features(mm, frame_len=64, hop=32).toPandas()
+    assert au.doc_id.nunique() == 30
+    assert (au.rms >= 0).all()
+    assert ((au.zcr >= 0) & (au.zcr <= 1)).all()
+    # frames per doc ~ (len - frame)/hop + 1, always >= 1
+    assert (au.groupby("doc_id").frame_no.max() >= 0).all()
