@@ -115,3 +115,34 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan[:800]
+
+
+def test_neardup_lsh_route_has_no_cross_product(spark):
+    """The scale route of neardup_auto must be equi-join shaped — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    from newsify_spark.operators.dedup import neardup_auto
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    lsh = neardup_auto(
+        emb, threshold=0.4, dim=64, allpairs_rows_max=0, n_bands=4, bits_per_band=4
+    )
+    plan = _plan(lsh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the exact route below the threshold IS the cross product form
+    exact = neardup_auto(emb, threshold=0.4, allpairs_rows_max=10_000)
+    eplan = _plan(exact)
+    assert "CartesianProduct" in eplan or "BroadcastNestedLoopJoin" in eplan
+
+
+def test_knn_lsh_plan_is_equi_join(spark):
+    from newsify_spark.operators.similarity import knn_join_lsh
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    plan = _plan(knn_join_lsh(q, items, k=5, dim=64, n_bands=4, bits_per_band=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
