@@ -47,14 +47,22 @@ COLD_MIN_RATING = 0.5
 def interactions(events: DataFrame) -> DataFrame:
     """(user_id, item, rating): weighted event scores summed per user-item
     (A11 + A8). item = props.k, the fixture's story key."""
+    return _interactions_with_ts(events).filter(F.col("rating") > 0).drop("last_ts")
+
+
+def _interactions_with_ts(events: DataFrame) -> DataFrame:
+    """(user_id, item, rating, last_ts): ONE events pass computes both the
+    weighted rating sum and the latest event time per (user, item), so the
+    flagship query's freshness signal never re-scans/re-parses events —
+    at 100 TB the events scan is the dominant cost and this halves it.
+    Rows with rating <= 0 are KEPT (freshness counts all events)."""
     # from_json with an explicit one-field schema is ~3x cheaper than
     # get_json_object on this hot path (one JSON parse per event)
     return (
         events.withColumn("item", F.from_json("props", "k bigint")["k"])
         .withColumn("w", event_score("event_type", EVENT_WEIGHTS))
         .groupBy("user_id", "item")
-        .agg(F.sum("w").alias("rating"))
-        .filter(F.col("rating") > 0)
+        .agg(F.sum("w").alias("rating"), F.max("ts").alias("last_ts"))
     )
 
 
@@ -93,11 +101,12 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     events = load(spark, sf_dir, "events")
     emb = load(spark, sf_dir, "embeddings")
 
-    # one events pass feeds ratings, freshness and the user roster; the
+    # ONE events pass feeds ratings, freshness and the user roster; the
     # post-groupBy interaction table is |users|x|items| — small relative
-    # to raw events at any scale — so cache it for its three consumers
-    # (profiles, popularity, cold-start totals).
-    inter = interactions(events).cache()
+    # to raw events at any scale — so cache it for its four consumers
+    # (profiles, popularity, freshness, cold-start totals).
+    inter_all = _interactions_with_ts(events).cache()
+    inter = inter_all.filter(F.col("rating") > 0).drop("last_ts")
     # the item->label map is one row per item: always broadcastable
     item_lab = F.broadcast(emb.select(F.col("vec_id").alias("item"), "label"))
 
@@ -129,13 +138,13 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     )
 
     # label freshness: exponential decay on hours since the label's
-    # latest event (F7/F8; recommendation-trainer.py:77-80)
-    ev_lab = (
-        events.select(F.from_json("props", "k bigint")["k"].alias("item"), "ts")
-        .join(item_lab, "item")
-        .select("label", "ts")
+    # latest event (F7/F8; recommendation-trainer.py:77-80) — derived
+    # from the cached one-pass aggregate, not a second events scan
+    lab_ts = (
+        inter_all.join(item_lab, "item")
+        .groupBy("label")
+        .agg(F.max("last_ts").alias("label_ts"))
     )
-    lab_ts = ev_lab.groupBy("label").agg(F.max("ts").alias("label_ts"))
     glob = lab_ts.agg(F.max("label_ts").alias("mx"))
     fresh = lab_ts.crossJoin(F.broadcast(glob)).select(
         "label",
@@ -169,7 +178,7 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     # cold-start fallback: users with too little positive signal get the
     # global popularity top-k (recommendation-trainer.py:253-256)
     totals = inter.groupBy("user_id").agg(F.sum("rating").alias("tot"))
-    all_users = events.select("user_id").distinct()
+    all_users = inter_all.select("user_id").distinct()
     cold = all_users.join(
         totals.filter(F.col("tot") >= COLD_MIN_RATING), "user_id", "left_anti"
     )
