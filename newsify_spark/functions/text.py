@@ -35,6 +35,40 @@ def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java-regex /
+# RE2 common subset (no lookahead, lower-cased input): contraction
+# suffixes, space-prefixed letter runs, short digit runs (cl100k-style
+# <=3-digit groups), punctuation runs.
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s]+"
+
+
+def bpe_pieces(text: Column | str) -> Column:
+    """BPE-ish pre-tokenizer pieces as array<string> — one JVM
+    regexp_extract_all, no UDF. The pattern is portable to DuckDB's RE2
+    so the whole pipeline stays oracle-checkable."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(BPE_PIECE_RE), F.lit(0))
+
+
+def bpe_piece_count(text: Column | str) -> Column:
+    return F.size(bpe_pieces(text))
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """Subword token-count estimate: each piece contributes
+    ceil(len(piece sans leading space)/4) tokens, min 1 — the ~4
+    chars/token BPE heuristic applied per piece, as one aggregate
+    expression."""
+    return F.aggregate(
+        bpe_pieces(text),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.length(F.ltrim(p)) / F.lit(4.0)).cast("long"),
+        ),
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (dedup/minhash input).
 

@@ -24,6 +24,9 @@ from newsify_spark.tables import load
 N_HASHES = 16
 BAND = 4
 
+# BPE pre-tokenizer regex with SQL-literal quote escaping for oracles
+_BPE_RE_SQL = TX.BPE_PIECE_RE.replace("'", "''")
+
 
 @register(
     "doc_exact_dedup",
@@ -50,7 +53,8 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_token_stats",
     doc="Token counting: whitespace tokens, distinct tokens, average token "
-    "length — all as higher-order array expressions (no UDF).",
+    "length, plus a BPE-ish subword count (GPT-2-style pre-tokenizer regex "
+    "+ ~4-chars/token estimate) — all JVM expressions, no UDF.",
     tags=("text",),
     oracle=f"""
 SELECT doc_id,
@@ -59,7 +63,13 @@ SELECT doc_id,
        round(CASE WHEN len({tokens_sql()}) > 0 THEN
              CAST(list_reduce(list_transform({tokens_sql()}, tk -> len(tk)),
                               (a, b) -> a + b) AS DOUBLE) / len({tokens_sql()})
-             ELSE 0.0 END, 6)                              AS avg_token_len
+             ELSE 0.0 END, 6)                              AS avg_token_len,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) AS BIGINT)
+                                                           AS n_bpe_pieces,
+       CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(lower(text), '{_BPE_RE_SQL}'),
+             p -> greatest(1, CAST(ceil(len(ltrim(p)) / 4.0) AS BIGINT)))), 0)
+            AS BIGINT)                                     AS n_bpe_est
 FROM documents
 """,
 )
@@ -70,6 +80,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").cast("long").alias("n_tokens"),
         TX.distinct_token_count("text").cast("long").alias("n_distinct"),
         F.round(TX.avg_token_len("text"), 6).alias("avg_token_len"),
+        TX.bpe_piece_count("text").cast("long").alias("n_bpe_pieces"),
+        TX.bpe_token_estimate("text").alias("n_bpe_est"),
     )
 
 
