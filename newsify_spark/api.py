@@ -14,6 +14,7 @@ through the merge operators.
 | GET /stories (api_gateway_service.py:299 fallback list) | latest_stories |
 | GET /stories/{id} (api_gateway_service.py:322) | get_story |
 | POST /track-event (user_behaviour_service.py:57-86) | track_events |
+| GET /drift_score (api_gateway_service.py:337-343) | drift_score |
 | GET /bias-reports (bias_detection_service.py:242-248) | latest_bias_reports |
 """
 
@@ -110,6 +111,17 @@ class NewsifyAPI:
         merged.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(path)
+
+    def drift_score(self, events: DataFrame | None = None) -> float:
+        """GET /drift_score (api_gateway_service.py:337-343): |mean(recent
+        7d) − mean(all)| / mean(all) over event values. Defaults to the
+        tracked events_log; pass an events frame to score another store.
+        One aggregation job, one scalar back — nothing else collected."""
+        from newsify_spark.queries.relational import drift_from_events
+
+        ev = events if events is not None else self._gold("events_log")
+        row = drift_from_events(ev).collect()[0]
+        return float(row["drift_score"] or 0.0)
 
     def latest_bias_reports(self, n: int = 10) -> list[dict]:
         """O4: ORDER BY user DESC LIMIT n over bias reports

@@ -319,6 +319,26 @@ def minhash_signatures_pandas(
     half = (num_hashes + 1) // 2
 
     def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Natural-language corpora repeat shingles heavily (~90% repeats
+        # on the fixtures), so memoize shingle -> hash tuple per task:
+        # cuts md5 calls ~10x. Bounded so adversarial corpora can't grow
+        # it without limit; values are bit-identical either way.
+        memo: dict[str, list[str]] = {}
+
+        def hashes_for(sh: str) -> list[str]:
+            hs = memo.get(sh)
+            if hs is None:
+                if len(memo) >= 2_000_000:
+                    memo.clear()
+                hs = []
+                for seed in range(half):
+                    d = hashlib.md5(f"{seed}|{sh}".encode()).hexdigest()
+                    hs.append(d[:16])
+                    hs.append(d[16:32])
+                del hs[num_hashes:]
+                memo[sh] = hs
+            return hs
+
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
@@ -330,16 +350,13 @@ def minhash_signatures_pandas(
                     }
                 else:
                     shingles = {" ".join(toks)}
-                mins = [None] * num_hashes
-                for sh in shingles:
-                    for seed in range(half):
-                        d = hashlib.md5(f"{seed}|{sh}".encode()).hexdigest()
-                        a, b = d[:16], d[16:32]
-                        i = 2 * seed
-                        if mins[i] is None or a < mins[i]:
-                            mins[i] = a
-                        if i + 1 < num_hashes and (mins[i + 1] is None or b < mins[i + 1]):
-                            mins[i + 1] = b
+                sh_iter = iter(shingles)
+                mins = list(hashes_for(next(sh_iter)))
+                for sh in sh_iter:
+                    hs = hashes_for(sh)
+                    for i in range(num_hashes):
+                        if hs[i] < mins[i]:
+                            mins[i] = hs[i]
                 rows.append([doc_id, *mins])
             yield pd.DataFrame(rows, columns=[id_col, *[f"h{i}" for i in range(num_hashes)]])
 

@@ -58,6 +58,29 @@ def knn_join(
         .withColumn("score", sim)
         .select(query_id, item_id, "score")
     )
+    if k == 1:
+        # argmax via one aggregation instead of a window: the per-pair
+        # rows collapse map-side (partial agg) right after the broadcast
+        # join, so only |queries| partials shuffle — not |queries|x|items|
+        # pairs. Same tiebreak (best score, then item_id asc) encoded as
+        # lexicographic min of (signed score, item_id); works for any
+        # orderable id type. (Caveat: NaN scores sort last here but first
+        # under the window's DESC order — unreachable for finite vectors.)
+        skey = F.col("score") if asc else -F.col("score")
+        best = scored.groupBy(query_id).agg(
+            F.min(
+                F.struct(
+                    skey.alias("_k"),
+                    F.col(item_id).alias("_id"),
+                    F.col("score").alias("_s"),
+                )
+            ).alias("_b")
+        )
+        return best.select(
+            query_id,
+            F.col("_b._id").alias(item_id),
+            F.col("_b._s").alias("score"),
+        )
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(item_id).asc()]
     return top_k_per_group(scored, [query_id], order, k)
 

@@ -155,8 +155,11 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
         ).alias("fresh"),
     )
 
+    # pop and fresh are both per-label aggregates (|labels| rows, bounded
+    # by the label vocabulary at any scale) — without the hint Spark
+    # can't size the post-agg sides and falls back to sort-merge
     label_side = F.broadcast(
-        pop.join(fresh, "label").select("label", "pnorm", "fresh")
+        pop.join(F.broadcast(fresh), "label").select("label", "pnorm", "fresh")
     )
     scored = content.join(label_side, "label").select(
         "user_id",
@@ -183,7 +186,7 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
         totals.filter(F.col("tot") >= COLD_MIN_RATING), "user_id", "left_anti"
     )
     pop_top = top_k_per_group(
-        pop.join(fresh, "label").select(
+        pop.join(F.broadcast(fresh), "label").select(
             "label", (F.col("pnorm") * F.col("fresh")).alias("score")
         ),
         [],

@@ -59,6 +59,7 @@ DEMOTED: frozenset[str] = frozenset(
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
         "mm_image_features",  # multimodal via mm_binary_meta; U1 via doc_embed_stub
+        "rel_customer_distribution",  # TPC-H Q13 extra; J8/A1 via canonical rows
         "rel_distinct_users",  # A8 via rel_dedup_events
         "rel_diversity_ratio",  # A5 via rec_bias_report
         "rel_forecast_revenue_change",  # P4/A1 via rel_pricing_summary
@@ -75,8 +76,10 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_range_join",  # J-extra (beyond reference surface)
         "rel_recent_window_agg",  # P4 via rel_pricing_summary + rel_drift_score
         "rel_rollup_counts",  # A-extra
+        "rel_returned_items",  # TPC-H Q10 extra; J2/A1/O1 via canonical rows
         "rel_scd2_segments",  # S9 via rel_upsert_profiles
         "rel_semi_join_orders",  # J3 via rec_hybrid_topk (driver-green r01)
+        "rel_shipping_priority",  # TPC-H Q3 extra; J2/A1/O1 via canonical rows
         "rel_sessionize",  # W-extra/T6 via stream_window_counts
         "rel_set_ops",  # E-extra; E1-E4 all have dedicated canonical rows
         "rel_shipmode_buckets",  # A11/F18 via rel_interaction_scores

@@ -104,3 +104,30 @@ def test_latest_bias_reports(spark, gold):
     reports = api.latest_bias_reports(5)
     assert len(reports) == 5
     assert all("bias_flag" in r and "explanation" in r for r in reports)
+
+
+def test_drift_score_route(spark, gold):
+    """GET /drift_score parity: recent-7d mean vs all-time mean of event
+    values, hand-computed on a 4-event log (api_gateway_service.py:272-283)."""
+    from newsify_spark.api import NewsifyAPI
+
+    api = NewsifyAPI(spark, gold)
+    base = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    api.track_events(
+        [
+            {"event_id": 10, "ts": base - datetime.timedelta(days=30), "user_id": 1,
+             "event_type": "click", "value": 1.0},
+            {"event_id": 11, "ts": base - datetime.timedelta(days=20), "user_id": 1,
+             "event_type": "click", "value": 1.0},
+            {"event_id": 12, "ts": base - datetime.timedelta(days=1), "user_id": 1,
+             "event_type": "like", "value": 4.0},
+            {"event_id": 13, "ts": base, "user_id": 1,
+             "event_type": "like", "value": 2.0},
+        ]
+    )
+    ev = spark.read.parquet(f"{gold}/events_log").filter("event_id >= 10")
+    # recent(7d of max ts) mean = (4+2)/2 = 3; overall = 8/4 = 2; drift = 0.5
+    assert api.drift_score(ev) == pytest.approx(0.5, abs=1e-6)
+
+    empty = ev.filter("event_id < 0")
+    assert api.drift_score(empty) == 0.0
