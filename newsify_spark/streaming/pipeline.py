@@ -292,3 +292,37 @@ def streaming_event_counts(
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+def stream_stream_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T-extra: watermarked stream-stream interval join — each click
+    attaches to the same user's views from the preceding ``max_lag``
+    (attribution: which impression led to this click). Works unchanged on
+    batch OR streaming frames (tested for parity); on streams BOTH sides
+    carry watermarks so Spark can bound the join state and evict rows
+    older than the interval — the state-safe shape for an unbounded run.
+
+    Inputs: views(user_id, view_ts, view_id), clicks(user_id, click_ts,
+    click_id). Output: one row per (view, click) pair within the window.
+    """
+    v = views.withWatermark("view_ts", watermark) if views.isStreaming else views
+    c = clicks.withWatermark("click_ts", watermark) if clicks.isStreaming else clicks
+    return v.alias("v").join(
+        c.alias("c"),
+        F.expr(
+            f"""v.user_id = c.user_id
+            AND c.click_ts >= v.view_ts
+            AND c.click_ts <= v.view_ts + INTERVAL {max_lag}"""
+        ),
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )

@@ -280,3 +280,48 @@ def test_article_stream_config_switch(spark, tmp_path):
         assert st.isStreaming and st.columns == ["article_id", "embedding"]
     finally:
         spark.conf.unset(SOURCE_CONF)
+
+
+def test_stream_stream_interval_join_parity(spark, tmp_path):
+    """Stream-stream interval join returns the same pairs as the batch
+    join over the same data (watermark generous enough to emit all)."""
+    from newsify_spark.streaming.pipeline import stream_stream_interval_join
+
+    import datetime
+
+    base = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    views = [(1, ts(0), 100), (1, ts(90), 101), (2, ts(10), 102), (3, ts(5), 103)]
+    clicks = [(1, ts(30), 900), (1, ts(95), 901), (2, ts(80), 902), (3, ts(4), 903)]
+    vdf = spark.createDataFrame(views, "user_id bigint, view_ts timestamp, view_id bigint")
+    cdf = spark.createDataFrame(clicks, "user_id bigint, click_ts timestamp, click_id bigint")
+
+    batch_pairs = sorted(
+        (r["view_id"], r["click_id"])
+        for r in stream_stream_interval_join(vdf, cdf).collect()
+    )
+    # expected: view 100 -> clicks 30' (in 1h); view 101 -> click 95';
+    # view 102 -> click 80' (70' later: out); user 3 click precedes view: out
+    assert batch_pairs == [(100, 900), (101, 901)]
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    vdf.write.parquet(vdir)
+    cdf.write.parquet(cdir)
+    vs = spark.readStream.schema(vdf.schema).parquet(vdir)
+    cs = spark.readStream.schema(cdf.schema).parquet(cdir)
+    q = (
+        stream_stream_interval_join(vs, cs)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_pairs = sorted(
+        (r["view_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+    assert stream_pairs == batch_pairs
