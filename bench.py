@@ -53,6 +53,14 @@ def main() -> None:
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
+        if base.get("sf") != sf:
+            # baseline recorded at a different scale factor — timings are
+            # not comparable, skip the gate rather than flag everything
+            print(
+                f"# baseline sf={base.get('sf')} != run sf={sf}; regression gate skipped",
+                file=sys.stderr,
+            )
+            base = {}
         for name, t in timings.items():
             b = base.get("queries", {}).get(name)
             if b and t > 1.5 * b:

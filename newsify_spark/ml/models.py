@@ -75,6 +75,22 @@ def get_impl(slot: str, name: str) -> ModelImpl:
         raise KeyError(f"no model impl {slot!r}/{name!r}; registered: {known}") from None
 
 
+# one broadcast per (slot, impl) per SparkContext — model_udf may be
+# rebuilt per request/micro-batch, and each sc.broadcast otherwise
+# accumulates on driver and executors for the application's lifetime
+_BCAST_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def _state_broadcast(spark: SparkSession, slot: str, impl: str, state):
+    sc = spark.sparkContext
+    key = (id(sc), slot, impl)
+    b = _BCAST_CACHE.get(key)
+    if b is None:
+        b = sc.broadcast(state)
+        _BCAST_CACHE[key] = b
+    return b
+
+
 def model_udf(spark: SparkSession, slot: str, impl: str | None = None):
     """Build the inference UDF for ``slot``. ``impl`` defaults to the
     ``newsify.model.<slot>`` Spark conf if set, else "stub"."""
@@ -83,7 +99,7 @@ def model_udf(spark: SparkSession, slot: str, impl: str | None = None):
     m = get_impl(slot, impl)
 
     state_ref = (
-        spark.sparkContext.broadcast(m.state) if m.broadcast else None
+        _state_broadcast(spark, slot, impl, m.state) if m.broadcast else None
     )
     plain_state = None if m.broadcast else m.state
     make_fn, batch_size = m.make_predict_fn, m.batch_size

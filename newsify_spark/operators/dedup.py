@@ -256,6 +256,11 @@ def embedding_near_dup_lsh(
         emb.select(F.col(id_col), F.col(vec_col)),
         id_col, vec_col, dim, n_bands, bits_per_band, seed,
     )
+    # the signature pass (scan + GEMM through mapInPandas) is the
+    # expensive stage and feeds BOTH sides of the self-join — persist it
+    # so it runs once, not once per side. MEMORY_AND_DISK via .persist()
+    # default; Spark evicts under pressure, callers may unpersist.
+    sig = sig.persist()
     a = sig.select("band", "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = sig.select("band", "sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cands = (

@@ -47,9 +47,22 @@ def upsert_partitioned(
     The affected-partition list is collected (bounded by the partition
     count, never row count); the merged slice is localCheckpoint'ed so
     the overwrite does not read from the path it is writing.
+
+    A key may MOVE partitions (its new row carries a different
+    ``partition_col`` value than its old row). Affected partitions are
+    therefore the union of the new rows' partitions and the partitions
+    currently holding any upserted key — both get rewritten, so the old
+    row is dropped from its former partition instead of surviving as a
+    stale duplicate.
     """
     old = spark.read.parquet(path)
-    parts = [r[0] for r in new.select(partition_col).distinct().collect()]
+    new_parts = new.select(partition_col).distinct()
+    moved_parts = (
+        old.join(new.select(*keys).distinct(), keys, "left_semi")
+        .select(partition_col)
+        .distinct()
+    )
+    parts = [r[0] for r in new_parts.union(moved_parts).distinct().collect()]
     affected = old.filter(F.col(partition_col).isin(parts))
     merged = upsert_by_key(affected, new.select(*old.columns), keys)
     merged = merged.localCheckpoint(eager=True)  # break source==sink lineage
@@ -59,6 +72,19 @@ def upsert_partitioned(
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only rewrites partitions PRESENT in the output —
+    # a partition emptied by a key move must be deleted explicitly
+    left = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    emptied = [p for p in parts if p not in left]
+    if emptied:
+        sc = spark.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        Path = sc._jvm.org.apache.hadoop.fs.Path
+        for p in emptied:
+            pdir = Path(f"{path}/{partition_col}={p}")
+            fs = pdir.getFileSystem(hconf)
+            if fs.exists(pdir):
+                fs.delete(pdir, True)
 
 
 def bulk_update(

@@ -132,7 +132,12 @@ def audio_features(
     framed (frame_len, hop) -> per-frame RMS energy + zero-crossing
     rate. One row per frame (the one-to-many shape real spectrogram /
     wav2vec front-ends produce); librosa/torchaudio swap into the same
-    loop. Output: (doc_id, frame_no, rms double, zcr double)."""
+    loop. Output: (doc_id, frame_no, rms double, zcr double).
+
+    Edge contracts: a single-sample frame has no sign transitions, so
+    zcr = 0.0 (np.diff over one sample is empty — the mean would be
+    NaN); an EMPTY payload yields zero frames, i.e. the doc is absent
+    from the output (callers needing presence should left-join back)."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -146,8 +151,9 @@ def audio_features(
                     rows["doc_id"].append(doc_id)
                     rows["frame_no"].append(n)
                     rows["rms"].append(float(np.sqrt(np.mean(fr * fr))))
+                    signs = np.signbit(fr).astype(np.int8)
                     rows["zcr"].append(
-                        float(np.mean(np.abs(np.diff(np.signbit(fr).astype(np.int8)))))
+                        float(np.mean(np.abs(np.diff(signs)))) if len(fr) > 1 else 0.0
                     )
             yield pd.DataFrame(rows)
 

@@ -323,7 +323,12 @@ WHERE a.vec_id < b.vec_id
 )
 def doc_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    out = DD.neardup_auto(emb, threshold=0.4, dim=64)
+    # the DuckDB oracle is exact all-pairs, so this query pins the exact
+    # route for any plausible fixture size; above that the auto operator
+    # intentionally switches to approximate LSH (recall < 1) and would no
+    # longer hash-match an exact oracle — the LSH==exact equivalence is
+    # pinned separately, at forced-low threshold, in tests/test_operators
+    out = DD.neardup_auto(emb, threshold=0.4, dim=64, allpairs_rows_max=1_000_000)
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 

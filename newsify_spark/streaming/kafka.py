@@ -54,10 +54,18 @@ def kafka_json_sink(
     key_col: str,
     bootstrap: str = "localhost:9092",
     topic: str = "articles",
-    checkpoint: str = "/tmp/newsify-kafka-ckpt",
+    checkpoint: str | None = None,
 ):
     """S4: keyed-JSON Kafka producer — returns the configured
-    DataStreamWriter (caller .start()s it when a broker exists)."""
+    DataStreamWriter (caller .start()s it when a broker exists).
+
+    Checkpoint locations are strictly per-query in Structured Streaming:
+    two sinks sharing one directory corrupt each other's offset state.
+    The default is therefore per-topic; production deployments should
+    pass a durable (non-/tmp) location explicitly.
+    """
+    if checkpoint is None:
+        checkpoint = f"/tmp/newsify-kafka-ckpt-{topic}"
     payload_cols = [c for c in df.columns if c != key_col]
     out = df.select(
         F.col(key_col).cast("string").alias("key"),

@@ -104,17 +104,34 @@ def assign_batch_to_stories(batch: DataFrame, state: StoryState) -> DataFrame:
     """
     pts = batch.select(F.col("article_id").alias("point_id"), F.col("embedding").alias("point_vec"))
 
+    # every cache taken this batch is unpersisted before returning (the
+    # per-batch output is eagerly checkpointed first, so nothing returned
+    # still depends on them) — a long-running stream would otherwise grow
+    # CacheManager state by four entries per micro-batch, forever
+    batch_caches: list[DataFrame] = []
+
+    def _cache(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        batch_caches.append(df)
+        return df
+
+    def _finish(out: DataFrame) -> DataFrame:
+        out = out.localCheckpoint(eager=True)
+        for c in batch_caches:
+            c.unpersist()
+        return out
+
     have_state = state.stories is not None and not state.stories.isEmpty()
     if have_state:
         cents = state.stories.select(
             F.col("story_id").alias("centroid_id"), F.col("centroid").alias("centroid_vec")
         )
         assigned = nearest_centroid_assign(pts, cents, threshold=state.threshold)
-        matched = assigned.filter("matched").cache()
-        unmatched = pts.join(matched.select("point_id"), "point_id", "left_anti").cache()
+        matched = _cache(assigned.filter("matched"))
+        unmatched = _cache(pts.join(matched.select("point_id"), "point_id", "left_anti"))
     else:
         matched = None
-        unmatched = pts.cache()
+        unmatched = _cache(pts)
 
     # ---- pass 2: in-batch leader election + re-assignment ----------------
     # pairwise near-neighbors among unmatched via the size-routed near-dup
@@ -144,12 +161,13 @@ def assign_batch_to_stories(batch: DataFrame, state: StoryState) -> DataFrame:
     )
     fmatch = top_k_per_group(
         lead_sims, ["lid"], [F.col("sim").desc(), F.col("eid").asc()], 1
-    ).cache()
+    )
+    fmatch = _cache(fmatch)
     # minters = leaders + articles whose matches were all non-leaders
     minters = unmatched.join(
         fmatch.select(F.col("lid").alias("point_id")), "point_id", "left_anti"
     )
-    minted = _mint_stories(minters, state.next_id).cache()
+    minted = _cache(_mint_stories(minters, state.next_id))
     n_minted = minted.count()  # scalar agg, not a row collect
 
     out_new = minted.select(
@@ -205,7 +223,7 @@ def assign_batch_to_stories(batch: DataFrame, state: StoryState) -> DataFrame:
         # write the stories state to a table per batch and re-read.
         state.stories = minted_final.localCheckpoint(eager=True)
         state.next_id += n_minted
-        return out
+        return _finish(out)
 
     out_matched = matched.select(
         F.col("point_id").alias("article_id"),
@@ -248,7 +266,7 @@ def assign_batch_to_stories(batch: DataFrame, state: StoryState) -> DataFrame:
     # see the cold-start branch: checkpoint truncates per-batch lineage
     state.stories = refreshed.unionByName(minted_final).localCheckpoint(eager=True)
     state.next_id += n_minted
-    return out_matched.unionByName(out)
+    return _finish(out_matched.unionByName(out))
 
 
 def run_microbatched(batches: list[DataFrame], threshold: float = 0.8) -> tuple[DataFrame, StoryState]:

@@ -619,6 +619,34 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert got.set_index("k").v.to_dict() == {1: "a", 2: "b", 3: "C2", 4: "d", 9: "new"}
 
 
+def test_upsert_partitioned_key_moves_partition(spark, tmp_path):
+    """A key whose new row lands in a DIFFERENT partition must not leave
+    a stale duplicate behind; a partition emptied by the move is removed
+    entirely."""
+    import os
+
+    from newsify_spark.operators.merge import upsert_partitioned
+
+    path = str(tmp_path / "recs")
+    base = spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d2", "b"), (3, "d3", "c")],
+        "k int, day string, v string",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    # k=1 moves d1 -> d2 (d1 becomes empty); k=3 updates in place
+    new = spark.createDataFrame(
+        [(1, "d2", "A2"), (3, "d3", "C2")], "k int, day string, v string"
+    )
+    upsert_partitioned(spark, path, new, keys=["k"], partition_col="day")
+
+    got = spark.read.parquet(path).toPandas().sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == [1, 2, 3], f"duplicate/stale rows: {got}"
+    assert got.set_index("k").v.to_dict() == {1: "A2", 2: "b", 3: "C2"}
+    assert got.set_index("k").day.to_dict() == {1: "d2", 2: "d2", 3: "d3"}
+    assert not os.path.exists(os.path.join(path, "day=d1")), "emptied partition not removed"
+
+
 def test_umap_hdbscan_flag_path(spark):
     """The fidelity path must exist and either run (libs present) or
     raise the documented ImportError (libs absent) — both directions."""
@@ -669,3 +697,18 @@ def test_multimodal_resize_and_audio(spark):
     assert ((au.zcr >= 0) & (au.zcr <= 1)).all()
     # frames per doc ~ (len - frame)/hop + 1, always >= 1
     assert (au.groupby("doc_id").frame_no.max() >= 0).all()
+
+
+def test_audio_features_tiny_and_empty_payloads(spark):
+    """Edge contracts: a 1-byte payload gives one frame with zcr == 0.0
+    (no sign transitions measurable); an empty payload yields no frames."""
+    from newsify_spark.operators.multimodal import audio_features
+
+    mm = spark.createDataFrame(
+        [(1, bytearray(b"\x05")), (2, bytearray(b""))],
+        "doc_id bigint, payload binary",
+    )
+    au = audio_features(mm, frame_len=64, hop=32).toPandas()
+    assert au.doc_id.tolist() == [1]
+    assert au.zcr.tolist() == [0.0]
+    assert not au.isna().any().any()
