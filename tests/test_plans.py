@@ -146,3 +146,27 @@ def test_knn_lsh_plan_is_equi_join(spark):
     plan = _plan(knn_join_lsh(q, items, k=5, dim=64, n_bands=4, bits_per_band=6))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_centroid_argmax_partial_aggregates_before_shuffle(spark):
+    """The k=1 kNN path must collapse point-x-centroid pairs MAP-SIDE
+    (partial_min before the Exchange on point_id): only |points| partial
+    rows shuffle, never |points|x|centroids| pairs."""
+    from newsify_spark.operators.similarity import nearest_centroid_assign
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    pts = emb.select(F.col("vec_id").alias("point_id"), F.col("embedding").alias("point_vec"))
+    cents = emb.limit(10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    plan = _plan(nearest_centroid_assign(pts, cents))
+    partial = plan.find("partial_min")
+    exchange = plan.find("Exchange hashpartitioning(point_id")
+    assert partial != -1, "no map-side partial aggregation in the argmax plan"
+    assert exchange != -1, "no keyed exchange in the argmax plan"
+    assert partial > exchange, (
+        "partial_min should appear BELOW (after in text) the Exchange, "
+        "i.e. on the map side of the shuffle"
+    )
+    assert "row_number" not in plan, "k=1 path regressed to the window form"
