@@ -25,7 +25,7 @@ from newsify_spark.queries.registry import register
 from newsify_spark.queries.relational import EVENT_WEIGHTS_SQL
 from newsify_spark.queries.sqlkit import tokens_sql
 from newsify_spark.queries.vector import label_centroids
-from newsify_spark.tables import load
+from newsify_spark.tables import load, spread_small_scan
 
 
 # ---------------------------------------------------------------- rows-only
@@ -302,7 +302,8 @@ def rec_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     docs = load(spark, sf_dir, "documents")
     inter = (
-        ev.filter(event_score("event_type", EVENT_WEIGHTS) > 0)
+        spread_small_scan(ev)
+        .filter(event_score("event_type", EVENT_WEIGHTS) > 0)
         .select("user_id", F.from_json("props", "k bigint")["k"].alias("item"))
         .distinct()
     )

@@ -36,7 +36,7 @@ from newsify_spark.operators.topk import top_k_per_group
 from newsify_spark.queries.registry import register
 from newsify_spark.queries.relational import EVENT_WEIGHTS, EVENT_WEIGHTS_SQL
 from newsify_spark.queries.vector import label_centroids
-from newsify_spark.tables import load
+from newsify_spark.tables import load, spread_small_scan
 
 K = 3
 W_CONTENT, W_POP = 0.6, 0.4
@@ -57,9 +57,12 @@ def _interactions_with_ts(events: DataFrame) -> DataFrame:
     at 100 TB the events scan is the dominant cost and this halves it.
     Rows with rating <= 0 are KEPT (freshness counts all events)."""
     # from_json with an explicit one-field schema is ~3x cheaper than
-    # get_json_object on this hot path (one JSON parse per event)
+    # get_json_object on this hot path (one JSON parse per event);
+    # spread_small_scan parallelizes the parse when the fixture is one
+    # unsplittable row group (no-op on multi-file production inputs)
     return (
-        events.withColumn("item", F.from_json("props", "k bigint")["k"])
+        spread_small_scan(events)
+        .withColumn("item", F.from_json("props", "k bigint")["k"])
         .withColumn("w", event_score("event_type", EVENT_WEIGHTS))
         .groupBy("user_id", "item")
         .agg(F.sum("w").alias("rating"), F.max("ts").alias("last_ts"))

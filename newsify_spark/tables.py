@@ -78,3 +78,21 @@ def write_partitioned(df: DataFrame, path: str, *, partition_by: list[str] | Non
         )
         return
     w.parquet(path)
+
+
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Re-spread a scan whose file layout yields fewer input partitions
+    than cores (a single small file / one parquet row group is
+    unsplittable, so Spark runs every downstream projection in ONE task).
+    Used in front of expensive per-row work (JSON parse) so it
+    parallelizes. NO-OP whenever the scan is already parallel: production
+    inputs span many files/row groups, so this never fires there and adds
+    no shuffle — it only triggers on small unsplittable inputs where the
+    extra exchange is trivially cheap.
+    """
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= min_parts:
+        return df.repartition(min_parts)
+    return df
