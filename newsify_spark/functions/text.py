@@ -129,6 +129,44 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+# ---------------------------------------------------------------- PII scrub
+# Redaction patterns restricted to the Java-regex / RE2 common subset so
+# the Spark expressions and the DuckDB oracle compile the SAME strings
+# (single source of truth; order matters — email before ipv4 so a dotted
+# quad inside an email domain is not double-counted, ssn before the
+# generic digit-run card pattern).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("card", r"\b\d{13,19}\b", "<CARD>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Chained regexp_replace over PII_PATTERNS — a pure narrow map
+    (no shuffle, whole-stage codegen'd), the shape PII scrubbing must
+    have at 100 TB. Patterns are deliberately conservative: a corpus
+    scrubber prefers false negatives over mangling prose."""
+    c = _c(text)
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(text: Column | str) -> list[tuple[str, Column]]:
+    """Per-pattern redaction counts, computed PROGRESSIVELY (each pattern
+    counted on text already scrubbed by the preceding ones) so the counts
+    equal the number of replacements redact_pii makes."""
+    c = _c(text)
+    out: list[tuple[str, Column]] = []
+    for name, pat, rep in PII_PATTERNS:
+        out.append((name, F.regexp_count(c, F.lit(pat))))
+        c = F.regexp_replace(c, pat, rep)
+    return out
+
+
 MOD = 1_000_000_007
 BASE = 31
 

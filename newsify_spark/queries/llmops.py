@@ -497,3 +497,132 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectorized Arrow form; expression form (functions.text.
     # winnow_fingerprints) is equality-pinned in test_operators
     return DD.winnow_fingerprints_pandas(docs, k=8, w=4).distinct()
+
+
+# ------------------------------------------------------------------ PII scrub
+def _pii_sql() -> tuple[list[str], str]:
+    """Progressive count + redaction SQL built from the SAME
+    functions.text.PII_PATTERNS the Spark side compiles."""
+    expr = "pii_text"
+    counts = []
+    for name, pat, rep in TX.PII_PATTERNS:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{p}')) AS BIGINT) AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return counts, expr
+
+
+_PII_COUNTS_SQL, _PII_CLEAN_SQL = _pii_sql()
+
+# The fixture corpus is synthetic prose with no real PII, so the query
+# plants deterministic PII derived from doc_id (email, dotted-quad IP,
+# SSN, phone, 16-digit card) and then scrubs it — the regex chain is
+# exercised on every row and the md5 of the scrubbed text pins exact
+# output parity. Real corpora skip the planting step and call
+# functions.text.redact_pii directly.
+_PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || ' ssn 123-45-6789'"
+    " || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' card 4111111111' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')"
+)
+
+
+@register(
+    "doc_pii_scrub",
+    doc="PII redaction for corpus cleaning: email/IP/SSN/phone/card "
+    "regex chain as one narrow codegen'd map — zero shuffles, the only "
+    "shape that survives 100 TB. Counts are per-pattern replacement "
+    "counts; clean_hash pins the exact scrubbed text.",
+    tags=("text", "pii"),
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id, {_PII_PLANT_SQL} AS pii_text FROM documents
+)
+SELECT doc_id,
+       {", ".join(_PII_COUNTS_SQL)},
+       md5({_PII_CLEAN_SQL}) AS clean_hash
+FROM planted
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (did % 256).cast("string"),
+            F.lit(" ssn 123-45-6789 call 415-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" card 4111111111"),
+            F.lpad((did % 1000000).cast("string"), 6, "0"),
+        ).alias("pii_text"),
+    )
+    counts = [
+        cnt.cast("long").alias(f"n_{name}")
+        for name, cnt in TX.pii_counts("pii_text")
+    ]
+    return planted.select(
+        "doc_id",
+        *counts,
+        F.md5(TX.redact_pii("pii_text")).alias("clean_hash"),
+    )
+
+
+# ------------------------------------------------------- contamination check
+@register(
+    "doc_contamination",
+    doc="Benchmark-contamination detection: per-document ratio of "
+    "distinct word 5-grams shared with a held-out eval set (doc_id % 97 "
+    "== 0 stands in for the benchmark). Eval-set shingles are broadcast "
+    "(eval sets are small by construction) so the corpus side is never "
+    "shuffled — one map-side join + a per-doc count shuffle of two longs.",
+    tags=("text", "dedup", "contamination"),
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT unnest(list_distinct({shingles_sql("text", 5)})) AS shingle
+  FROM documents WHERE doc_id % 97 = 0
+),
+corp AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql("text", 5)})) AS shingle
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT)         AS n_shingles,
+       CAST(count(b.shingle) AS BIGINT) AS n_shared,
+       round(CAST(count(b.shingle) AS DOUBLE) / count(*), 6) AS contamination
+FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""",
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = F.array_distinct(TX.word_shingles("text", 5))
+    bench = (
+        docs.filter((F.col("doc_id") % 97) == 0)
+        .select(F.explode(sh).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corp = docs.filter((F.col("doc_id") % 97) != 0).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+    return (
+        corp.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6),
+        )
+    )

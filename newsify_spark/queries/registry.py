@@ -52,6 +52,11 @@ DEMOTED: frozenset[str] = frozenset(
     {
         # subsumed end-to-end by doc_neardup_auto / doc_minhash_dedup_survivors
         "doc_embedding_neardup",
+        # beyond-reference corpus-cleaning extensions; the 50-name driver
+        # window is full of §2-critical queries, these are oracle-verified
+        # locally (tests/test_oracle.py)
+        "doc_pii_scrub",
+        "doc_contamination",
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
         "doc_entity_rollup",  # A3/E4 via rel_membership_explode_join + rel_array_append

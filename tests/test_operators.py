@@ -712,3 +712,40 @@ def test_audio_features_tiny_and_empty_payloads(spark):
     assert au.doc_id.tolist() == [1]
     assert au.zcr.tolist() == [0.0]
     assert not au.isna().any().any()
+
+
+def test_redact_pii_patterns(spark):
+    from newsify_spark.functions import text as TX
+
+    rows = [
+        ("reach me at jo.doe+x@mail-host.co.uk today", "<EMAIL>"),
+        ("server 192.168.0.7 rebooted", "<IP>"),
+        ("ssn 123-45-6789 on file", "<SSN>"),
+        ("call 415-555-0123 now", "<PHONE>"),
+        ("card 4111111111111111 declined", "<CARD>"),
+        # negatives: short digit runs, version numbers, bare @, decimals
+        ("pi is 3.14 and v1.2.3 shipped", None),
+        ("ping a@b or 12-34", None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["t"])
+    out = [r[0] for r in df.select(TX.redact_pii("t")).collect()]
+    for (orig, marker), red in zip(rows, out):
+        if marker is None:
+            assert red == orig, f"false positive: {orig!r} -> {red!r}"
+        else:
+            assert marker in red and red != orig, f"missed: {orig!r} -> {red!r}"
+
+    # progressive counts: once the email is redacted, digits inside it
+    # are gone, so each pattern's count equals its replacement count
+    df2 = spark.createDataFrame(
+        [("mail jo@ops.example.io then ping 10.1.2.4 and 10.1.2.5",)], ["t"]
+    )
+    counts = dict(
+        zip(
+            [n for n, _, _ in TX.PII_PATTERNS],
+            df2.select(*[c.alias(n) for n, c in TX.pii_counts("t")]).first(),
+        )
+    )
+    assert counts["email"] == 1
+    assert counts["ipv4"] == 2
+    assert counts["ssn"] == counts["phone"] == counts["card"] == 0
