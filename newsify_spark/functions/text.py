@@ -167,6 +167,33 @@ def pii_counts(text: Column | str) -> list[tuple[str, Column]]:
     return out
 
 
+# ------------------------------------------------------------- repetition
+def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: occurrence fraction of the most
+    frequent word n-gram. One higher-order expression — the inner
+    filter-count is O(|distinct|·|shingles|) per row, bounded by document
+    length, with no shuffle and no UDF."""
+    bg = word_shingles(text, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda s: F.size(F.filter(bg, lambda x: x == s)),
+        )
+    )
+    return F.when(F.size(bg) > 0, top.cast("double") / F.size(bg)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_token_fraction(text: Column | str) -> Column:
+    """1 − |distinct tokens| / |tokens| — the duplicate-word mass."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
 MOD = 1_000_000_007
 BASE = 31
 

@@ -626,3 +626,66 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6),
         )
     )
+
+
+# -------------------------------------------------------- repetition filter
+@register(
+    "doc_repetition",
+    doc="Gopher-style repetition filter signals: top word-bigram "
+    "occurrence fraction and duplicate-word mass, each one higher-order "
+    "JVM expression (no UDF, no shuffle). rep_flag mirrors the Gopher "
+    "top-2-gram > 0.18 removal rule.",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         {shingles_sql("text", 2)} AS bg,
+         {tokens_sql()} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(list_max(list_transform(list_distinct(bg),
+                 s -> len(list_filter(bg, x -> x = s)))) AS DOUBLE)
+             / len(bg), 6)                                   AS top_bigram_frac,
+       round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                                                             AS dup_word_frac,
+       (CAST(list_max(list_transform(list_distinct(bg),
+                 s -> len(list_filter(bg, x -> x = s)))) AS DOUBLE)
+             / len(bg)) > 0.18                               AS rep_flag
+FROM sh
+""",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    top = TX.top_ngram_fraction("text", 2)
+    return docs.select(
+        "doc_id",
+        F.round(top, 6).alias("top_bigram_frac"),
+        F.round(TX.dup_token_fraction("text"), 6).alias("dup_word_frac"),
+        (top > 0.18).alias("rep_flag"),
+    )
+
+
+# -------------------------------------------------------- stratified sample
+@register(
+    "doc_stratified_sample",
+    doc="Deterministic stratified sampling for corpus mixing: keep a "
+    "per-language rate via lexicographic compare of an md5 key prefix "
+    "(256 buckets) — a pure filter, no shuffle, reproducible across "
+    "engines and runs (no rand()). en keeps 128/256, other 26/256.",
+    tags=("text", "sampling"),
+    oracle="""
+SELECT doc_id, lang,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN lang = 'en' THEN '80' ELSE '1a' END
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("1a"))
+    return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )
