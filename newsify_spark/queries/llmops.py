@@ -689,3 +689,89 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", bucket.alias("bucket")).filter(
         F.col("bucket") < rate
     )
+
+
+# ------------------------------------------------------- sequence packing
+@register(
+    "doc_pack_sequences",
+    doc="Training-sequence packing estimator: greedy-by-doc_id packing of "
+    "token counts into fixed-length contexts (seq_len=256 here; 2048+ in "
+    "production) via a running-sum window per source — the distributed "
+    "approximation of first-fit packing. One window + one groupBy, both "
+    "partitioned by source, so the two shuffles share a partitioning.",
+    tags=("text", "packing"),
+    oracle=f"""
+WITH est AS (
+  SELECT source, doc_id, len({tokens_sql()}) AS n_tok FROM documents
+),
+packed AS (
+  SELECT source, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_tok) / 256.0) AS BIGINT) AS bin
+  FROM est
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)            AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)          AS total_tokens,
+       CAST(count(DISTINCT bin) AS BIGINT) AS n_sequences
+FROM packed GROUP BY source
+""",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    est = docs.select("source", "doc_id", TX.token_count("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = est.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(256.0)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.countDistinct("bin").alias("n_sequences"),
+    )
+
+
+# --------------------------------------------------------- corpus mixing
+@register(
+    "doc_mix_weights",
+    doc="Corpus-mixing rebalance weights: per-language character share vs "
+    "a uniform target mix; weight = target / actual is the sampling "
+    "multiplier a data-mixing stage applies. One groupBy + a broadcast "
+    "1-row total — no second pass over the corpus.",
+    tags=("text", "sampling"),
+    oracle="""
+WITH shares AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS lang_chars
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(lang_chars) AS DOUBLE) AS t, count(*) AS n_langs FROM shares)
+SELECT lang, lang_chars,
+       round(lang_chars / t, 6)                 AS actual_share,
+       round((1.0 / n_langs) / (lang_chars / t), 6) AS mix_weight
+FROM shares, tot
+""",
+)
+def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shares = docs.groupBy("lang").agg(F.sum("n_chars").cast("long").alias("lang_chars"))
+    tot = shares.agg(
+        F.sum("lang_chars").cast("double").alias("t"),
+        F.count("*").alias("n_langs"),
+    )
+    return shares.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_chars",
+        F.round(F.col("lang_chars") / F.col("t"), 6).alias("actual_share"),
+        F.round(
+            (F.lit(1.0) / F.col("n_langs")) / (F.col("lang_chars") / F.col("t")), 6
+        ).alias("mix_weight"),
+    )

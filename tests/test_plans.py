@@ -170,3 +170,29 @@ def test_nearest_centroid_argmax_partial_aggregates_before_shuffle(spark):
         "i.e. on the map side of the shuffle"
     )
     assert "row_number" not in plan, "k=1 path regressed to the window form"
+
+
+def test_pii_scrub_is_shuffle_free_map(spark):
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["doc_pii_scrub"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, "PII scrub must stay a narrow map"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["doc_contamination"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "eval-set shingles must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_shares_source_partitioning(spark):
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["doc_pack_sequences"].fn(spark, SF_DIR))
+    # window by source, then groupBy source: the agg must reuse the
+    # window's hashpartitioning(source) — exactly one source shuffle
+    assert plan.count("Exchange hashpartitioning(source") == 1, plan[:2000]
