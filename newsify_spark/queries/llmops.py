@@ -307,6 +307,53 @@ def doc_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dup_components",
+    doc="Transitive duplicate clustering: connected components over the "
+    "shingle-Jaccard dup graph (edges = pairs with jaccard >= 0.01 on the "
+    "bounded doc_id<60 set), comp = min doc_id reachable. The reference's "
+    "greedy first-match loop (duplication_service.py:74-92) is "
+    "order-dependent; this is the order-free closure via min-label "
+    "propagation (operators/graph.py) — one equi-join + one map-side-"
+    "combined groupBy-min per round, lineage truncated per round, "
+    "converging in diameter rounds (2-3 on cliquey dup graphs). "
+    "Survivors are the rows with doc_id == comp.",
+    tags=("dedup", "graph", "W4"),
+    oracle=f"""
+WITH RECURSIVE
+d AS (SELECT * FROM documents WHERE doc_id < 60),
+sh AS (SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle FROM d),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.01
+),
+sym AS (SELECT id_a AS s, id_b AS t FROM edges UNION ALL SELECT id_b, id_a FROM edges),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT sym.t, reach.r FROM sym JOIN reach ON reach.node = sym.s
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS comp FROM reach GROUP BY node
+""",
+)
+def doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    edges = DD.jaccard_pairs(docs).filter(F.col("jaccard") >= 0.01)
+    comps = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+@register(
     "doc_neardup_auto",
     doc="Strategy-selecting embedding near-dup (operators.dedup.neardup_auto): "
     "all-pairs exact below the row threshold, RHP-LSH candidates + exact "
@@ -737,6 +784,47 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.countDistinct("bin").alias("n_sequences"),
+    )
+
+
+# ------------------------------------------------- unigram LM quality score
+@register(
+    "doc_unigram_logprob",
+    doc="Corpus-LM quality scoring (the CCNet wiki-LM-perplexity filter, "
+    "made engine-deterministic): pass 1 builds corpus unigram "
+    "frequencies (one groupBy-token, partial-aggregated), pass 2 scores "
+    "each doc by its mean token log-probability. The vocab->logprob side "
+    "is cached + broadcast (a few million rows even at 100 TB; the "
+    "corpus total derives from it, no third scan); the corpus is "
+    "scanned twice and shuffled once — the groupBy(doc_id) exchange "
+    "moves only partially-aggregated (doc_id, sum, count) rows.",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql()}) AS tok FROM documents
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+vocab AS (
+  SELECT tok, ln(count(*) / (SELECT n FROM tot)) AS logp
+  FROM toks GROUP BY tok
+)
+SELECT t.doc_id, round(avg(v.logp), 6) AS avg_logprob
+FROM toks t JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c")).cache()
+    tot = counts.agg(F.sum("c").cast("double").alias("n"))
+    vocab = counts.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("c") / F.col("n")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logp"), 6).alias("avg_logprob"))
     )
 
 

@@ -61,6 +61,8 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_stratified_sample",
         "doc_pack_sequences",
         "doc_mix_weights",
+        "doc_dup_components",
+        "doc_unigram_logprob",
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
         "doc_entity_rollup",  # A3/E4 via rel_membership_explode_join + rel_array_append

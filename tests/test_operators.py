@@ -749,3 +749,32 @@ def test_redact_pii_patterns(spark):
     assert counts["email"] == 1
     assert counts["ipv4"] == 2
     assert counts["ssn"] == counts["phone"] == counts["card"] == 0
+
+
+# ------------------------------------------------- connected components
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, C-D must collapse to one component even though A and D
+    never share an edge (the greedy first-match loop gets this only in
+    arrival order); disjoint pairs and singletons keep their own min."""
+    from newsify_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], ["node"])
+    edges = spark.createDataFrame(
+        [(3, 4), (1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_no_edges(spark):
+    from newsify_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(7,), (8,)], ["node"])
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["node"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert got == {7: 7, 8: 8}
