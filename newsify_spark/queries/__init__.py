@@ -11,3 +11,5 @@ from newsify_spark.queries import llmops  # noqa: F401,E402
 from newsify_spark.queries import recommend  # noqa: F401,E402
 from newsify_spark.queries import mlops  # noqa: F401,E402
 from newsify_spark.queries import extra  # noqa: F401,E402
+from newsify_spark.queries import tpch  # noqa: F401,E402
+from newsify_spark.queries import corpus  # noqa: F401,E402

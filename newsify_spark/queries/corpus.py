@@ -1,0 +1,252 @@
+"""Corpus-preparation operators, round 3: chunking, vocabulary stats,
+TF-IDF, per-source curation rollups, length-outlier trimming.
+
+These complete the training-data pipeline surface started in llmops.py
+(dedup / PII / contamination / packing / mix weights): the ops a corpus
+team runs between "raw crawl" and "tokenizer-ready shards".
+
+Scale notes (100 TB):
+- chunking is a pure per-row explode (sequence + transform, all JVM) —
+  no shuffle at all; output partitioning inherits the scan.
+- vocabulary/TF-IDF shuffle on the term key, which is Zipf-skewed; the
+  aggregates are all partial-aggregating (map-side combine collapses
+  each partition's term counts before the exchange), which is the
+  standard mitigation — the hot 'the' key arrives pre-counted per
+  partition, count-sized not occurrence-sized.
+- the TF-IDF document-frequency side is vocab-sized (millions of rows,
+  not billions) and broadcastable; corpus-level scalars (N, length
+  bands) are 1-row broadcast joins, never windows over the corpus.
+
+Reference scope: beyond the reference app (its text surface stops at
+model UDFs, summarization-service.py); built per the round brief's
+training-data-pipeline mandate. All demoted (zz_) below the driver's
+50-name window; oracle-verified locally by tests/test_oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsify_spark.queries.registry import register
+from newsify_spark.queries.sqlkit import stopword_ratio_sql, tokens_sql
+from newsify_spark.tables import load
+
+CHUNK_LEN = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunk_overlap",
+    doc=f"Sliding-window chunking: {CHUNK_LEN}-char windows every "
+    f"{CHUNK_STRIDE} chars ({CHUNK_LEN - CHUNK_STRIDE}-char overlap) — the "
+    "standard pre-embedding/pre-packing split. sequence+transform+explode, "
+    "zero shuffle; chunk ids are derivable (doc_id, start) pairs so "
+    "downstream joins never need a global counter.",
+    tags=("text", "corpus"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER)    AS chunk_idx,
+       CAST(start AS INTEGER)                      AS chunk_start,
+       substr(text, CAST(start AS INTEGER) + 1, {CHUNK_LEN}) AS chunk_text
+FROM documents, unnest(generate_series(0, len(text) - 1, {CHUNK_STRIDE})) AS u(start)
+WHERE len(text) > 0
+""",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.sequence(
+        F.lit(0), F.length("text") - 1, F.lit(CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("start").cast("int") + 1, CHUNK_LEN).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@register(
+    "doc_top_terms",
+    doc="Corpus vocabulary head: top-100 terms by total frequency with "
+    "document frequency alongside. One term-keyed shuffle with map-side "
+    "combine; df via count(DISTINCT doc_id) — single-column distinct, "
+    "planned as two-phase hash agg (no Expand).",
+    tags=("text", "corpus", "A1"),
+    oracle="""
+SELECT term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (
+  SELECT doc_id, u.term
+  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+  WHERE u.term <> ''
+)
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 100
+""",
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_tfidf_topk",
+    doc="Per-document top-5 terms by TF-IDF (idf = ln(N/df)). Term "
+    "frequencies shuffle on (doc, term) with map-side combine; the df "
+    "table is vocab-sized and broadcast; N is a 1-row broadcast. Final "
+    "top-5 is a per-doc window over the per-doc term list (already "
+    "co-located by the groupBy). Ties broken by term asc on the ROUNDED "
+    "score so both engines agree at float boundaries.",
+    tags=("text", "corpus", "W2"),
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, u.term
+  FROM documents, unnest(string_split(text, ' ')) AS u(term)
+  WHERE u.term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM terms),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+""",
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = terms.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "doc_source_quality",
+    doc="Per-source curation rollup: doc count, mean quality score, mean "
+    "length, short-doc share, language spread — the table a corpus team "
+    "reads to set per-source mix weights. One source-keyed shuffle, all "
+    "partial-aggregating.",
+    tags=("text", "corpus", "A1"),
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg((least(len(text) / 500.0, 1.0)
+            + least({stopword_ratio_sql()} / 0.1, 1.0)
+            + (CASE WHEN (CASE WHEN len({tokens_sql()}) > 0 THEN
+                   CAST(list_reduce(list_transform({tokens_sql()}, tk -> len(tk)),
+                                    (a, b) -> a + b) AS DOUBLE) / len({tokens_sql()})
+                   ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+            ) / 3.0), 6) AS avg_quality,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6) AS short_share,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            TX.quality_score("text").alias("__q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("__q"), 6).alias("avg_quality"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.round(
+                F.avg(F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0)), 6
+            ).alias("short_share"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_length_outliers",
+    doc="Length-band trim: documents outside mean ± 2·stddev of character "
+    "length (the Gopher-style outlier gate). The band is a 1-row "
+    "aggregate broadcast against the scan — no window over the corpus, "
+    "no second shuffle.",
+    tags=("text", "corpus", "P10"),
+    oracle="""
+SELECT doc_id, n_chars,
+       round(lo, 4) AS lo, round(hi, 4) AS hi
+FROM documents CROSS JOIN (
+  SELECT avg(CAST(n_chars AS DOUBLE)) - 2 * stddev(CAST(n_chars AS DOUBLE)) AS lo,
+         avg(CAST(n_chars AS DOUBLE)) + 2 * stddev(CAST(n_chars AS DOUBLE)) AS hi
+  FROM documents
+)
+WHERE n_chars < lo OR n_chars > hi
+ORDER BY doc_id
+""",
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("double")
+    band = docs.agg(
+        (F.avg(nc) - 2 * F.stddev(nc)).alias("lo_raw"),
+        (F.avg(nc) + 2 * F.stddev(nc)).alias("hi_raw"),
+    )
+    return (
+        docs.join(F.broadcast(band))
+        .filter((F.col("n_chars") < F.col("lo_raw")) | (F.col("n_chars") > F.col("hi_raw")))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("lo_raw", 4).alias("lo"),
+            F.round("hi_raw", 4).alias("hi"),
+        )
+        .orderBy("doc_id")
+    )

@@ -98,6 +98,28 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_top_revenue_orders",  # O1/O2 via rel_window_topk + rel_pricing_summary
         "stream_cluster_assign",  # T4/T5 pinned by streaming parity tests
         "vec_norms",  # F12/F13 folded into vec_cosine_pairs
+        # round-3 corpus-prep ops (queries/corpus.py) — beyond-reference
+        "doc_chunk_overlap",
+        "doc_top_terms",
+        "doc_tfidf_topk",
+        "doc_source_quality",
+        "doc_length_outliers",
+        # round-3 TPC-H completion (queries/tpch.py) — beyond-reference
+        # relational coverage, oracle-verified locally
+        "tpch_q02_min_acctbal_supplier",
+        "tpch_q05_local_supplier_volume",
+        "tpch_q07_volume_shipping",
+        "tpch_q08_market_share",
+        "tpch_q09_product_profit",
+        "tpch_q11_important_parts",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_promotion_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_global_sales_opportunity",
     }
 )
 
