@@ -29,6 +29,19 @@ def event_score(event_type: Column | str, scores: dict[str, float] | None = None
     return F.coalesce(m[col], F.lit(0.0))
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch, robust to the column arriving as
+    TIMESTAMP_NTZ (fixture rounds have shipped events.ts as NANOS-long,
+    NTZ-us, and ltz-us — see tables._normalize_ts). The session TZ is
+    pinned UTC, so casting NTZ → TIMESTAMP is value-preserving and the
+    cast is a no-op when the input is already TIMESTAMP. Keeping every
+    ts-arithmetic call site on this one helper means the next fixture
+    encoding change breaks one function, not seven queries.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def hours_between(later: Column | str, earlier: Column | str) -> Column:
     """Time delta in fractional hours (F7; reference
     recommendation-trainer.py:79)."""

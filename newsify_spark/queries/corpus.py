@@ -173,13 +173,13 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg((least(len(text) / 500.0, 1.0)
+       round(avg(round((least(len(text) / 500.0, 1.0)
             + least({stopword_ratio_sql()} / 0.1, 1.0)
             + (CASE WHEN (CASE WHEN len({tokens_sql()}) > 0 THEN
                    CAST(list_reduce(list_transform({tokens_sql()}, tk -> len(tk)),
                                     (a, b) -> a + b) AS DOUBLE) / len({tokens_sql()})
                    ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
-            ) / 3.0), 6) AS avg_quality,
+            ) / 3.0, 6)), 4) AS avg_quality,
        round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
        round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6) AS short_share,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
@@ -197,12 +197,15 @@ def doc_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "n_chars",
-            TX.quality_score("text").alias("__q"),
+            # round per-doc BEFORE avg (registry parity rule): unrounded
+            # doubles averaged then rounded leak summation order in the
+            # last decimal; quantized inputs + 4 dp output do not.
+            F.round(TX.quality_score("text"), 6).alias("__q"),
         )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("__q"), 6).alias("avg_quality"),
+            F.round(F.avg("__q"), 4).alias("avg_quality"),
             F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
             F.round(
                 F.avg(F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0)), 6

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from newsify_spark.functions.scalars import epoch_us
 from newsify_spark.operators.asof import asof_join
 from newsify_spark.queries.registry import register
 from newsify_spark.tables import load
@@ -433,7 +434,7 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     flagged = ev.withColumn(
         "new_session",
         F.when(gap_us.isNull() | (gap_us > 3_600_000_000), 1).otherwise(0),
@@ -444,7 +445,7 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("duration_us"),
     )
 
 
@@ -568,11 +569,11 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = ev.filter(F.col("event_type") == "signup").select(
         F.col("event_id").alias("win_id"),
         F.col("user_id").alias("w_user"),
-        (F.unix_micros("ts") - 43_200_000_000).alias("lo"),
-        (F.unix_micros("ts") + 43_200_000_000).alias("hi"),
+        (epoch_us("ts") - 43_200_000_000).alias("lo"),
+        (epoch_us("ts") + 43_200_000_000).alias("hi"),
     )
     pts = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("t")
+        "event_id", "user_id", epoch_us("ts").alias("t")
     )
     j = range_join_points_to_intervals(
         pts, wins, point_key="t", lo="lo", hi="hi", bucket_width=43_200_000_000

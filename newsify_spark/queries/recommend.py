@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from newsify_spark.functions.scalars import event_score, safe_div
+from newsify_spark.functions.scalars import epoch_us, event_score, safe_div
 from newsify_spark.functions.vectors import cosine
 from newsify_spark.operators.topk import top_k_per_group
 from newsify_spark.queries.registry import register
@@ -74,29 +74,28 @@ def user_profiles(inter: DataFrame, emb: DataFrame) -> DataFrame:
     embeddings of items the user interacted with — the distributed form
     of the reference's per-user np.mean over liked-story centroids
     (recommendation-trainer.py:58-69).
+
+    Executor-JVM-side via Spark ML ``Summarizer.mean`` with a weight
+    column: a true combining aggregate, so the per-user vector sums
+    partial-aggregate MAP-SIDE and the user_id shuffle carries one
+    partial vector per (partition, user), not every interaction row.
+    On the largest intermediate of the flagship that beats the previous
+    groupBy-``applyInPandas`` (vectorized, but Python+Arrow and no
+    map-side combine) on both counts that matter at 100 TB: shuffle
+    volume and executor-JVM residency.
     """
-    import numpy as np
-    import pandas as pd
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
 
     # items table is the small side (one row per story/item): broadcast so
     # the ratings side never shuffles for this join
     j = inter.join(F.broadcast(emb), inter.item == emb.vec_id).select(
-        "user_id", "rating", "embedding"
+        "user_id", "rating", array_to_vector("embedding").alias("v")
     )
-
-    # one shuffle on user_id, then a vectorized weighted mean per group —
-    # replaces the posexplode form (|inter| x dim rows through two
-    # shuffles) with |inter| rows through one
-    def wmean(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-        w = pdf["rating"].to_numpy()
-        prof = (w[:, None] * mat).sum(axis=0) / w.sum()
-        return pd.DataFrame(
-            {"user_id": [pdf["user_id"].iloc[0]], "profile": [prof.tolist()]}
-        )
-
-    return j.groupBy("user_id").applyInPandas(
-        wmean, schema="user_id bigint, profile array<double>"
+    return j.groupBy("user_id").agg(
+        vector_to_array(
+            Summarizer.mean(F.col("v"), weightCol=F.col("rating"))
+        ).alias("profile")
     )
 
 
@@ -153,7 +152,7 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
         "label",
         F.exp(
             F.lit(-DECAY_PER_HOUR)
-            * (F.unix_micros("mx") - F.unix_micros("label_ts"))
+            * (epoch_us("mx") - epoch_us("label_ts"))
             / 3600.0e6
         ).alias("fresh"),
     )

@@ -52,20 +52,15 @@ DEMOTED: frozenset[str] = frozenset(
     {
         # subsumed end-to-end by doc_neardup_auto / doc_minhash_dedup_survivors
         "doc_embedding_neardup",
-        # beyond-reference corpus-cleaning extensions; the 50-name driver
-        # window is full of §2-critical queries, these are oracle-verified
-        # locally (tests/test_oracle.py)
-        "doc_pii_scrub",
-        "doc_contamination",
+        # beyond-reference corpus-cleaning extensions without a window slot
+        # this round; oracle-verified locally (tests/test_oracle.py)
         "doc_repetition",
         "doc_stratified_sample",
         "doc_pack_sequences",
         "doc_mix_weights",
-        "doc_dup_components",
         "doc_unigram_logprob",
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
-        "doc_entity_rollup",  # A3/E4 via rel_membership_explode_join + rel_array_append
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
@@ -76,34 +71,46 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_forecast_revenue_change",  # P4/A1 via rel_pricing_summary
         "rel_gap_fill",  # T6 via stream_window_counts
         "rel_json_extract",  # F14 via rel_json_roundtrip
-        "rel_latest_n",  # O3 via rec_read_path
         "rel_membership_filter",  # P5 via rel_membership_explode_join
         "rel_percentiles",  # A-extra
         "rel_pivot_counts",  # A-extra
-        "rel_point_lookup",  # S7/P1/P3 via rec_read_path
         "rel_popularity_topn",  # A1/O1 via rel_pricing_summary + rel_window_topk
         "rel_priority_exists",  # P5/J1 via rel_membership_explode_join
         "rel_promo_revenue_ratio",  # A4 via rel_drift_score
-        "rel_range_join",  # J-extra (beyond reference surface)
-        "rel_recent_window_agg",  # P4 via rel_pricing_summary + rel_drift_score
         "rel_rollup_counts",  # A-extra
         "rel_returned_items",  # TPC-H Q10 extra; J2/A1/O1 via canonical rows
         "rel_scd2_segments",  # S9 via rel_upsert_profiles
         "rel_semi_join_orders",  # J3 via rec_hybrid_topk (driver-green r01)
         "rel_shipping_priority",  # TPC-H Q3 extra; J2/A1/O1 via canonical rows
-        "rel_sessionize",  # W-extra/T6 via stream_window_counts
         "rel_set_ops",  # E-extra; E1-E4 all have dedicated canonical rows
         "rel_shipmode_buckets",  # A11/F18 via rel_interaction_scores
         "rel_stats_agg",  # A-extra
-        "rel_top_revenue_orders",  # O1/O2 via rel_window_topk + rel_pricing_summary
         "stream_cluster_assign",  # T4/T5 pinned by streaming parity tests
         "vec_norms",  # F12/F13 folded into vec_cosine_pairs
         # round-3 corpus-prep ops (queries/corpus.py) — beyond-reference
         "doc_chunk_overlap",
         "doc_top_terms",
         "doc_tfidf_topk",
-        "doc_source_quality",
         "doc_length_outliers",
+        # --- round-3 rotation OUT (VERDICT r2 item 6): every name below
+        # was driver-green in BOTH r1 and r2 (accumulated hash-pass
+        # evidence), freeing window slots for never-driver-checked
+        # queries rotated IN this round (rel_point_lookup S7, rel_latest_n
+        # O3, rel_top_revenue_orders O1, doc_entity_rollup A3,
+        # rel_recent_window_agg P4, doc_dup_components W4-closure,
+        # doc_source_quality, rel_sessionize, rel_range_join,
+        # doc_pii_scrub, doc_contamination).
+        "doc_lang_id",  # green r1+r2 (text lang-ID)
+        "doc_ner_entities",  # green r1+r2 (U2 deterministic)
+        "doc_quality_score",  # green r1+r2
+        "doc_sentiment",  # green r1+r2 (A6 lexicon)
+        "doc_summarize_head",  # green r1+r2 (U3 deterministic)
+        "doc_udtf_shingles",  # green r2 (UDTF surface; also pytest)
+        "rel_array_append",  # green r1+r2 (S10/E4)
+        "rel_bulk_label_update",  # green r1+r2 (S11)
+        "rel_flag_workflow",  # green r1+r2 (S16/S17/P8)
+        "rel_needs_refresh",  # green r1+r2 (P6/P7/T7)
+        "rel_timestamp_parse",  # green r1+r2 (S3/F4)
         # round-3 TPC-H completion (queries/tpch.py) — beyond-reference
         # relational coverage, oracle-verified locally
         "tpch_q02_min_acctbal_supplier",

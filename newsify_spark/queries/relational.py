@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from newsify_spark.functions.scalars import event_score, safe_div
+from newsify_spark.functions.scalars import epoch_us, event_score, safe_div
 from newsify_spark.operators.merge import bulk_update, upsert_by_key
 from newsify_spark.operators.topk import top_k_per_group
 from newsify_spark.queries.registry import register
@@ -476,12 +476,12 @@ FROM events, (SELECT max(date_trunc('microseconds', ts)) AS mx FROM events)
 def rel_scalar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     df = ev.crossJoin(F.broadcast(_max_ts(ev)))
-    age_h = (F.unix_micros("mx") - F.unix_micros("ts")) / 3600.0e6
+    age_h = (epoch_us("mx") - epoch_us("ts")) / 3600.0e6
     return df.select(
         "event_id",
         F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("tag"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.expr("unix_micros(ts) div 1000000").alias("epoch_s"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("epoch_s"),
         F.round(age_h, 6).alias("age_h"),
         F.round(F.exp(F.lit(-0.001) * age_h), 6).alias("freshness"),
         F.round(F.abs(F.col("value") - 20), 6).alias("dev20"),

@@ -303,8 +303,10 @@ def streaming_event_counts(
         .option("maxFilesPerTrigger", 1)
         .parquet(events_path)
     )
-    # events.ts is raw nanos under nanosAsLong; convert like tables.load
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize ts across every fixture encoding, same as tables.load
+    from ..tables import _normalize_ts
+
+    stream = _normalize_ts(stream)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")

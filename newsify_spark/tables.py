@@ -32,27 +32,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan: Catalyst pushes filters
     and prunes columns into this scan (verified in tests via .explain).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read it as raw nanos
-    (``nanosAsLong``) and convert to microsecond TimestampType in the
-    plan — a single projection, still codegen'd, still column-pruned.
-    Oracle SQL for ts-touching queries truncates DuckDB's nanos to
-    microseconds the same way (date_trunc), so both engines compute on
-    identical values.
+    ``events.ts`` has been written three different ways by the fixture
+    generator across rounds, so we normalize all of them to a UTC
+    microsecond ``TIMESTAMP``:
+
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it;
+      read as raw nanos (``nanosAsLong``) and ``timestamp_micros(ns/1000)``.
+    * parquet timestamp[us] without ``isAdjustedToUTC`` — Spark 4 infers
+      ``TIMESTAMP_NTZ``; since the session TZ is pinned UTC the cast to
+      ``TIMESTAMP`` is value-preserving.
+    * parquet timestamp[us] UTC-adjusted — already ``TIMESTAMP``, no-op.
+
+    Each is a single codegen'd projection on a column-pruned scan. Oracle
+    SQL truncates DuckDB's value to microseconds the same way
+    (date_trunc), so both engines compute on identical values.
     """
     # the driver owns the session; pin the two confs oracle parity needs
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # nanosAsLong only fires on TIMESTAMP(NANOS) files; derived tables
-        # (tests, gold copies) already carry micros timestamps
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a ``ts`` column to UTC microsecond TimestampType across
+    every encoding the fixture generator has produced (see ``load``)."""
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        return df
+    from pyspark.sql import functions as F
+
+    if dt == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt.startswith("timestamp_ntz"):  # session TZ pinned UTC → lossless
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -91,6 +91,88 @@ def test_broadcast_state_reaches_executors(spark):
     assert sorted(out.o) == ["bcast:x", "bcast:y"]
 
 
+def test_real_sparkml_model_through_registry(spark, tmp_path):
+    """VERDICT r2 item 7: run a genuinely TRAINED model (Spark ML
+    logistic regression) through the production registry path — train,
+    persist, reload (S15), extract learned weights into broadcast state,
+    serve via the iterator pandas UDF with batch re-chunking — and pin
+    the served probabilities to the JVM model's own transform() output."""
+    import math
+
+    from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
+    from pyspark.ml.feature import CountVectorizerModel
+
+    from newsify_spark.ml import models
+    from newsify_spark.ml.infer import NEG_WORDS, POS_WORDS
+    from newsify_spark.tables import load
+
+    vocab = sorted(POS_WORDS | NEG_WORDS)
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .limit(200)
+        .select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
+    )
+    cv = CountVectorizerModel.from_vocabulary(vocab, inputCol="toks", outputCol="features")
+    train = cv.transform(docs).withColumn(
+        "label",
+        (
+            F.size(F.array_intersect("toks", F.array(*[F.lit(w) for w in POS_WORDS])))
+            > F.size(F.array_intersect("toks", F.array(*[F.lit(w) for w in NEG_WORDS])))
+        ).cast("double"),
+    )
+    fitted = LogisticRegression(maxIter=20, regParam=0.01).fit(train)
+
+    # S15 model persistence: write + reload, serve from the RELOADED copy
+    path = str(tmp_path / "lr_model")
+    fitted.write().overwrite().save(path)
+    model = LogisticRegressionModel.load(path)
+
+    state = {
+        "vocab": vocab,
+        "coef": model.coefficients.toArray().tolist(),
+        "b": float(model.intercept),
+    }
+
+    def make_fn(st):
+        vv, w, b = st["vocab"], st["coef"], st["b"]
+
+        def predict(s: pd.Series) -> pd.Series:
+            def prob(t: str) -> float:
+                toks = (t or "").lower().split(" ")
+                z = b + sum(wi * toks.count(v) for v, wi in zip(vv, w))
+                return 1.0 / (1.0 + math.exp(-z))
+
+            return s.map(prob)
+
+        return predict
+
+    models.register_impl(
+        "sentiment",
+        "sparkml_lr",
+        models.ModelImpl(make_fn, "double", state=state, broadcast=True, batch_size=64),
+    )
+    served = (
+        docs.select(
+            "doc_id",
+            models.model_udf(spark, "sentiment", impl="sparkml_lr")("text").alias("p"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    jvm = (
+        model.transform(cv.transform(docs))
+        .select("doc_id", F.element_at(vector_to_array("probability"), 2).alias("p"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(served) == 200
+    assert (abs(served.p - jvm.p) < 1e-9).all()
+
+
 def test_unknown_impl_raises(spark):
     import pytest as _pytest
 

@@ -73,11 +73,12 @@ def test_whole_stage_codegen_present(spark):
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     """Gold tables written partitionBy(day) must partition-prune reads —
     the 100 TB access pattern for event data."""
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")  # raw nanos ok here
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from newsify_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")  # ts normalized across encodings
     out = str(tmp_path / "events_by_day")
     (
-        ev.withColumn("day", F.expr("date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd')"))
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
         .write.partitionBy("day")
         .parquet(out)
     )

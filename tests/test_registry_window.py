@@ -11,7 +11,10 @@ from __future__ import annotations
 from newsify_spark.queries import REGISTRY
 from newsify_spark.queries.registry import DEMOTED, driver_registry
 
-# Judge round-1 done-list + the local-only F/S/J ids it called out.
+# Judge round-1 done-list + local-only F/S/J ids, MINUS names rotated out
+# in round 3 after accumulating driver-green rows in both r1 and r2
+# (VERDICT r2 item 6: rotate coverage so every operator eventually gets a
+# direct driver row): rel_needs_refresh, rel_timestamp_parse.
 MUST_BE_CHECKED = {
     "vec_nearest_centroid",  # J4/W1/A10
     "vec_knn_bruteforce",  # J5 exact
@@ -22,12 +25,22 @@ MUST_BE_CHECKED = {
     "rel_window_minmax_norm",  # W3/A7
     "rel_window_topk",  # W2
     "stream_window_counts",  # T6
-    "rel_needs_refresh",  # T7/P7
     "rel_scalar_bundle",  # F1-F9
-    "rel_timestamp_parse",  # S3/F4/F6
     "rel_revenue_by_nation",  # J2
     "rel_pricing_summary",  # A1/P4/O1
     "doc_neardup_auto",  # size-routed embedding near-dup
+    # round-3 rotation IN: first-ever driver rows for these operators
+    "rel_point_lookup",  # S7
+    "rel_latest_n",  # O3
+    "rel_top_revenue_orders",  # O1
+    "doc_entity_rollup",  # A3
+    "rel_recent_window_agg",  # P4
+    "doc_dup_components",  # W4-free closure (connected components)
+    "doc_source_quality",  # corpus rollup (r2 parity bug, now fixed)
+    "rel_sessionize",  # W-extra sessionization
+    "rel_range_join",  # J-extra range join
+    "doc_pii_scrub",  # corpus PII scrub
+    "doc_contamination",  # eval-set contamination gate
 }
 
 

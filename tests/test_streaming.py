@@ -86,13 +86,14 @@ def test_structured_streaming_smoke(spark, tmp_path):
     src.mkdir()
     shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
 
+    from newsify_spark.tables import _normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(str(src)).schema
-    stream = (
+    stream = _normalize_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     deduped = stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
@@ -280,6 +281,56 @@ def test_article_stream_config_switch(spark, tmp_path):
         assert st.isStreaming and st.columns == ["article_id", "embedding"]
     finally:
         spark.conf.unset(SOURCE_CONF)
+
+
+def test_session_window_stream_batch_parity(spark, tmp_path):
+    """Native session_window sessions emitted by the streaming form match
+    the batch form over the same data. Append mode only emits a session
+    once the watermark passes its end, so a far-future sentinel event
+    (filtered from the comparison) pushes the watermark past every real
+    session."""
+    import datetime
+
+    from newsify_spark.queries.sessions import sessionized_stream, stream_session_windows
+
+    sf = "/root/testdata/sf0.001"
+    batch = stream_session_windows(spark, sf)
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert len(want) > 0
+
+    from newsify_spark.tables import load
+
+    ev = load(spark, sf, "events").select("user_id", "ts")
+    src = str(tmp_path / "sess_src")
+    ev.coalesce(1).write.parquet(src)
+    far = ev.agg(F.max("ts").alias("m")).first()["m"] + datetime.timedelta(days=30)
+    sentinel = spark.createDataFrame([(999_999_999, far)], "user_id bigint, ts timestamp")
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionized_stream(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sess_out WHERE user_id < 999999999"
+        ).collect()
+    )
+    assert got == want
 
 
 def test_stream_stream_interval_join_parity(spark, tmp_path):
