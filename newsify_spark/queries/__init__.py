@@ -13,3 +13,4 @@ from newsify_spark.queries import mlops  # noqa: F401,E402
 from newsify_spark.queries import extra  # noqa: F401,E402
 from newsify_spark.queries import tpch  # noqa: F401,E402
 from newsify_spark.queries import corpus  # noqa: F401,E402
+from newsify_spark.queries import sessions  # noqa: F401,E402

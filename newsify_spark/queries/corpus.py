@@ -253,3 +253,48 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+DOMAIN_CAP = 60
+
+
+@register(
+    "doc_domain_cap",
+    doc="Per-source document cap: keep at most N docs per source, chosen "
+    "deterministically by content-independent hash order (the standard "
+    "anti-overrepresentation gate before corpus mixing — a crawl where "
+    "one domain is 40% of documents must not be 40% of training data). "
+    "Deterministic: md5(doc_id) ordering, not sampling, so reruns and "
+    "the oracle agree exactly.",
+    tags=("text", "corpus", "W2", "sampling"),
+    oracle=f"""
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {DOMAIN_CAP}
+ORDER BY source, doc_id
+""",
+)
+def doc_domain_cap(spark: SparkSession, sf_dir: str, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Scale route: one shuffle on source. A mega-domain skewing its
+    partition is bounded by rank<=cap itself once AQE splits the skewed
+    partition; for pathological single-key skew, pre-filter with the
+    same hash (keep md5 < cap/count_estimate quantile) before the exact
+    window — both stages use the same deterministic key so the result
+    is unchanged.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= cap)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

@@ -697,3 +697,47 @@ def rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", "value").alias("top_event_id"),
         F.min_by("event_id", "value").alias("bottom_event_id"),
     )
+
+
+@register(
+    "rel_incremental_rollup",
+    doc="Incremental rollup maintenance (operators/rollup.py): daily "
+    "partials per (event_type, month, day) merged to month grain by "
+    "partial-agg algebra (sum-of-sums, sum-of-counts, min-of-mins, "
+    "avg finalized from sum/count). Oracle computes the month rollup "
+    "directly from raw events — pinning partial-then-merge == direct. "
+    "At 100 TB the merge reads |keys|x|days| partial rows, not raw.",
+    tags=("A1", "A4", "rollup", "incremental"),
+    oracle="""
+SELECT event_type,
+       strftime(date_trunc('microseconds', ts), '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT)   AS n,
+       round(sum(value), 4)       AS total,
+       round(min(value), 4)       AS lo,
+       round(max(value), 4)       AS hi,
+       round(sum(value) / count(*), 6) AS avg_v
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.rollup import merge_rollups, partial_rollup
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    daily = partial_rollup(ev, ["event_type", "month", "day"], "value", ["sum", "count", "min", "max"])
+    monthly = merge_rollups(daily, ["event_type", "month"], ["sum", "count", "min", "max", "avg"])
+    return monthly.select(
+        "event_type",
+        "month",
+        F.col("count_p").alias("n"),
+        F.round("sum_p", 4).alias("total"),
+        F.round("min_p", 4).alias("lo"),
+        F.round("max_p", 4).alias("hi"),
+        F.round("avg_p", 6).alias("avg_v"),
+    ).orderBy("event_type", "month")

@@ -70,6 +70,7 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_diversity_ratio",  # A5 via rec_bias_report
         "rel_forecast_revenue_change",  # P4/A1 via rel_pricing_summary
         "rel_gap_fill",  # T6 via stream_window_counts
+        "rel_incremental_rollup",  # new this round; promote in a later rotation
         "rel_json_extract",  # F14 via rel_json_roundtrip
         "rel_membership_filter",  # P5 via rel_membership_explode_join
         "rel_percentiles",  # A-extra
@@ -86,12 +87,14 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_shipmode_buckets",  # A11/F18 via rel_interaction_scores
         "rel_stats_agg",  # A-extra
         "stream_cluster_assign",  # T4/T5 pinned by streaming parity tests
+        "stream_session_windows",  # T-extra, new this round; promote next rotation
         "vec_norms",  # F12/F13 folded into vec_cosine_pairs
         # round-3 corpus-prep ops (queries/corpus.py) — beyond-reference
         "doc_chunk_overlap",
         "doc_top_terms",
         "doc_tfidf_topk",
         "doc_length_outliers",
+        "doc_domain_cap",  # new this round; promote in a later rotation
         # --- round-3 rotation OUT (VERDICT r2 item 6): every name below
         # was driver-green in BOTH r1 and r2 (accumulated hash-pass
         # evidence), freeing window slots for never-driver-checked

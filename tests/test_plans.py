@@ -98,6 +98,17 @@ def test_exchange_reuse_in_flagship(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_flagship_is_fully_jvm_side(spark):
+    """user_profiles moved from groupBy-applyInPandas to a Summarizer
+    combining aggregate (round 3): the whole flagship plan must now be
+    executor-JVM-side — no Arrow/pandas exec nodes anywhere."""
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["rec_hybrid_topk"].fn(spark, SF_DIR))
+    for node in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, f"{node} found in flagship plan"
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key lets the sort-merge join read
     pre-shuffled data: no Exchange above either scan — the co-located
