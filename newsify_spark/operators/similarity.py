@@ -120,6 +120,69 @@ def nearest_centroid_assign(
     )
 
 
+def nearest_centroid_assign_matmul(
+    points: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    point_id: str = "point_id",
+    centroid_id: str = "centroid_id",
+    point_vec: str = "point_vec",
+    centroid_vec: str = "centroid_vec",
+    max_centroids: int = 100_000,
+) -> DataFrame:
+    """BLAS form of :func:`nearest_centroid_assign` — the inverse shape
+    of ``knn_join_matmul``: here the SMALL side is the centroid table
+    (one row per cluster by construction), so it is collected once
+    (fail-fast capped), and every points partition streams through
+    mapInPandas computing one normalized GEMM + row argmax per Arrow
+    batch. The points side never shuffles and nothing bigger than
+    |points| rows moves. Same tie-break as the expression form (best
+    score, then centroid_id asc — argmax picks the first maximum over
+    id-sorted centroids); zero vectors score 0.0 on both paths.
+    Equality with the expression form is test-pinned.
+    """
+    import numpy as np
+    import pandas as pd
+
+    crows = centroids.select(centroid_id, centroid_vec).limit(max_centroids + 1).collect()
+    if len(crows) > max_centroids:
+        raise ValueError(
+            f"nearest_centroid_assign_matmul centroid side exceeds "
+            f"max_centroids={max_centroids}; use the expression form or LSH"
+        )
+    crows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows])
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cnrm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnrm[cnrm == 0] = 1.0
+    cunit = cmat / cnrm
+
+    def part(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[point_id].to_numpy()
+            mat = np.array(list(pdf[point_vec]), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = (mat / nrm) @ cunit.T  # |batch| x |C|
+            j = np.argmax(sims, axis=1)  # first max = lowest id on ties
+            yield pd.DataFrame(
+                {
+                    point_id: ids,
+                    centroid_id: cids[j],
+                    "similarity": sims[np.arange(len(ids)), j],
+                }
+            )
+
+    p_dt = dict(points.dtypes)[point_id]
+    c_dt = dict(centroids.dtypes)[centroid_id]
+    out = points.select(point_id, point_vec).mapInPandas(
+        part, schema=f"{point_id} {p_dt}, {centroid_id} {c_dt}, similarity double"
+    )
+    return out.withColumn("matched", F.col("similarity") > F.lit(threshold))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

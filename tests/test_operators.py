@@ -362,6 +362,36 @@ def test_matmul_knn_equals_expression_knn(spark):
     assert (abs(a.score - b.score) < 1e-9).all()
 
 
+def test_centroid_assign_matmul_equals_expression(spark):
+    """BLAS nearest-centroid assignment (round 3) must match the
+    expression form exactly: same argmax label per point (incl. the
+    centroid_id-asc tie-break) and similarity within float tolerance."""
+    from newsify_spark.operators.similarity import (
+        nearest_centroid_assign,
+        nearest_centroid_assign_matmul,
+    )
+    from newsify_spark.queries.vector import label_centroids
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = label_centroids(spark, SF_DIR).select(
+        F.col("label").alias("centroid_id"), F.col("centroid").alias("centroid_vec")
+    )
+    pts = emb.select(F.col("vec_id").alias("point_id"), F.col("embedding").alias("point_vec"))
+    a = (
+        nearest_centroid_assign(pts, cents, threshold=0.8)
+        .toPandas().sort_values("point_id").reset_index(drop=True)
+    )
+    b = (
+        nearest_centroid_assign_matmul(pts, cents, threshold=0.8)
+        .toPandas().sort_values("point_id").reset_index(drop=True)
+    )
+    assert (a.point_id == b.point_id).all()
+    assert (a.centroid_id == b.centroid_id).all()
+    assert (abs(a.similarity - b.similarity) < 1e-9).all()
+    assert (a.matched == b.matched).all()
+
+
 def test_minhash_impls_identical(spark):
     from newsify_spark.operators.dedup import (
         minhash_signatures,
