@@ -420,3 +420,88 @@ def winnow_fingerprints_pandas(
     return docs.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} bigint, fp bigint"
     )
+
+
+def _sig_bands(sigs: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
+    """(id, band, bucket) rows for a signature table — shared by the
+    self-join (lsh_candidate_pairs) and cross-set (incremental) paths."""
+    n_bands = num_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        one = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    return bands
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    band_size: int = 4,
+    est_threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Ingestion-time dedup of a NEW batch against an already-ingested
+    corpus represented ONLY by its stored MinHash signatures — the
+    100 TB shape: the corpus text is never re-read and never re-deduped;
+    the signature store is ~1e-3 the corpus size and grows by one batch
+    of rows per ingest.
+
+    Candidates come from an LSH band equi-join between the batch's
+    signatures and the store (cross-set, not self-join); each candidate
+    is then verified from SIGNATURES ALONE — the fraction of equal
+    MinHash positions is an unbiased estimate of shingle-set Jaccard, so
+    no text comparison is needed (identical text gives estimate 1.0,
+    subsuming the exact-dup layer). New docs whose best estimate against
+    the store reaches ``est_threshold`` are dropped; the survivors are
+    what gets appended to the corpus (and their signatures to the store).
+
+    Every join is signature-sized and key-partitioned; ``max_bucket``
+    drops degenerate boilerplate buckets on the store side before the
+    join (same skew guard as lsh_candidate_pairs).
+    """
+    new_sigs = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    nb = _sig_bands(new_sigs, id_col, num_hashes, band_size).withColumnRenamed(
+        id_col, "new_id"
+    )
+    cb = _sig_bands(corpus_sigs, id_col, num_hashes, band_size).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    sized = cb.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    ok = sized.filter(F.col("n") <= max_bucket).select("band", "bucket")
+    cb = cb.join(ok, ["band", "bucket"], "left_semi")
+    cand = nb.join(cb, ["band", "bucket"]).select("new_id", "corpus_id").distinct()
+
+    eq_terms = [
+        F.when(F.col(f"n_h{i}") == F.col(f"c_h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ]
+    est = sum(eq_terms[1:], eq_terms[0]) / F.lit(float(num_hashes))
+    ns = new_sigs.select(
+        F.col(id_col).alias("new_id"), *[F.col(f"h{i}").alias(f"n_h{i}") for i in range(num_hashes)]
+    )
+    cs = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"), *[F.col(f"h{i}").alias(f"c_h{i}") for i in range(num_hashes)]
+    )
+    dup_ids = (
+        cand.join(ns, "new_id")
+        .join(cs, "corpus_id")
+        .withColumn("est", est)
+        .filter(F.col("est") >= est_threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return new_docs.join(
+        dup_ids.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+    )

@@ -863,3 +863,69 @@ def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.col("n_langs")) / (F.col("lang_chars") / F.col("t")), 6
         ).alias("mix_weight"),
     )
+
+
+def _sig_bands_sql(sig_cte: str) -> str:
+    """Band-union SQL over a signature CTE — mirror of
+    operators.dedup._sig_bands."""
+    bands = []
+    for b in range(N_HASHES // BAND):
+        cols = " || '|' || ".join(f"h{i}" for i in range(b * BAND, (b + 1) * BAND))
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM {sig_cte}")
+    return "\nUNION ALL\n".join(bands)
+
+
+def _incremental_oracle() -> str:
+    mins = ",\n       ".join(_minhash_mins_sql())
+    eq = " + ".join(f"(CASE WHEN nb.h{i} = cs.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES))
+    return f"""
+WITH shc AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+  FROM documents WHERE doc_id % 2 = 0
+),
+sigc AS (SELECT doc_id, {mins} FROM shc GROUP BY doc_id),
+shb AS (
+  SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS shingle
+  FROM documents WHERE doc_id % 2 = 1
+),
+sigb AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id),
+bc AS ({_sig_bands_sql('sigc')}),
+bb AS ({_sig_bands_sql('sigb')}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bb b JOIN bc c ON b.band = c.band AND b.bucket = c.bucket
+),
+dup AS (
+  SELECT DISTINCT cand.new_id
+  FROM cand
+  JOIN sigb nb ON nb.doc_id = cand.new_id
+  JOIN sigc cs ON cs.doc_id = cand.corpus_id
+  WHERE ({eq}) / 16.0 >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM dup)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_incremental_dedup",
+    doc="Ingestion-time dedup of a new batch (odd doc_ids) against an "
+    "already-ingested corpus (even doc_ids) represented ONLY by its "
+    "stored MinHash signatures (operators.dedup.incremental_dedup): LSH "
+    "band equi-join batch-vs-store, then signature-position-agreement "
+    "Jaccard estimate — the corpus text is never re-read. The 100 TB "
+    "ingest shape: per-batch cost is batch-sized + signature-store-"
+    "sized, never corpus-sized.",
+    tags=("dedup", "minhash", "incremental", "S18"),
+    oracle=_incremental_oracle(),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_sigs = DD.minhash_signatures(corpus, num_hashes=N_HASHES, shingle_n=3)
+    survivors = DD.incremental_dedup(
+        batch, corpus_sigs, num_hashes=N_HASHES, band_size=BAND, est_threshold=0.5
+    )
+    return survivors.select("doc_id").orderBy("doc_id")

@@ -808,3 +808,32 @@ def test_connected_components_no_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     got = {r["node"]: r["comp"] for r in connected_components(nodes, edges).collect()}
     assert got == {7: 7, 8: 8}
+
+
+def test_incremental_dedup_drops_known_and_keeps_novel(spark):
+    """A new batch deduped against a signature store must drop exact and
+    near copies of corpus docs but keep novel text — without ever
+    touching corpus text."""
+    from newsify_spark.operators.dedup import incremental_dedup, minhash_signatures
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again today"),
+         (2, "completely different corpus text about spark physical plans and shuffles")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup
+         (12, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+         (13, "an entirely novel document mentioning neither foxes nor physical plans whatsoever here")],
+        "doc_id bigint, text string",
+    )
+    store = minhash_signatures(corpus)
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(batch, store, est_threshold=0.5).collect()
+    )
+    assert 11 not in kept          # exact copy: estimate 1.0
+    assert 13 in kept              # novel text survives
+    assert kept == [13] or kept == [12, 13]  # near dup may drop depending on shingle overlap
+    # with the default threshold the one-word change IS caught
+    assert kept == [13]
