@@ -498,3 +498,169 @@ def knn_auto(
     if dim is None:
         raise ValueError("dim required for the LSH path (both sides large)")
     return knn_join_lsh(queries, items, k, dim=dim, **kw)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path.
+#
+# IVF/LSH shrink the CANDIDATE SET; PQ shrinks the INDEX ITSELF: each
+# vector becomes m uint8 codes (m bytes vs 4*dim — 192x smaller at
+# dim=384, m=8), so a 100 TB embedding corpus fits executor memory as
+# codes and approximate distances come from per-query lookup tables
+# (ADC), no float vector math per item. Training runs on a driver-side
+# SAMPLE (the standard practice — faiss trains on ~1e5 vectors
+# regardless of corpus size), encoding and search are full Arrow-batch
+# map passes with nothing collected but the capped query side.
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    items: DataFrame,
+    item_vec: str = "item_vec",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Train per-subspace codebooks (m x k x dim/m) with Lloyd k-means on
+    a unit-normalized driver sample. Deterministic (fixed seed); L2 on
+    unit vectors ranks identically to cosine."""
+    rows = items.select(item_vec).limit(sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    X = X / nrm
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    k = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, ds))
+    for j in range(m):
+        sub = X[:, j * ds : (j + 1) * ds]
+        C = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(k):
+                pts = sub[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks: np.ndarray,
+    item_id: str = "item_id",
+    item_vec: str = "item_vec",
+) -> DataFrame:
+    """(item_id, codes array<int>): nearest codebook centroid per
+    subspace, one vectorized pass per Arrow batch. The codebook rides
+    the task closure (m*k*ds floats — a few KB)."""
+    import pandas as pd
+
+    m, _, ds = codebooks.shape
+
+    def enc(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[item_vec]), dtype=np.float64)
+            nrm = np.linalg.norm(X, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            X = X / nrm
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * ds : (j + 1) * ds]
+                d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({item_id: pdf[item_id].to_numpy(), "codes": list(codes)})
+
+    i_dt = dict(items.dtypes)[item_id]
+    return items.select(item_id, item_vec).mapInPandas(
+        enc, schema=f"{item_id} {i_dt}, codes array<int>"
+    )
+
+
+def knn_join_pq(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    codebooks: np.ndarray,
+    query_id: str = "query_id",
+    item_id: str = "item_id",
+    query_vec: str = "query_vec",
+    item_vec: str = "item_vec",
+    rerank_factor: int = 4,
+    max_queries: int = 100_000,
+    encoded_items: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via asymmetric distance computation:
+    per-query distance TABLES against the codebooks (m x k floats), then
+    estimated distance = sum of table lookups over each item's codes —
+    no per-item float vector math. The top k*rerank_factor candidates
+    per query are reranked with EXACT cosine against the true vectors
+    (same contract as the LSH/IVF paths: approximate recall, exact
+    scores). Pass ``encoded_items`` to reuse a stored code table — the
+    production shape, where encoding happens once at ingest."""
+    import pandas as pd
+
+    m, kk, ds = codebooks.shape
+    qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(f"knn_join_pq query side exceeds max_queries={max_queries}")
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Q = Q / qn
+    # tables[q][j][c] = ||Q[q] subspace j - codebook[j][c]||^2
+    tables = np.empty((len(Q), m, kk))
+    for j in range(m):
+        qs = Q[:, j * ds : (j + 1) * ds]
+        tables[:, j, :] = ((qs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+
+    enc = encoded_items if encoded_items is not None else pq_encode(
+        items, codebooks, item_id=item_id, item_vec=item_vec
+    )
+    n_cand = k * rerank_factor
+
+    def scan(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[item_id].to_numpy()
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # |batch| x m
+            # est[q][i] = sum_j tables[q][j][codes[i][j]]
+            est = tables[:, np.arange(m)[None, :], codes].sum(-1)  # |Q| x |batch|
+            nc = min(n_cand, est.shape[1])
+            idx = np.argpartition(est, nc - 1, axis=1)[:, :nc]
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(qids, nc),
+                    item_id: ids[idx].ravel(),
+                    "est": np.take_along_axis(est, idx, axis=1).ravel(),
+                }
+            )
+
+    q_dt = dict(queries.dtypes)[query_id]
+    i_dt = dict(enc.dtypes)[item_id]
+    cand = enc.mapInPandas(scan, schema=f"{query_id} {q_dt}, {item_id} {i_dt}, est double")
+    # partition-local candidates -> global shortlist, then exact rerank
+    shortlist = top_k_per_group(
+        cand, [query_id], [F.col("est").asc(), F.col(item_id).asc()], n_cand
+    ).select(query_id, item_id)
+    qdf = queries.select(query_id, query_vec)
+    scored = (
+        shortlist.join(F.broadcast(qdf), query_id)
+        .join(items.select(item_id, item_vec), item_id)
+        .withColumn("score", METRICS["cosine"](F.col(query_vec), F.col(item_vec)))
+        .select(query_id, item_id, "score")
+    )
+    return top_k_per_group(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )

@@ -78,6 +78,31 @@ def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_ann_pq_topk",
+    doc="X5 memory-compression scale path: product-quantization kNN "
+    "(operators.similarity.pq_*) — each item vector becomes m uint8 "
+    "codes (m bytes vs 4*dim), approximate distances come from per-query "
+    "codebook lookup tables, and the top candidates are reranked with "
+    "exact cosine. Rows-only (approximate recall, exact scores); recall "
+    "invariant + exact-score check in tests.",
+    tags=("X5", "J5", "pq"),
+)
+def ml_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.similarity import knn_join_pq, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    books = pq_train(items, m=16, k=32)
+    out = knn_join_pq(q, items, k=5, codebooks=books, rerank_factor=4)
+    return out.filter(F.col("query_id") != F.col("item_id"))
+
+
+@register(
     "ml_greedy_story_assign",
     doc="W4 greedy 1:1 cluster→story assignment (batch-cluster-service.py:"
     "49-69): driver loop over the collected, thresholded score table; "

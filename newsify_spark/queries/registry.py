@@ -63,6 +63,7 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
         "doc_incremental_dedup",  # new this round; promote in a later rotation
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
+        "ml_ann_pq_topk",  # new this round; promote in a later rotation
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
         "mm_image_features",  # multimodal via mm_binary_meta; U1 via doc_embed_stub

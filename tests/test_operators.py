@@ -837,3 +837,47 @@ def test_incremental_dedup_drops_known_and_keeps_novel(spark):
     assert kept == [13] or kept == [12, 13]  # near dup may drop depending on shingle overlap
     # with the default threshold the one-word change IS caught
     assert kept == [13]
+
+
+def test_pq_knn_recall_and_exact_scores(spark):
+    """PQ kNN must (a) recall a solid fraction of the exact top-k via the
+    code-table scan + rerank, (b) return EXACT cosine scores for what it
+    does return, and (c) stay deterministic (fixed training seed)."""
+    from newsify_spark.operators.similarity import knn_join, knn_join_pq, pq_encode, pq_train
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+
+    books = pq_train(items, m=16, k=32)
+    exact = knn_join(q, items, k=6).filter("query_id != item_id").toPandas()
+    approx = (
+        knn_join_pq(q, items, k=6, codebooks=books, rerank_factor=4)
+        .filter("query_id != item_id")
+        .toPandas()
+    )
+    exact_sets = exact.groupby("query_id")["item_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["item_id"].apply(set)
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+        for qid in exact_sets.index
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean PQ recall too low: {recalls}"
+    merged = approx.merge(exact, on=["query_id", "item_id"], suffixes=("_a", "_e"))
+    assert (abs(merged.score_a - merged.score_e) < 1e-9).all()
+
+    # production shape: pre-encoded code table reused across queries
+    enc = pq_encode(items, books)
+    assert dict(enc.dtypes)["codes"] == "array<int>"
+    approx2 = (
+        knn_join_pq(q, items, k=6, codebooks=books, rerank_factor=4, encoded_items=enc)
+        .filter("query_id != item_id")
+        .toPandas()
+        .sort_values(["query_id", "item_id"])
+        .reset_index(drop=True)
+    )
+    a1 = approx.sort_values(["query_id", "item_id"]).reset_index(drop=True)
+    assert a1.equals(approx2)
