@@ -1,0 +1,62 @@
+"""Data-layout operators: Z-order (Morton) clustering keys for
+multi-dimensional row-group pruning.
+
+At 100 TB the scan is won or lost before execution: parquet keeps
+min/max statistics per row group, and Spark's filter pushdown skips
+groups whose range can't match. A layout sorted on ONE column prunes
+that column only — a filter on any other column still touches every
+group. Interleaving the bits of several columns into one Morton key and
+sorting by IT bounds EVERY interleaved column's range within each group,
+so selective filters on any of the dimensions skip most of the file.
+(This is the same technique Delta's OPTIMIZE ZORDER BY applies; here it
+is a pure column expression + ordered write, no table format needed.)
+
+The key is a codegen'd chain of shift/and/or expressions — no UDF — so
+it costs one projection at write time and nothing at read time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of each (non-negative
+    integer) column: output bit (i*n + j) = bit i of column j. Callers
+    bucket/rank non-integer dimensions first (ntile, epoch-day, hash
+    mod) — the key only needs RELATIVE order, not exact values.
+    ``bits * len(cols)`` must stay <= 63 (bigint)."""
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds 63 (bigint)")
+    cc = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cc):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``:
+    range-partitioned on the Morton key (so files tile the key space)
+    and sorted by it within each file (so row groups tile it too). Every
+    interleaved column then has tight min/max per row group and filter
+    pushdown on ANY of them skips groups."""
+    keyed = df.withColumn("__zkey", zorder_key(cols, bits=bits))
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

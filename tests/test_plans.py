@@ -208,3 +208,49 @@ def test_pack_sequences_shares_source_partitioning(spark):
     # window by source, then groupBy source: the agg must reuse the
     # window's hashpartitioning(source) — exactly one source shuffle
     assert plan.count("Exchange hashpartitioning(source") == 1, plan[:2000]
+
+
+def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
+    """Row-group stats must make a filter on the SECOND dimension
+    skippable under a Z-order layout where a single-column sort cannot:
+    sorted-by-x files each span the full y range (every group intersects
+    a y-box), while Morton-clustered files bound both dims. Measured
+    directly from parquet row-group min/max via pyarrow — the same stats
+    Spark's pushdown consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from newsify_spark.operators.layout import write_zordered
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 1024).alias("x"),
+        ((F.col("id") * 2654435761) % 1024).alias("y"),
+    )
+    lin, zor = str(tmp_path / "lin"), str(tmp_path / "zor")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(lin)
+    )
+    write_zordered(df, zor, ["x", "y"], bits=10, n_files=16)
+
+    def intersecting_groups(path, lo=300, hi=340):
+        n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                col = {md.row_group(g).column(i).path_in_schema: md.row_group(g).column(i)
+                       for i in range(md.row_group(g).num_columns)}["y"]
+                st = col.statistics
+                if st.min <= hi and st.max >= lo:
+                    n += 1
+        return n
+
+    lin_groups = intersecting_groups(lin)
+    zor_groups = intersecting_groups(zor)
+    # x-sorted layout: y is random within every group -> nothing skips
+    assert zor_groups < lin_groups, (zor_groups, lin_groups)
+    assert zor_groups <= lin_groups // 2
+    # and the data survives the round trip
+    assert spark.read.parquet(zor).count() == 200_000
