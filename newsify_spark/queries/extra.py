@@ -741,3 +741,35 @@ def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_p", 4).alias("hi"),
         F.round("avg_p", 6).alias("avg_v"),
     ).orderBy("event_type", "month")
+
+
+@register(
+    "rel_sketch_rollup",
+    doc="Mergeable-sketch rollup (Datasketches HLL, built into Spark 4): "
+    "per-day distinct-user sketches unioned to month grain — the "
+    "approximate companion of rel_incremental_rollup for metrics that "
+    "do NOT decompose exactly (count distinct). At 100 TB the month "
+    "rollup reads |days| sketch blobs (~KB each), never raw events, and "
+    "sketch union is associative so any regrouping (late data, "
+    "backfills) stays one merge pass. Estimates are deterministic for "
+    "fixed input; merged==direct is test-pinned, so rows-only here.",
+    tags=("A8", "rollup", "sketch", "incremental"),
+)
+def rel_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return (
+        daily.groupBy("month")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("month")
+    )

@@ -73,6 +73,7 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_forecast_revenue_change",  # P4/A1 via rel_pricing_summary
         "rel_gap_fill",  # T6 via stream_window_counts
         "rel_incremental_rollup",  # new this round; promote in a later rotation
+        "rel_sketch_rollup",  # new this round; promote in a later rotation
         "rel_json_extract",  # F14 via rel_json_roundtrip
         "rel_membership_filter",  # P5 via rel_membership_explode_join
         "rel_percentiles",  # A-extra

@@ -881,3 +881,34 @@ def test_pq_knn_recall_and_exact_scores(spark):
     )
     a1 = approx.sort_values(["query_id", "item_id"]).reset_index(drop=True)
     assert a1.equals(approx2)
+
+
+def test_sketch_rollup_merge_equals_direct(spark):
+    """HLL sketch union must be lossless under regrouping: month-level
+    estimate from unioned daily sketches == estimate of one direct
+    month-level sketch, and within 5% of the exact distinct count."""
+    from newsify_spark.queries import REGISTRY
+    from newsify_spark.tables import load
+
+    merged = (
+        REGISTRY["rel_sketch_rollup"].fn(spark, SF_DIR)
+        .toPandas().set_index("month")
+    )
+    ev = load(spark, SF_DIR, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+    )
+    direct = (
+        ev.groupBy("month")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .toPandas().set_index("month")
+    )
+    exact = (
+        ev.groupBy("month")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .toPandas().set_index("month")
+    )
+    assert len(merged) > 0
+    for m in merged.index:
+        assert merged.loc[m, "approx_users"] == direct.loc[m, "approx_users"], m
+        rel_err = abs(merged.loc[m, "approx_users"] - exact.loc[m, "exact"]) / max(exact.loc[m, "exact"], 1)
+        assert rel_err < 0.05, (m, rel_err)
