@@ -26,7 +26,12 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     integer) column: output bit (i*n + j) = bit i of column j. Callers
     bucket/rank non-integer dimensions first (ntile, epoch-day, hash
     mod) — the key only needs RELATIVE order, not exact values.
-    ``bits * len(cols)`` must stay <= 63 (bigint)."""
+    ``bits * len(cols)`` must stay <= 63 (bigint).
+
+    WARNING: values >= 2**bits alias onto their low bits (65536 maps
+    like 0 at bits=16), silently destroying relative order and thus
+    pruning. ``write_zordered`` validates the range by default; callers
+    using ``zorder_key`` directly must pre-bucket into [0, 2**bits)."""
     n = len(cols)
     if bits * n > 63:
         raise ValueError(f"bits*cols = {bits * n} exceeds 63 (bigint)")
@@ -46,12 +51,31 @@ def write_zordered(
     cols: list[str],
     bits: int = 16,
     n_files: int = 16,
+    validate: bool = True,
 ) -> None:
     """Write ``df`` as parquet clustered by the Z-order of ``cols``:
     range-partitioned on the Morton key (so files tile the key space)
     and sorted by it within each file (so row groups tile it too). Every
     interleaved column then has tight min/max per row group and filter
-    pushdown on ANY of them skips groups."""
+    pushdown on ANY of them skips groups.
+
+    ``validate`` (default on) fails fast if any column falls outside
+    [0, 2**bits) — out-of-budget values would alias onto their low bits
+    and silently degrade pruning. One cheap agg pass vs a full write."""
+    if validate:
+        lim = 1 << bits
+        bounds = df.agg(
+            *[F.min(c).cast("long").alias(f"min_{c}") for c in cols],
+            *[F.max(c).cast("long").alias(f"max_{c}") for c in cols],
+        ).first()
+        for c in cols:
+            lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+            if lo is not None and (lo < 0 or hi >= lim):
+                raise ValueError(
+                    f"zorder column {c!r} range [{lo}, {hi}] exceeds the "
+                    f"{bits}-bit budget [0, {lim}) — pre-bucket it "
+                    f"(ntile/hash mod) or raise bits"
+                )
     keyed = df.withColumn("__zkey", zorder_key(cols, bits=bits))
     (
         keyed.repartitionByRange(n_files, "__zkey")

@@ -524,9 +524,14 @@ def pq_train(
     seed: int = 13,
 ) -> np.ndarray:
     """Train per-subspace codebooks (m x k x dim/m) with Lloyd k-means on
-    a unit-normalized driver sample. Deterministic (fixed seed); L2 on
-    unit vectors ranks identically to cosine."""
-    rows = items.select(item_vec).limit(sample).collect()
+    a unit-normalized driver sample. Deterministic (fixed seed + sorted
+    sample — LIMIT without ORDER BY is not stable across Spark plans);
+    L2 on unit vectors ranks identically to cosine."""
+    order_col = "item_id" if "item_id" in items.columns else items.columns[0]
+    rows = [
+        (r[1],)
+        for r in items.select(order_col, item_vec).orderBy(order_col).limit(sample).collect()
+    ]
     X = np.array([r[0] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0

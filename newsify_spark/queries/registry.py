@@ -61,9 +61,7 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_unigram_logprob",
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
-        "doc_incremental_dedup",  # new this round; promote in a later rotation
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
-        "ml_ann_pq_topk",  # new this round; promote in a later rotation
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
         "mm_image_features",  # multimodal via mm_binary_meta; U1 via doc_embed_stub
@@ -72,8 +70,6 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_diversity_ratio",  # A5 via rec_bias_report
         "rel_forecast_revenue_change",  # P4/A1 via rel_pricing_summary
         "rel_gap_fill",  # T6 via stream_window_counts
-        "rel_incremental_rollup",  # new this round; promote in a later rotation
-        "rel_sketch_rollup",  # new this round; promote in a later rotation
         "rel_json_extract",  # F14 via rel_json_roundtrip
         "rel_membership_filter",  # P5 via rel_membership_explode_join
         "rel_percentiles",  # A-extra
@@ -90,14 +86,7 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_shipmode_buckets",  # A11/F18 via rel_interaction_scores
         "rel_stats_agg",  # A-extra
         "stream_cluster_assign",  # T4/T5 pinned by streaming parity tests
-        "stream_session_windows",  # T-extra, new this round; promote next rotation
         "vec_norms",  # F12/F13 folded into vec_cosine_pairs
-        # round-3 corpus-prep ops (queries/corpus.py) — beyond-reference
-        "doc_chunk_overlap",
-        "doc_top_terms",
-        "doc_tfidf_topk",
-        "doc_length_outliers",
-        "doc_domain_cap",  # new this round; promote in a later rotation
         # --- round-3 rotation OUT (VERDICT r2 item 6): every name below
         # was driver-green in BOTH r1 and r2 (accumulated hash-pass
         # evidence), freeing window slots for never-driver-checked
@@ -133,6 +122,24 @@ DEMOTED: frozenset[str] = frozenset(
         "tpch_q20_promotion_suppliers",
         "tpch_q21_waiting_suppliers",
         "tpch_q22_global_sales_opportunity",
+        # --- round-4 rotation OUT (VERDICT r3 item 1, rotation #2): every
+        # name below is driver-green (hash_match) in >=2 rounds, freeing
+        # window slots for the never-driver-checked queries promoted this
+        # round (doc_incremental_dedup, ml_ann_pq_topk,
+        # rel_incremental_rollup, rel_sketch_rollup, stream_session_windows,
+        # doc_domain_cap, doc_chunk_overlap, doc_top_terms, doc_tfidf_topk,
+        # doc_length_outliers). All remain oracle-verified locally by
+        # tests/test_oracle.py.
+        "doc_entity_rollup",  # A3; green r1+r3
+        "doc_jaccard_pairs",  # E1; green r1+r3
+        "doc_simhash",  # SimHash; green r1+r2+r3
+        "doc_token_stats",  # text stats; green r1+r2+r3
+        "doc_winnow_fingerprints",  # F15; green r2+r3
+        "ml_cluster_match_scores",  # J6 scoring; green r1+r2+r3
+        "mm_binary_meta",  # multimodal meta; green r2+r3
+        "rec_read_path",  # serving read path; green r1+r3
+        "rel_computed_projection",  # P2/S3; green r1+r2+r3
+        "rel_full_outer_merge",  # J8/E3; green r1+r2+r3
     }
 )
 

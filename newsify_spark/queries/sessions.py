@@ -30,7 +30,7 @@ GAP = "1 hour"
 # with the classic gaps-and-islands cumulative sum at gap >= 1h.
 _ORACLE = """
 WITH flagged AS (
-  SELECT user_id, date_trunc('microseconds', ts) AS ts,
+  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(date_trunc('microseconds', ts))
                    - epoch_us(date_trunc('microseconds', lag(ts) OVER w)) >= 3600000000
@@ -39,8 +39,13 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
+  -- cumsum MUST visit rows in the same ts,event_id order as the lag
+  -- window: with duplicate (user_id, ts) at a session boundary, ts-only
+  -- ordering could visit the flag=1 row after a tied flag=0 row and
+  -- split equal-ts events across sessions (Spark's session_window never
+  -- does).
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM flagged
 )

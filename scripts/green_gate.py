@@ -58,10 +58,21 @@ def compare(spark_df, oracle_sql: str | None, con) -> str | None:
     if len(got) != len(want):
         return f"rows: spark={len(got)} oracle={len(want)}"
     for c in got.columns:
+        # Null masks compared separately: fillna(sentinel) raises on
+        # pandas 2.x nullable Int64 / datetime64 columns containing NA.
+        gna, wna = got[c].isna().to_numpy(), want[c].isna().to_numpy()
         if pd.api.types.is_float_dtype(got[c]):
-            eq = got[c].fillna(-1e308) == want[c].fillna(-1e308)
+            import numpy as np
+
+            val_eq = np.isclose(
+                got[c].to_numpy(dtype="float64", na_value=0.0),
+                want[c].to_numpy(dtype="float64", na_value=0.0),
+                rtol=1e-9,
+                atol=1e-12,
+            )
         else:
-            eq = got[c].fillna("␀").eq(want[c].fillna("␀"))
+            val_eq = got[c].eq(want[c]).fillna(False).to_numpy()
+        eq = pd.Series((gna == wna) & (gna | val_eq), index=got.index)
         if not eq.all():
             i = (~eq).idxmax()
             return f"values[{c}] row {i}: spark={got[c][i]!r} oracle={want[c][i]!r}"

@@ -834,8 +834,7 @@ def test_incremental_dedup_drops_known_and_keeps_novel(spark):
     )
     assert 11 not in kept          # exact copy: estimate 1.0
     assert 13 in kept              # novel text survives
-    assert kept == [13] or kept == [12, 13]  # near dup may drop depending on shingle overlap
-    # with the default threshold the one-word change IS caught
+    # with the default threshold the one-word change IS caught too
     assert kept == [13]
 
 

@@ -12,9 +12,10 @@ from newsify_spark.queries import REGISTRY
 from newsify_spark.queries.registry import DEMOTED, driver_registry
 
 # Judge round-1 done-list + local-only F/S/J ids, MINUS names rotated out
-# in round 3 after accumulating driver-green rows in both r1 and r2
-# (VERDICT r2 item 6: rotate coverage so every operator eventually gets a
-# direct driver row): rel_needs_refresh, rel_timestamp_parse.
+# after accumulating driver-green rows in >=2 rounds (VERDICT r2 item 6 /
+# r3 item 1: rotate coverage so every operator eventually gets a direct
+# driver row). Rotated out r3: rel_needs_refresh, rel_timestamp_parse.
+# Rotated out r4: doc_entity_rollup (A3, green r1+r3).
 MUST_BE_CHECKED = {
     "vec_nearest_centroid",  # J4/W1/A10
     "vec_knn_bruteforce",  # J5 exact
@@ -33,7 +34,6 @@ MUST_BE_CHECKED = {
     "rel_point_lookup",  # S7
     "rel_latest_n",  # O3
     "rel_top_revenue_orders",  # O1
-    "doc_entity_rollup",  # A3
     "rel_recent_window_agg",  # P4
     "doc_dup_components",  # W4-free closure (connected components)
     "doc_source_quality",  # corpus rollup (r2 parity bug, now fixed)
@@ -41,6 +41,17 @@ MUST_BE_CHECKED = {
     "rel_range_join",  # J-extra range join
     "doc_pii_scrub",  # corpus PII scrub
     "doc_contamination",  # eval-set contamination gate
+    # round-4 rotation IN (rotation #2): first-ever driver rows
+    "doc_incremental_dedup",  # rolling-ingest band-join dedup
+    "ml_ann_pq_topk",  # J5 PQ-compressed ANN
+    "rel_incremental_rollup",  # incremental aggregate maintenance
+    "rel_sketch_rollup",  # mergeable HLL sketch rollup
+    "stream_session_windows",  # native session windows
+    "doc_domain_cap",  # per-domain cap (corpus prep)
+    "doc_chunk_overlap",  # overlapping chunking
+    "doc_top_terms",  # corpus top-terms
+    "doc_tfidf_topk",  # TF-IDF top-k
+    "doc_length_outliers",  # length outlier filter
 }
 
 
