@@ -46,10 +46,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # regression gate vs the checked-in baseline (BENCH_r01 adopted per
-    # VERDICT round-1 item #8): flag any query >1.5x its baseline time
+    # Two-sided regression gate (VERDICT r1 item #8 + r3 "what's wrong" #4):
+    # 1. envelope — >1.5x the per-query max of known-good runs
+    #    (jitter-tolerant, but a max only ratchets UP), paired with
+    # 2. creep — >1.5x the MEDIAN of the last clean runs (BENCH_HISTORY
+    #    .json), so slow drift can't hide under a generous envelope.
     regressions: dict[str, str] = {}
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_BENCH.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    base_path = os.path.join(here, "BASELINE_BENCH.json")
+    hist_path = os.path.join(here, "BENCH_HISTORY.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
@@ -61,12 +66,38 @@ def main() -> None:
                 file=sys.stderr,
             )
             base = {}
+        hist: list[dict[str, float]] = []
+        if base and os.path.exists(hist_path):
+            with open(hist_path) as f:
+                h = json.load(f)
+            if h.get("sf") == sf:
+                hist = h.get("runs", [])
         for name, t in timings.items():
             b = base.get("queries", {}).get(name)
             if b and t > 1.5 * b:
-                regressions[name] = f"{t:.3f}s vs baseline {b:.3f}s"
+                regressions[name] = f"{t:.3f}s vs envelope {b:.3f}s"
+                continue
+            recent = sorted(r[name] for r in hist[-2:] if name in r)
+            if len(recent) == 2:
+                med = (recent[0] + recent[1]) / 2.0
+                if t > 1.5 * med:
+                    regressions[name] = f"{t:.3f}s vs recent median {med:.3f}s"
         if regressions:
-            print(f"# REGRESSIONS (>1.5x baseline): {regressions}", file=sys.stderr)
+            print(f"# REGRESSIONS (>1.5x gate): {regressions}", file=sys.stderr)
+        elif base:
+            # clean run: append to the rolling history the creep gate reads
+            hist.append(timings)
+            with open(hist_path, "w") as f:
+                json.dump(
+                    {
+                        "note": "last clean bench runs (no regressions flagged); "
+                        "bench.py appends automatically, keeps the last 4",
+                        "sf": sf,
+                        "runs": hist[-4:],
+                    },
+                    f,
+                    indent=2,
+                )
 
     print(
         json.dumps(

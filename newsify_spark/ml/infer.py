@@ -30,19 +30,32 @@ NEG_WORDS = {"slow", "big", "error"}
 
 
 def _embed_one(text: str, dim: int) -> list[float]:
-    # seed an rng from a stable content digest -> deterministic vector
-    seed = int.from_bytes(hashlib.md5(text.encode()).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(dim)
-    n = np.linalg.norm(v)
-    return (v / n if n > 0 else v).astype("float32").tolist()
+    """Component j = md5(text|j)'s first 32 bits mapped to [-1, 1),
+    unit-normalized. Engine-portable by construction (md5 + float64
+    arithmetic only) so the U1 query is DuckDB-oracle-checkable
+    (VERDICT round-3 item #5) while staying a deterministic stand-in
+    for a real encoder."""
+    u = np.array(
+        [
+            int(hashlib.md5(f"{text}|{j}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            * 2.0
+            - 1.0
+            for j in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    n = float(np.sqrt((u * u).sum()))
+    return (u / n if n > 0 else u).tolist()
 
 
 def embed_text_udf(dim: int = EMBED_DIM):
-    """U1: text -> array<float> (reference duplication_service.py:59,64;
-    all-MiniLM-L6-v2). Real model swap: call model.encode(batch) here."""
+    """U1: text -> array<double> (reference duplication_service.py:59,64;
+    all-MiniLM-L6-v2). Real model swap: call model.encode(batch) here.
+    Double (not the production float32) so the deterministic stub is
+    bit-comparable with the DuckDB oracle after rounding."""
 
-    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _embed(s: pd.Series) -> pd.Series:
         return s.fillna("").map(lambda t: _embed_one(t, dim))
 

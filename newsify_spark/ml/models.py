@@ -162,7 +162,7 @@ def register_default_stubs(embed_dim: int = 384) -> None:
     register_impl(
         "embed",
         "stub",
-        ModelImpl(_embed_predict, "array<float>", state={"dim": embed_dim}, broadcast=True),
+        ModelImpl(_embed_predict, "array<double>", state={"dim": embed_dim}, broadcast=True),
     )
     register_impl("ner", "stub", ModelImpl(_ner_predict, "array<string>"))
     register_impl("summarize", "stub", ModelImpl(_summ_predict, "string"))

@@ -252,24 +252,41 @@ def embedding_near_dup_lsh(
 
     if dim is None:
         raise ValueError("dim (embedding dimensionality) required for the LSH path")
+    from newsify_spark.functions.vectors import dot
+
+    # normalize=True: the verify step then needs one dot() aggregate per
+    # candidate pair instead of cosine()'s three (sim is unchanged —
+    # cosine of originals == dot of unit vectors)
     sig = rhp_signatures_pandas(
         emb.select(F.col(id_col), F.col(vec_col)),
-        id_col, vec_col, dim, n_bands, bits_per_band, seed,
+        id_col, vec_col, dim, n_bands, bits_per_band, seed, normalize=True,
     )
     # the signature pass (scan + GEMM through mapInPandas) is the
     # expensive stage and feeds BOTH sides of the self-join — persist it
     # so it runs once, not once per side. MEMORY_AND_DISK via .persist()
     # default; Spark evicts under pressure, callers may unpersist.
     sig = sig.persist()
-    a = sig.select("band", "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = sig.select("band", "sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # candidate generation carries IDS ONLY: the bucket self-join and the
+    # distinct shuffle move 16-byte pairs, never vector payloads — at
+    # corpus scale the dedup shuffle is the widest stage and keeping
+    # vectors out of it is the difference between shuffling GB and TB
+    a = sig.select("band", "sig", F.col(id_col).alias("id_a"))
+    b = sig.select("band", "sig", F.col(id_col).alias("id_b"))
     cands = (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    # vectors rejoin per side for the verify step (plain equi joins on id;
+    # Spark broadcasts the vector side when it is small enough). Band 0 of
+    # the persisted signature table IS the unit-vector table — already
+    # materialized, so the norm is never recomputed per candidate pair.
+    unit = sig.filter(F.col("band") == 0).select(F.col(id_col), F.col(vec_col).alias("_uv"))
     return (
-        cands.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        cands.join(unit.select(F.col(id_col).alias("id_a"), F.col("_uv").alias("va")), "id_a")
+        .join(unit.select(F.col(id_col).alias("id_b"), F.col("_uv").alias("vb")), "id_b")
+        .withColumn("sim", dot(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -281,7 +298,7 @@ def neardup_auto(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int | None = None,
-    allpairs_rows_max: int = 100_000,
+    allpairs_rows_max: int = 20_000,
     n_rows: int | None = None,
     **lsh_kw,
 ) -> DataFrame:
@@ -289,6 +306,11 @@ def neardup_auto(
     all-pairs exact below ``allpairs_rows_max`` rows, LSH candidates +
     exact verify above — the operator-level join selection that keeps the
     O(n^2) crossJoin from ever running at corpus scale.
+
+    The cap defaults to 20k rows: at 20k the exact route is ~2x10^8
+    candidate pairs — seconds of vectorized cosine — while at the old
+    100k cap it was ~5x10^9 pairs x 384 dims, hours of compute the LSH
+    route does in minutes (VERDICT round-3 item #3).
 
     Pass ``n_rows`` to skip the sizing ``.count()`` (cheap: column-pruned
     scan). The LSH route requires ``dim``.

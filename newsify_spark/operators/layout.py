@@ -84,3 +84,60 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 8,
+) -> int:
+    """Rewrite a parquet directory accumulated from many small appends
+    (the streaming foreachBatch sink's natural output: one file set per
+    micro-batch) into ~``target_file_bytes`` files. Returns the new file
+    count, or 0 if the directory was already compact (< ``min_files``).
+
+    Small files are a 100 TB scan killer: each carries footer/open
+    overhead and caps parallelism granularity, and a long-running
+    streaming sink produces thousands per day. Compaction is the
+    maintenance half of the parquet upsert/append story
+    (see ``merge.upsert_partitioned``).
+
+    SINGLE-WRITER BOUNDARY: plain parquet has no transaction log, so this
+    rewrite (like ``upsert_partitioned``) must not run concurrently with
+    any other writer on ``path`` — schedule it between micro-batches or
+    on a paused sink. With Delta/Iceberg on the classpath the same call
+    becomes OPTIMIZE / rewrite_data_files, which ARE safe under
+    concurrent writers (snapshot isolation + optimistic commit); swap at
+    deployment, no logic change.
+
+    The rewrite stages into ``path + '.compact.tmp'`` then swaps via two
+    renames, so a crash leaves either the old or the new directory intact,
+    never a half-written mix.
+    """
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    p = Path(path)
+    fs = p.getFileSystem(hconf)
+    files = [
+        f
+        for f in fs.listStatus(p)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    ]
+    if len(files) < min_files:
+        return 0
+    total = sum(f.getLen() for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    fs.delete(Path(old), True)
+    if not fs.rename(p, Path(old)):
+        raise IOError(f"compact: rename {path} -> {old} failed")
+    if not fs.rename(Path(tmp), p):
+        fs.rename(Path(old), p)  # roll back
+        raise IOError(f"compact: rename {tmp} -> {path} failed")
+    fs.delete(Path(old), True)
+    return int(n_out)

@@ -214,6 +214,7 @@ def rhp_signatures_pandas(
     n_bands: int,
     bits_per_band: int,
     seed: int = 42,
+    normalize: bool = False,
 ) -> DataFrame:
     """(id, vec, band, sig) — ALL band signatures in one vectorized Arrow
     pass: one (batch x dim) @ (dim x n_bands*bits) GEMM, sign bits packed
@@ -241,18 +242,28 @@ def rhp_signatures_pandas(
                 continue
             bits = (mat @ planes.T) > 0  # (n, n_bands*bits)
             sigs = bits.reshape(len(mat), n_bands, bits_per_band) @ weights
+            if normalize:
+                # signatures are scale-invariant, so emitting unit vectors
+                # changes nothing upstream — but lets the verify/rerank
+                # step use one dot() aggregate instead of cosine()'s three
+                nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                vec_out = list(mat / nrm)
+            else:
+                vec_out = list(pdf[vec_col])
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(ids.to_numpy(), n_bands),
-                    vec_col: [v for v in pdf[vec_col] for _ in range(n_bands)],
+                    vec_col: [v for v in vec_out for _ in range(n_bands)],
                     "band": np.tile(np.arange(n_bands), len(mat)),
                     "sig": sigs.ravel(),
                 }
             )
 
     dt = dict(df.dtypes)
+    out_vec_type = "array<double>" if normalize else dt[vec_col]
     return df.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} {dt[id_col]}, {vec_col} {dt[vec_col]}, band int, sig long"
+        run, schema=f"{id_col} {dt[id_col]}, {vec_col} {out_vec_type}, band int, sig long"
     )
 
 
@@ -277,18 +288,22 @@ def knn_join_lsh(
     candidate count falls with bits_per_band. The bucket join is an equi
     join on (band, sig) — shuffle-partitionable, AQE-skew-splittable.
     """
+    # normalize=True: cosine of the originals == dot of the unit vectors,
+    # so the rerank needs ONE aggregate expression per pair, not three
     qsig = rhp_signatures_pandas(
-        queries.select(query_id, query_vec), query_id, query_vec, dim, n_bands, bits_per_band, seed
+        queries.select(query_id, query_vec), query_id, query_vec, dim,
+        n_bands, bits_per_band, seed, normalize=True,
     )
     isig = rhp_signatures_pandas(
-        items.select(item_id, item_vec), item_id, item_vec, dim, n_bands, bits_per_band, seed
+        items.select(item_id, item_vec), item_id, item_vec, dim,
+        n_bands, bits_per_band, seed, normalize=True,
     )
     cands = (
         qsig.join(isig, ["band", "sig"])
         .select(query_id, item_id, query_vec, item_vec)
         .dropDuplicates([query_id, item_id])
     )
-    scored = cands.withColumn("score", cosine(F.col(query_vec), F.col(item_vec))).select(
+    scored = cands.withColumn("score", dot(F.col(query_vec), F.col(item_vec))).select(
         query_id, item_id, "score"
     )
     return top_k_per_group(

@@ -28,9 +28,45 @@ def top_k_per_group(
     when results feed the DuckDB oracle, otherwise ties are
     nondeterministic across engines.
     """
+    if not group_cols:
+        # ungrouped top-k: route to TakeOrderedAndProject instead of a
+        # single-partition WindowExec (VERDICT round-3 item #8)
+        return global_top_k(df, order_cols, k, rank_col if keep_rank else None)
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
+
+
+def global_top_k(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Global (ungrouped) top-k. ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps a k-row heap and the
+    driver merges heaps — instead of the single-partition WindowExec that
+    ``top_k_per_group(df, [], ...)`` produces (VERDICT round-3 item #8).
+
+    If ``rank_col`` is given, ranks are minted AFTER the limit over the
+    k-row result — one-partition sort + monotonically_increasing_id,
+    which is consecutive from 0 within partition 0, so id+1 IS the
+    row_number. No WindowExec at all: a constant partitionBy would not
+    help (Catalyst folds literal partition keys away and the empty-spec
+    warning returns), and the expensive part already ran as
+    TakeOrderedAndProject. Callers must pass a total order (unique
+    tiebreaker) for deterministic ranks, as with top_k_per_group.
+    """
+    out = df.orderBy(*order_cols).limit(k)
+    if rank_col is not None:
+        out = (
+            out.repartition(1)
+            .sortWithinPartitions(*order_cols)
+            .withColumn(
+                rank_col, (F.monotonically_increasing_id() + 1).cast("int")
+            )
+        )
+    return out
 
 
 def argmax_per_group(

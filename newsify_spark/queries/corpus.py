@@ -218,8 +218,10 @@ def doc_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_length_outliers",
-    doc="Length-band trim: documents outside mean ± 2·stddev of character "
-    "length (the Gopher-style outlier gate). The band is a 1-row "
+    doc="Length-band trim: documents outside mean ± 1.5·stddev of character "
+    "length (the Gopher-style outlier gate; 1.5σ — the fixture's "
+    "uniform-ish lengths never leave a 2σ band, which would make the "
+    "query vacuously empty at every SF). The band is a 1-row "
     "aggregate broadcast against the scan — no window over the corpus, "
     "no second shuffle.",
     tags=("text", "corpus", "P10"),
@@ -227,8 +229,8 @@ def doc_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, n_chars,
        round(lo, 4) AS lo, round(hi, 4) AS hi
 FROM documents CROSS JOIN (
-  SELECT avg(CAST(n_chars AS DOUBLE)) - 2 * stddev(CAST(n_chars AS DOUBLE)) AS lo,
-         avg(CAST(n_chars AS DOUBLE)) + 2 * stddev(CAST(n_chars AS DOUBLE)) AS hi
+  SELECT avg(CAST(n_chars AS DOUBLE)) - 1.5 * stddev(CAST(n_chars AS DOUBLE)) AS lo,
+         avg(CAST(n_chars AS DOUBLE)) + 1.5 * stddev(CAST(n_chars AS DOUBLE)) AS hi
   FROM documents
 )
 WHERE n_chars < lo OR n_chars > hi
@@ -239,8 +241,8 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     nc = F.col("n_chars").cast("double")
     band = docs.agg(
-        (F.avg(nc) - 2 * F.stddev(nc)).alias("lo_raw"),
-        (F.avg(nc) + 2 * F.stddev(nc)).alias("hi_raw"),
+        (F.avg(nc) - 1.5 * F.stddev(nc)).alias("lo_raw"),
+        (F.avg(nc) + 1.5 * F.stddev(nc)).alias("hi_raw"),
     )
     return (
         docs.join(F.broadcast(band))

@@ -379,6 +379,24 @@ def doc_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+@register(
+    "doc_neardup_lsh",
+    doc="The LSH route of doc_neardup_auto, forced (allpairs_rows_max=0) "
+    "so the 100 TB near-dup path is TIMED every bench round (VERDICT r3 "
+    "item #4), not just plan-tested. Production band params (16 bands x "
+    "8 bits): at the fixture's τ=0.4 regime recall is partial by design "
+    "(a recall-1.0 LSH at τ=0.4 degenerates to all-pairs), so this entry "
+    "is rows-only; precision==1 (exact verify) and a recall floor are "
+    "pinned in tests/test_operators.py.",
+    tags=("dedup", "F11", "lsh", "scale-path"),
+    bench=True,
+)
+def doc_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = DD.neardup_auto(emb, threshold=0.4, dim=64, allpairs_rows_max=0)
+    return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
 def _bands_union_sql() -> str:
     parts = []
     for b in range(N_HASHES // BAND):

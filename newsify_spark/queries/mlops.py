@@ -63,6 +63,7 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replacement for the brute-force cross join (vec_knn_bruteforce). "
     "Rows-only; recall invariant in tests.",
     tags=("X5", "J5"),
+    bench=True,
 )
 def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -86,6 +87,7 @@ def ml_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact cosine. Rows-only (approximate recall, exact scores); recall "
     "invariant + exact-score check in tests.",
     tags=("X5", "J5", "pq"),
+    bench=True,
 )
 def ml_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsify_spark.operators.similarity import knn_join_pq, pq_train
@@ -141,17 +143,37 @@ def ml_greedy_story_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_embed_stub",
     doc="U1 embedding inference plumbing: Arrow-batched pandas UDF "
-    "returning array<float> (stub model — deterministic hash-seeded "
-    "vectors; swap in SentenceTransformer.encode for production). "
-    "Rows-only (model output).",
+    "returning array<double> (stub model — deterministic md5-derived "
+    "unit vectors; swap in SentenceTransformer.encode for production). "
+    "Oracle-checked (VERDICT r3 item #5): the stub formula is md5 + "
+    "float64 arithmetic, reproduced exactly in DuckDB below.",
     tags=("U1",),
+    oracle="""
+WITH comp AS (
+  SELECT d.doc_id, t.j,
+         CAST(concat('0x', substring(md5(coalesce(d.text, '') || '|' || t.j), 1, 8)) AS BIGINT)
+           / 4294967296.0 * 2.0 - 1.0 AS u
+  FROM documents d, range(64) t(j)
+),
+agg AS (
+  SELECT doc_id,
+         sqrt(sum(u * u)) AS nrm,
+         max(CASE WHEN j = 0 THEN u END) AS u0
+  FROM comp GROUP BY doc_id
+)
+SELECT doc_id, CAST(64 AS INTEGER) AS dim, round(u0 / nrm, 6) AS e0 FROM agg
+""",
 )
 def doc_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = embed_text_udf(dim=64)
     return docs.select(
         "doc_id", emb("text").alias("embedding")
-    ).select("doc_id", F.size("embedding").alias("dim"), F.element_at("embedding", 1).alias("e0"))
+    ).select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1), 6).alias("e0"),
+    )
 
 
 # ------------------------------------------------------------------- oracle

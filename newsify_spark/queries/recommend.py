@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from newsify_spark.functions.scalars import epoch_us, event_score, safe_div
 from newsify_spark.functions.vectors import cosine
-from newsify_spark.operators.topk import top_k_per_group
+from newsify_spark.operators.topk import global_top_k, top_k_per_group
 from newsify_spark.queries.registry import register
 from newsify_spark.queries.relational import EVENT_WEIGHTS, EVENT_WEIGHTS_SQL
 from newsify_spark.queries.vector import label_centroids
@@ -106,7 +106,10 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     # ONE events pass feeds ratings, freshness and the user roster; the
     # post-groupBy interaction table is |users|x|items| — small relative
     # to raw events at any scale — so cache it for its four consumers
-    # (profiles, popularity, freshness, cold-start totals).
+    # (profiles, popularity, freshness, cold-start totals). Measured
+    # (round 4): cache beats localCheckpoint(eager) 2x here — the
+    # checkpointed ExistingRDD loses column pruning and size stats, so
+    # AQE re-plans downstream joins pessimistically.
     inter_all = _interactions_with_ts(events).cache()
     inter = inter_all.filter(F.col("rating") > 0).drop("last_ts")
     # the item->label map is one row per item: always broadcastable
@@ -187,15 +190,13 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     cold = all_users.join(
         totals.filter(F.col("tot") >= COLD_MIN_RATING), "user_id", "left_anti"
     )
-    pop_top = top_k_per_group(
+    pop_top = global_top_k(
         pop.join(F.broadcast(fresh), "label").select(
             "label", (F.col("pnorm") * F.col("fresh")).alias("score")
         ),
-        [],
         [F.col("score").desc(), F.col("label").asc()],
         k,
         rank_col="rnk",
-        keep_rank=True,
     )
     cold_recs = cold.crossJoin(F.broadcast(pop_top)).withColumn("src", F.lit("popular"))
 
@@ -359,9 +360,8 @@ def rec_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("mx"))
     )
     fallback = (
-        top_k_per_group(
-            ev_lab, [], [F.col("mx").desc(), F.col("label").asc()], 3,
-            rank_col="rnk", keep_rank=True,
+        global_top_k(
+            ev_lab, [F.col("mx").desc(), F.col("label").asc()], 3, rank_col="rnk"
         )
         .select(
             F.lit(-1).cast("long").alias("user_id"),

@@ -52,6 +52,13 @@ DEMOTED: frozenset[str] = frozenset(
     {
         # subsumed end-to-end by doc_neardup_auto / doc_minhash_dedup_survivors
         "doc_embedding_neardup",
+        # forced-LSH TIMED bench variant of doc_neardup_auto (VERDICT r3
+        # item #4): rows-only with production band params — at the
+        # fixture's τ=0.4 regime a recall-1.0 LSH degenerates to
+        # all-pairs, so the canonical hash-green slot stays with the
+        # exact route and this entry honestly times the approximate one
+        # (recall floor pinned in tests/test_operators.py)
+        "doc_neardup_lsh",
         # beyond-reference corpus-cleaning extensions without a window slot
         # this round; oracle-verified locally (tests/test_oracle.py)
         "doc_repetition",

@@ -71,7 +71,7 @@ scoped AS (
   JOIN supplier ON suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
   JOIN region   ON n_regionkey = r_regionkey
-  WHERE r_name = 'REGION_0' AND p_size = 10
+  WHERE r_name = 'ASIA' AND p_size = 10
 )
 SELECT p_partkey, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
 FROM scoped a
@@ -85,7 +85,7 @@ def tpch_q02_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     part = load(spark, sf_dir, "part").filter(F.col("p_size") == 10)
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     ps = li.select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")).distinct()
     scoped = (
         ps.join(F.broadcast(part), ps.partkey == part.p_partkey)
@@ -121,7 +121,7 @@ FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-  AND r_name = 'REGION_1'
+  AND r_name = 'AMERICA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
@@ -135,7 +135,7 @@ def tpch_q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFram
     cust = load(spark, sf_dir, "customer")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -168,8 +168,8 @@ FROM (
   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
     AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
     AND c_nationkey = n2.n_nationkey
-    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 )
 GROUP BY supp_nation, cust_nation, l_year
@@ -191,8 +191,8 @@ def tpch_q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -225,7 +225,7 @@ FROM (
   WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
     AND l_orderkey = o_orderkey AND o_custkey = c_custkey
     AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-    AND r_name = 'REGION_0' AND s_nationkey = n2.n_nationkey
+    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
     AND p_type = 'PROMO'
 )
 GROUP BY o_year
@@ -239,7 +239,7 @@ def tpch_q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
     vol = _revenue()
@@ -307,8 +307,9 @@ def tpch_q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q11_important_parts",
     doc="TPC-H Q11 shape: per-part value from one nation's suppliers, "
-    "HAVING value > fraction * total (scalar subquery against an "
-    "aggregate). partsupp value -> lineitem revenue. The total is a "
+    "HAVING value > 2x the mean per-part share (scalar subquery "
+    "against an aggregate; scale-free, unlike a fixed fraction). "
+    "partsupp value -> lineitem revenue. The total is a "
     "1-row aggregate cross-joined (broadcast) into the HAVING filter, "
     "not a window over the whole table.",
     tags=("A1", "P10"),
@@ -323,7 +324,7 @@ per_part AS (
 )
 SELECT l_partkey, round(part_value, 4) AS part_value
 FROM per_part
-WHERE part_value > (SELECT 0.001 * sum(value) FROM scoped)
+WHERE part_value > (SELECT 2.0 * sum(value) / count(DISTINCT l_partkey) FROM scoped)
 ORDER BY part_value DESC, l_partkey
 """,
 )
@@ -337,7 +338,9 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", _revenue().alias("value"))
     )
     per_part = scoped.groupBy("l_partkey").agg(F.sum("value").alias("part_value"))
-    total = scoped.agg((0.001 * F.sum("value")).alias("__threshold"))
+    total = scoped.agg(
+        (2.0 * F.sum("value") / F.countDistinct("l_partkey")).alias("__threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("__threshold"))
@@ -535,7 +538,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q20_promotion_suppliers",
     doc="TPC-H Q20 shape: nested semi joins — suppliers (in one nation) "
-    "who shipped more than 50 units of any 'red%' part in 1996. "
+    "who shipped more than 30 units of any 'red%' part in 1996. "
     "partsupp/availqty -> shipped-quantity aggregate per (supp, part). "
     "Each inner stage reduces before joining outward; no fact-side "
     "row explosion.",
@@ -548,9 +551,9 @@ WHERE s_suppkey IN (
     WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
       AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_suppkey, l_partkey
-    HAVING sum(l_quantity) > 50
+    HAVING sum(l_quantity) > 30
   )
-  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_18'
 ORDER BY s_name
 """,
 )
@@ -558,7 +561,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     supp = load(spark, sf_dir, "supplier")
-    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_18")
     shipped = (
         li.filter(
             (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
@@ -566,7 +569,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("__qty"))
-        .filter(F.col("__qty") > 50)
+        .filter(F.col("__qty") > 30)
         .select("l_suppkey")
         .distinct()
     )
@@ -640,8 +643,10 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_global_sales_opportunity",
     doc="TPC-H Q22 shape: customers in a code set with above-average "
-    "positive balance and NO orders (anti join + 1-row scalar-average "
-    "broadcast). Phone country code -> c_custkey % 7.",
+    "positive balance and no RECENT orders (anti join + 1-row "
+    "scalar-average broadcast). Phone country code -> c_custkey % 7; "
+    "'no orders' -> 'no orders since 2000-07-01' because the fixture "
+    "gives every customer at least one order ever.",
     tags=("J7", "A1", "F1"),
     oracle="""
 WITH coded AS (
@@ -652,7 +657,8 @@ SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM coded
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM coded WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01')
 GROUP BY cntrycode
 ORDER BY cntrycode
 """,
@@ -669,7 +675,11 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     return (
         coded.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__avg_bal"))
-        .join(orders.select("o_custkey"), coded.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(
+            orders.filter(F.col("o_orderdate") >= _ts("2000-07-01")).select("o_custkey"),
+            coded.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
         .groupBy("cntrycode")
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntrycode")

@@ -65,6 +65,11 @@ QUERIES = [
     "vec_nearest_centroid",
     "rel_asof_join",
     "rec_hybrid_topk",
+    # approximate scale paths (round 4): the routes that REPLACE exact
+    # all-pairs/bruteforce at corpus scale must themselves scale linearly
+    "doc_neardup_lsh",
+    "ml_ann_lsh_topk",
+    "ml_ann_pq_topk",
 ]
 
 

@@ -180,3 +180,73 @@ def test_unknown_impl_raises(spark):
 
     with _pytest.raises(KeyError, match="no model impl"):
         models.model_udf(spark, "embed", impl="nope")
+
+
+def test_real_word2vec_embedding_through_registry(spark):
+    """VERDICT r3 item #6: a genuinely TRAINED text-vector model through
+    the U1 embed slot — pyspark.ml Word2Vec fitted on fixture documents,
+    learned word vectors broadcast as registry state, served via the
+    iterator pandas UDF with batch re-chunking — pinned to the JVM
+    model's own transform() output (mean of in-vocab word vectors)."""
+    import numpy as np
+    from pyspark.ml.feature import Word2Vec
+
+    from newsify_spark.ml import models
+    from newsify_spark.tables import load
+
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .limit(150)
+        .select("doc_id", "text", F.split(F.lower("text"), " ").alias("toks"))
+    )
+    w2v = Word2Vec(
+        vectorSize=16, minCount=2, maxIter=1, seed=7,
+        inputCol="toks", outputCol="w2v",
+    )
+    model = w2v.fit(docs)
+
+    # learned weights -> broadcast registry state; serving reproduces
+    # Word2VecModel.transform: mean of in-vocab token vectors, else zeros
+    vecs = {r["word"]: r["vector"].toArray() for r in model.getVectors().collect()}
+    dim = 16
+
+    def make_predict(state):
+        table, d = state["table"], state["dim"]
+
+        def predict(s):
+            out = []
+            for t in s.fillna(""):
+                hits = [table[w] for w in t.lower().split(" ") if w in table]
+                out.append(
+                    (np.mean(hits, axis=0) if hits else np.zeros(d)).tolist()
+                )
+            return pd.Series(out)
+
+        return predict
+
+    models.register_impl(
+        "embed",
+        "word2vec",
+        models.ModelImpl(
+            make_predict,
+            "array<double>",
+            state={"table": vecs, "dim": dim},
+            batch_size=32,
+            broadcast=True,
+        ),
+    )
+
+    served = (
+        docs.select(
+            "doc_id", models.model_udf(spark, "embed", impl="word2vec")("text").alias("e")
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        model.transform(docs)
+        .select("doc_id", "w2v")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(served) == len(want) > 0
+    for e, w in zip(served.e, want.w2v):
+        assert np.allclose(np.array(e), w.toArray(), atol=1e-6)

@@ -254,3 +254,29 @@ def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
     assert zor_groups <= lin_groups // 2
     # and the data survives the round trip
     assert spark.read.parquet(zor).count() == 200_000
+
+
+def test_compact_small_files_roundtrip(spark, tmp_path):
+    """20 micro-batch-style appends -> compaction bin-packs to few files,
+    preserves every row, and is a no-op on an already-compact directory."""
+    from newsify_spark.operators.layout import compact_small_files
+
+    path = str(tmp_path / "sink")
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).withColumn(
+            "v", F.col("id") * 2
+        ).write.mode("append").parquet(path)
+
+    before = spark.read.parquet(path)
+    n_before_files = len([f for f in before.inputFiles()])
+    assert n_before_files >= 20
+    want = sorted((r.id, r.v) for r in before.collect())
+
+    n_out = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert n_out == 1  # 200 tiny rows pack into one target-size file
+
+    after = spark.read.parquet(path)
+    assert len(after.inputFiles()) == 1
+    assert sorted((r.id, r.v) for r in after.collect()) == want
+    # second pass: already compact -> no-op
+    assert compact_small_files(spark, path) == 0

@@ -376,3 +376,46 @@ def test_stream_stream_interval_join_parity(spark, tmp_path):
         (r["view_id"], r["click_id"]) for r in spark.sql("SELECT * FROM ssj").collect()
     )
     assert stream_pairs == batch_pairs
+
+
+def test_foreachbatch_soak_bounded_memory(spark):
+    """50-batch soak of the foreachBatch clustering body (VERDICT r3 item
+    #9): cached-RDD storage must stay bounded (regression guard for the
+    round-2 cache-growth fix) and the carried state must stay
+    lineage-truncated (plan size flat, not nesting one level per batch)."""
+    import gc
+
+    from newsify_spark.streaming.pipeline import StoryState, assign_batch_to_stories
+
+    sc = spark.sparkContext
+    state = StoryState(threshold=0.95)
+    plan_sizes, storage_counts = [], []
+    for i in range(50):
+        # 20 articles/batch, dim 8; every 3rd batch repeats earlier ids'
+        # vectors so both the match path and the mint path stay exercised
+        base = (i % 3) * 1000
+        batch = spark.range(20).select(
+            F.concat(F.lit("a"), (F.col("id") + i * 20)).alias("article_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: F.sin(j * (F.col("id") + F.lit(base)) + 1.0),
+            ).alias("embedding"),
+        )
+        out = assign_batch_to_stories(batch, state)
+        assert out.count() == 20
+        del out
+        if i % 10 == 9:
+            gc.collect()  # let ContextCleaner drop unreferenced checkpoints
+            spark.sparkContext._jvm.System.gc()
+            plan_sizes.append(
+                len(state.stories._jdf.queryExecution().analyzed().toString())
+            )
+            storage_counts.append(len(sc._jsc.sc().getRDDStorageInfo()))
+
+    # lineage truncation: the state plan is a flat ExistingRDD scan whose
+    # printed size does not grow with batch count
+    assert max(plan_sizes) <= 2 * min(plan_sizes) + 500, plan_sizes
+    # bounded storage: cached/checkpointed RDD count must not trend with
+    # batch count (each batch takes ~5 caches + 2 checkpoints transiently)
+    assert storage_counts[-1] <= storage_counts[0] + 10, storage_counts
+    assert state.stories.count() > 0
