@@ -229,6 +229,16 @@ def embedding_near_dup(
     )
 
 
+def _auto_bits(n: int, target_bucket: int = 64) -> int:
+    """Band width that holds EXPECTED bucket size ~constant as the corpus
+    grows: bits = log2(n / target_bucket), clamped to [4, 24]. With fixed
+    bits the candidate set grows ~n^2/2^bits per band (see SCALING.md);
+    scaling bits with log(n) keeps candidate volume linear in n."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n, 2) / target_bucket))))
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -236,8 +246,10 @@ def embedding_near_dup_lsh(
     threshold: float = 0.95,
     dim: int | None = None,
     n_bands: int = 16,
-    bits_per_band: int = 8,
+    bits_per_band: int | None = 8,
     seed: int = 42,
+    max_bucket: int = 10_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Scale form of :func:`embedding_near_dup`: random-hyperplane LSH
     self-join generates candidates, exact cosine verifies — same output
@@ -247,7 +259,19 @@ def embedding_near_dup_lsh(
     The cross product shrinks from |n|^2 to the (band, signature) bucket
     collision set; the bucket join is a plain equi join AQE can
     skew-split. This is the 100 TB path for corpus-level near-dup.
+
+    ``max_bucket`` drops degenerate (band, sig) mega-buckets before the
+    self-join — the same skew guard as ``lsh_candidate_pairs``. A bucket
+    bigger than that at 8 sign bits means a large set of (near-)identical
+    vectors, which belongs to the EXACT dedup layer upstream (content
+    hash / minhash), not a quadratic candidate join here.
+
+    ``bits_per_band=None`` auto-tunes the band width from the corpus
+    size (``_auto_bits``: hold expected bucket size constant), using
+    ``n_rows`` if the caller already counted.
     """
+    if bits_per_band is None:
+        bits_per_band = _auto_bits(n_rows if n_rows is not None else emb.count())
     from newsify_spark.operators.similarity import rhp_signatures_pandas
 
     if dim is None:
@@ -270,8 +294,11 @@ def embedding_near_dup_lsh(
     # distinct shuffle move 16-byte pairs, never vector payloads — at
     # corpus scale the dedup shuffle is the widest stage and keeping
     # vectors out of it is the difference between shuffling GB and TB
-    a = sig.select("band", "sig", F.col(id_col).alias("id_a"))
-    b = sig.select("band", "sig", F.col(id_col).alias("id_b"))
+    sized = sig.groupBy("band", "sig").agg(F.count("*").alias("n"))
+    ok = sized.filter(F.col("n").between(2, max_bucket)).select("band", "sig")
+    capped = sig.join(ok, ["band", "sig"], "left_semi")
+    a = capped.select("band", "sig", F.col(id_col).alias("id_a"))
+    b = capped.select("band", "sig", F.col(id_col).alias("id_b"))
     cands = (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -319,7 +346,7 @@ def neardup_auto(
     if n <= allpairs_rows_max:
         return embedding_near_dup(emb, id_col, vec_col, threshold)
     return embedding_near_dup_lsh(
-        emb, id_col, vec_col, threshold, dim=dim, **lsh_kw
+        emb, id_col, vec_col, threshold, dim=dim, n_rows=n, **lsh_kw
     )
 
 

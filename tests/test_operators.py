@@ -1030,3 +1030,50 @@ def test_neardup_lsh_bench_route_precision_and_recall(spark):
     assert len(exact) > 0
     recall = len(lsh) / len(exact)
     assert recall >= 0.15, f"recall collapsed: {recall:.3f} ({len(lsh)}/{len(exact)})"
+
+
+def test_embedding_lsh_mega_bucket_guard(spark):
+    """A block of identical vectors (every band -> one mega bucket) must
+    be dropped by max_bucket, not exploded into a quadratic candidate
+    join — identical vectors belong to the exact-dedup layer upstream."""
+    from newsify_spark.operators.dedup import embedding_near_dup_lsh
+
+    n_dup, n_tail = 120, 40
+    emb = spark.range(n_dup + n_tail).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") < n_dup,
+            F.array(*[F.lit(float(j)) for j in range(1, 9)]),
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)), lambda j: F.cos(j * F.col("id"))
+            )
+        )
+        .alias("embedding"),
+    )
+    uncapped = embedding_near_dup_lsh(
+        emb, threshold=0.99, dim=8, max_bucket=10**9
+    ).count()
+    capped = embedding_near_dup_lsh(
+        emb, threshold=0.99, dim=8, max_bucket=100
+    ).count()
+    assert uncapped >= n_dup * (n_dup - 1) // 2  # the mega block is real
+    assert capped < 1000  # guard removed it; only the tail can pair
+
+
+def test_auto_bits_tracks_corpus_size(spark):
+    """bits_per_band=None must widen bands as the corpus grows (constant
+    expected bucket size — the rule that keeps candidate volume linear),
+    and the auto path must still find the fixture's near-dup pairs."""
+    from newsify_spark.operators.dedup import _auto_bits, embedding_near_dup_lsh
+    from newsify_spark.tables import load
+
+    assert _auto_bits(1_000) < _auto_bits(100_000) < _auto_bits(10_000_000)
+    assert _auto_bits(2) == 4 and _auto_bits(10**12) == 24  # clamps
+
+    emb = load(spark, SF_DIR, "embeddings")
+    out = embedding_near_dup_lsh(
+        emb, threshold=0.4, dim=64, n_bands=40, bits_per_band=None
+    )
+    assert out.count() > 0
