@@ -103,6 +103,41 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_PHI = 0.01
+
+
+@register(
+    "doc_heavy_terms",
+    doc="φ-heavy-hitter terms (share >= 1% of all tokens) via the "
+    "mergeable Misra-Gries sketch (operators.frequent.heavy_hitters): "
+    "per-partition capacity-k summaries map-side, candidate union "
+    "broadcast back for an EXACT recount — never a full-vocabulary "
+    "shuffle. Oracle-checkable despite the sketch route because the "
+    "candidate phase provably has no false negatives (pigeonhole + MG "
+    "retention bound; see operators/frequent.py).",
+    tags=("text", "corpus", "A1", "sketch"),
+    oracle=f"""
+WITH toks AS (
+  SELECT u.term FROM documents, unnest(string_split(text, ' ')) AS u(term)
+  WHERE u.term <> ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM toks
+GROUP BY term
+HAVING count(*) >= {HH_PHI} * (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+ORDER BY term
+""",
+)
+def doc_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.frequent import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return heavy_hitters(toks, "term", phi=HH_PHI).orderBy("term")
+
+
 @register(
     "doc_tfidf_topk",
     doc="Per-document top-5 terms by TF-IDF (idf = ln(N/df)). Term "

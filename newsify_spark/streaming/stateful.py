@@ -121,3 +121,74 @@ def streaming_cluster_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming φ-heavy-hitters: the Misra-Gries summary (operators.frequent)
+# carried as applyInPandasWithState state. Each micro-batch folds its
+# pre-aggregated counts into the capacity-k summary and emits the current
+# CANDIDATE set — every item whose MG count could still reach φ·n given
+# the summary's worst-case undercount n/(k+1). No true heavy hitter is
+# ever absent from an emission (same retention bound as the batch
+# operator); exact counts come from a downstream recount over candidates,
+# exactly like operators.frequent.heavy_hitters phase 2.
+# ---------------------------------------------------------------------------
+
+HH_OUTPUT_SCHEMA = "item string, mg_count bigint, n_seen bigint"
+HH_STATE_SCHEMA = "items array<string>, counts array<long>, n bigint"
+
+
+def _make_hh_fn(phi: float, capacity_factor: float = 2.0):
+    import math
+
+    from newsify_spark.operators.frequent import _mg_fold
+
+    k = max(1, math.ceil(capacity_factor / phi))
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n = state.get
+            summary = dict(zip(items, counts))
+            n = int(n)
+        else:
+            summary, n = {}, 0
+        for pdf in pdfs:
+            vc = pdf["item"].value_counts().to_dict()
+            n += int(sum(vc.values()))
+            summary = _mg_fold(summary, vc, k)
+        # candidate emission: mg_count >= phi*n - n/(k+1). A true heavy
+        # hitter (count >= phi*n) is undercounted by at most n/(k+1), so
+        # it always clears this bar; items the summary dropped entirely
+        # have count <= n/(k+1) < phi*n for k+1 > 1/phi.
+        thr = phi * n - n / (k + 1)
+        rows = [(i, int(c), n) for i, c in sorted(summary.items()) if c >= thr]
+        state.update(
+            (list(summary.keys()), [int(c) for c in summary.values()], int(n))
+        )
+        yield pd.DataFrame(rows, columns=["item", "mg_count", "n_seen"])
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame, item_col: str, phi: float, capacity_factor: float = 2.0
+) -> DataFrame:
+    """stream(item_col) -> per-micro-batch heavy-hitter CANDIDATES
+    (item, mg_count, n_seen) with the cumulative MG summary as state.
+    One global state key mirrors the reference's single consumer; shard
+    by a stable hash of the item for parallel state (candidates then
+    union across shards, the MG merge bound still holds per shard)."""
+    return (
+        stream.select(F.col(item_col).cast("string").alias("item"))
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandasWithState(
+            _make_hh_fn(phi, capacity_factor),
+            outputStructType=HH_OUTPUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

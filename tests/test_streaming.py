@@ -419,3 +419,55 @@ def test_foreachbatch_soak_bounded_memory(spark):
     # batch count (each batch takes ~5 caches + 2 checkpoints transiently)
     assert storage_counts[-1] <= storage_counts[0] + 10, storage_counts
     assert state.stories.count() > 0
+
+
+def test_streaming_heavy_hitters_no_false_negatives(spark, tmp_path):
+    """The stateful MG stream must emit every TRUE heavy hitter of the
+    data seen so far in its final micro-batch emission (candidates may
+    include extras; exact recount is the downstream batch phase)."""
+    from newsify_spark.streaming.stateful import streaming_heavy_hitters
+
+    # 3 micro-batches; "hot" is spread evenly so it is never batch-local
+    # heavy; tail is high-cardinality noise
+    rows = []
+    for b in range(3):
+        for i in range(1000):
+            rows.append(("hot",) if i % 50 == 0 else (f"t{b}_{i % 397}",))
+    src = tmp_path / "items"
+    src.mkdir()
+    per = len(rows) // 3
+    for b in range(3):
+        spark.createDataFrame(rows[b * per : (b + 1) * per], "item string") \
+            .coalesce(1).write.parquet(str(src / f"b{b}"))
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    phi = 0.015
+    q = (
+        streaming_heavy_hitters(stream, "item", phi=phi)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM hh_out").toPandas()
+    finally:
+        q.stop()
+
+    n_total = len(rows)
+    final = got[got.n_seen == n_total]
+    assert len(final) > 0, got
+    import collections
+
+    exact = collections.Counter(r[0] for r in rows)
+    true_hh = {i for i, c in exact.items() if c >= phi * n_total}
+    assert "hot" in true_hh  # 60/3000 = 2% >= phi
+    assert true_hh <= set(final.item), (true_hh, set(final.item))
+    # MG counts never exceed true counts
+    for r in final.itertuples():
+        assert r.mg_count <= exact[r.item]
