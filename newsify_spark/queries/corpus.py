@@ -335,3 +335,82 @@ def doc_domain_cap(spark: SparkSession, sf_dir: str, cap: int = DOMAIN_CAP) -> D
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "doc_curation_pipeline",
+    doc="END-TO-END corpus curation in ONE declarative plan — the chain a "
+    "training-data team actually runs, composed from the individually "
+    "oracle-checked gates: language-ID (stopword ratio >= 0.08) → "
+    "quality floor (>= 0.5) → length band (mean ± 1.5σ) → repetition "
+    "gate (top-bigram fraction <= 0.18) → exact-dup survivor (min "
+    "doc_id per content hash). Emits the surviving corpus. All gates "
+    "are codegen'd expressions over one documents scan plus a 1-row "
+    "band aggregate broadcast back; dedup is the only keyed shuffle.",
+    tags=("text", "corpus", "dedup", "composed"),
+    oracle="""
+WITH stats AS (
+  SELECT doc_id, source, n_chars, text,
+         (CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN CAST(len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / len(string_split(lower(text), ' ')) ELSE 0.0 END) AS stop_ratio,
+         (least(len(text) / 500.0, 1.0)
+          + least((CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN CAST(len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / len(string_split(lower(text), ' ')) ELSE 0.0 END) / 0.1, 1.0)
+          + (CASE WHEN (CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN CAST(list_reduce(list_transform(string_split(lower(text), ' '), tk -> len(tk)), (a,b) -> a + b) AS DOUBLE) / len(string_split(lower(text), ' ')) ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+         ) / 3.0 AS quality,
+         (CASE WHEN len(string_split(lower(text), ' ')) >= 2 THEN list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 1), i -> array_to_string((string_split(lower(text), ' '))[i:i+1], ' ')) ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS bg
+  FROM documents
+),
+band AS (
+  SELECT avg(CAST(n_chars AS DOUBLE)) - 1.5*stddev(CAST(n_chars AS DOUBLE)) AS lo,
+         avg(CAST(n_chars AS DOUBLE)) + 1.5*stddev(CAST(n_chars AS DOUBLE)) AS hi
+  FROM documents
+),
+gated AS (
+  SELECT s.*,
+         (CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)) AS top_bg
+  FROM stats s CROSS JOIN band b
+  WHERE s.stop_ratio >= 0.08
+    AND s.quality >= 0.5
+    AND s.n_chars BETWEEN b.lo AND b.hi
+),
+deduped AS (
+  SELECT * FROM gated g
+  WHERE g.top_bg <= 0.18
+    AND g.doc_id = (SELECT min(doc_id) FROM gated g2 WHERE md5(g2.text) = md5(g.text)
+                      AND g2.top_bg <= 0.18)
+)
+SELECT doc_id, source, n_chars, round(quality, 6) AS quality FROM deduped ORDER BY doc_id
+""",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.functions.text import (
+        quality_score,
+        stopword_ratio,
+        top_ngram_fraction,
+    )
+    from newsify_spark.operators.dedup import content_hash
+
+    docs = load(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("double")
+    band = docs.agg(
+        (F.avg(nc) - 1.5 * F.stddev(nc)).alias("lo"),
+        (F.avg(nc) + 1.5 * F.stddev(nc)).alias("hi"),
+    )
+    gated = (
+        docs.join(F.broadcast(band))
+        .withColumn("stop_ratio", stopword_ratio("text"))
+        .withColumn("quality", quality_score("text"))
+        .filter(
+            (F.col("stop_ratio") >= 0.08)
+            & (F.col("quality") >= 0.5)
+            & F.col("n_chars").between(F.col("lo"), F.col("hi"))
+        )
+        .filter(top_ngram_fraction("text", 2) <= 0.18)
+    )
+    keep = gated.groupBy(content_hash("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        gated.join(keep, "doc_id", "left_semi")
+        .select("doc_id", "source", "n_chars", F.round("quality", 6).alias("quality"))
+        .orderBy("doc_id")
+    )

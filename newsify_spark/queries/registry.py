@@ -68,8 +68,9 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_unigram_logprob",
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
-        # round-4 addition; never-driver-checked — round-5 rotation queue
+        # round-4 additions; never-driver-checked — round-5 rotation queue
         "doc_heavy_terms",
+        "doc_curation_pipeline",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
