@@ -554,3 +554,102 @@ def incremental_dedup(
     return new_docs.join(
         dup_ids.withColumnRenamed("new_id", id_col), id_col, "left_anti"
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    centroid_vec: str = "centroid",
+    threshold: float = 0.95,
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style clustered semantic dedup (Abbas et al., "SemDeDup",
+    arXiv:2303.09540): assign every embedding to its nearest centroid,
+    find cosine near-duplicate pairs WITHIN clusters only, and keep the
+    min-id survivor of each duplicate pair chain. Returns
+    (id_col, cluster_col) survivor rows.
+
+    This is the scale bridge between ``embedding_near_dup`` (exact, O(n²))
+    and ``embedding_near_dup_lsh`` (approximate, bucketed): clustering
+    bounds the quadratic term at Σ|cluster|² ≈ n²/k for k balanced
+    clusters, and recall within a cluster is exact. NOTE the scale law:
+    assignment costs n·k pair scores and pruning n²/k, so k must GROW
+    with the corpus — k ∝ √n balances the two stages at O(n^1.5) total
+    (with k fixed, the within-cluster stage degrades to quadratic;
+    ``max_cluster`` is the runtime enforcement). Past the point where
+    n^1.5 is too much, swap the exact within-cluster prune for
+    ``embedding_near_dup_lsh`` run per cluster — same output contract. The cluster pair join
+    is a plain equi join on ``cluster_col`` — AQE can skew-split it — and
+    the centroid side of the assignment is broadcast (one row per
+    cluster), so the embedding table shuffles only on its cluster key.
+
+    ``centroids`` is any (cluster_col, centroid_vec) table: MLlib KMeans
+    centers, label centroids, or a coarse quantizer — SemDeDup semantics
+    don't depend on how the partition was produced. ``max_cluster``
+    fails fast (one cheap count aggregate, guarding a quadratic join) on
+    degenerate clusterings: a cluster above the cap needs a finer
+    clustering upstream, not a bigger self-join here. Pass ``None`` to
+    skip the extra job.
+    """
+    from newsify_spark.operators.similarity import nearest_centroid_assign
+
+    assign = nearest_centroid_assign(
+        emb.select(F.col(id_col), F.col(vec_col)),
+        centroids,
+        threshold=-2.0,  # always "matched": pruning, not story-minting
+        point_id=id_col,
+        centroid_id=cluster_col,
+        point_vec=vec_col,
+        centroid_vec=centroid_vec,
+    ).select(id_col, cluster_col)
+    members = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    if max_cluster is not None:
+        over = (
+            members.groupBy(cluster_col)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cluster)
+            .limit(1)
+            .collect()
+        )
+        if over:
+            raise ValueError(
+                f"semantic_dedup: cluster {over[0][cluster_col]} has "
+                f"{over[0]['n']} members (> max_cluster={max_cluster}); "
+                "refine the clustering before the quadratic within-cluster join"
+            )
+    # members feeds both pair-join sides and the survivor anti join —
+    # persist so assignment runs once. The per-row L2 norm is computed
+    # HERE (n rows), not per pair (n²/k rows): sim = dot/(na·nb) is the
+    # same float ops in the same order as cosine(), so results stay
+    # bit-identical to the fold-form oracle while the quadratic stage
+    # drops from three array folds per pair to one.
+    from newsify_spark.functions.vectors import dot, l2_norm
+
+    members = members.withColumn("_n", l2_norm(F.col(vec_col))).persist()
+    a = members.select(
+        cluster_col,
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = members.select(
+        cluster_col,
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    sim = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(0.0))
+    losers = (
+        a.join(b, cluster_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return members.join(losers, id_col, "left_anti").select(id_col, cluster_col)

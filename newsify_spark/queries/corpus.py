@@ -414,3 +414,147 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", F.round("quality", 6).alias("quality"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_shard_manifest",
+    doc="Deterministic training-shard manifest "
+    "(operators.shards.shard_manifest): md5-derived portable shard hash "
+    "(bit-identical Spark/DuckDB/Python, unlike Murmur3 hash()), per-shard "
+    "row count, ORDER-INDEPENDENT xor checksum of row key hashes, and key "
+    "range. The write path (write_training_shards) lands each shard as one "
+    "partitionBy directory off a single keyed shuffle; this manifest is the "
+    "trainer-side integrity contract (validate_shards re-derives it from "
+    "the written files).",
+    tags=("shards", "training-output"),
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk
+  FROM documents
+)
+SELECT CAST(hk % 8 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(hk) AS xor_checksum,
+       min(doc_id) AS min_key,
+       max(doc_id) AS max_key
+FROM h GROUP BY 1
+""",
+)
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.shards import shard_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", 8)
+
+
+def _quality_sql() -> str:
+    """Unrounded quality expression matching functions.text.quality_score
+    (same form doc_quality_score rounds for output)."""
+    stop = stopword_ratio_sql()
+    toks = tokens_sql()
+    return (
+        f"(least(len(text) / 500.0, 1.0) + least({stop} / 0.1, 1.0) "
+        f"+ (CASE WHEN (CASE WHEN len({toks}) > 0 THEN "
+        f"CAST(list_reduce(list_transform({toks}, tk -> len(tk)), (a, b) -> a + b) AS DOUBLE) / len({toks}) "
+        f"ELSE 0.0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)) / 3.0"
+    )
+
+
+def _report_oracle() -> str:
+    from newsify_spark.queries.sqlkit import shingles_sql
+
+    bg = shingles_sql("text", 2)
+    return f"""
+WITH band AS (
+  SELECT avg(CAST(n_chars AS DOUBLE)) - 1.5*stddev(CAST(n_chars AS DOUBLE)) AS lo,
+         avg(CAST(n_chars AS DOUBLE)) + 1.5*stddev(CAST(n_chars AS DOUBLE)) AS hi
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, text, n_chars, b.lo, b.hi,
+         {stopword_ratio_sql()} AS stop_ratio,
+         {_quality_sql()} AS quality,
+         (CAST(list_max(list_transform(list_distinct({bg}),
+                 x -> len(list_filter({bg}, y -> y = x)))) AS DOUBLE) / len({bg})) AS top_bg
+  FROM documents CROSS JOIN band b
+),
+cls AS (
+  SELECT doc_id, text,
+         CASE WHEN stop_ratio < 0.08 THEN 'lang'
+              WHEN quality < 0.5 THEN 'quality'
+              WHEN n_chars NOT BETWEEN lo AND hi THEN 'length'
+              WHEN top_bg > 0.18 THEN 'repetition' END AS gate
+  FROM stats
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM cls WHERE gate IS NULL GROUP BY md5(text)),
+final AS (
+  SELECT COALESCE(gate,
+           CASE WHEN doc_id IN (SELECT doc_id FROM keep) THEN 'kept'
+                ELSE 'exact_dup' END) AS gate
+  FROM cls
+)
+SELECT gate, CAST(count(*) AS BIGINT) AS n_docs FROM final GROUP BY gate
+"""
+
+
+@register(
+    "doc_curation_report",
+    doc="Drop-reason attribution for doc_curation_pipeline: every document "
+    "is tagged with the FIRST gate it fails in chain order (lang → quality "
+    "→ length → repetition → exact_dup), survivors tagged 'kept'; output is "
+    "per-gate counts. The observability half of corpus curation — a corpus "
+    "team reads this before touching thresholds. Same single-scan plan as "
+    "the pipeline (gates are codegen'd expressions + a 1-row band "
+    "broadcast); attribution adds one CASE, no extra shuffle beyond the "
+    "dedup groupBy it shares.",
+    tags=("text", "corpus", "observability"),
+    oracle=_report_oracle(),
+)
+def doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.functions.text import (
+        quality_score,
+        stopword_ratio,
+        top_ngram_fraction,
+    )
+    from newsify_spark.operators.dedup import content_hash
+
+    docs = load(spark, sf_dir, "documents")
+    nc = F.col("n_chars").cast("double")
+    band = docs.agg(
+        (F.avg(nc) - 1.5 * F.stddev(nc)).alias("lo"),
+        (F.avg(nc) + 1.5 * F.stddev(nc)).alias("hi"),
+    )
+    stats = (
+        docs.join(F.broadcast(band))
+        .withColumn("stop_ratio", stopword_ratio("text"))
+        .withColumn("quality", quality_score("text"))
+        .withColumn("top_bg", top_ngram_fraction("text", 2))
+        .withColumn(
+            "first_fail",
+            F.when(F.col("stop_ratio") < 0.08, "lang")
+            .when(F.col("quality") < 0.5, "quality")
+            .when(~F.col("n_chars").between(F.col("lo"), F.col("hi")), "length")
+            .when(F.col("top_bg") > 0.18, "repetition"),
+        )
+    )
+    failed = (
+        stats.filter(F.col("first_fail").isNotNull())
+        .groupBy(F.col("first_fail").alias("gate"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    passed = stats.filter(F.col("first_fail").isNull())
+    keep = passed.groupBy(content_hash("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    marked = passed.join(
+        keep.select("doc_id").withColumn("_kept", F.lit(1)), "doc_id", "left"
+    )
+    tail = (
+        marked.select(
+            F.when(F.col("_kept").isNotNull(), "kept").otherwise("exact_dup").alias("gate")
+        )
+        .groupBy("gate")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return failed.unionByName(tail)

@@ -397,6 +397,64 @@ def doc_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+@register(
+    "doc_semdedup",
+    doc="SemDeDup clustered semantic dedup (operators.dedup.semantic_dedup; "
+    "Abbas et al. arXiv:2303.09540): nearest-centroid assignment partitions "
+    "the corpus, cosine near-dup pruning runs WITHIN clusters only, min-id "
+    "survives. Bridges exact O(n²) near-dup and LSH: quadratic term bounded "
+    "at ~n²/k, exact recall inside each cluster. Centroids here are the "
+    "label means rounded to 6dp on BOTH engines, so assignment ranking is "
+    "bit-identical (fold-form cosine per sqlkit) and the whole pipeline is "
+    "hash-checked end to end.",
+    tags=("dedup", "semdedup", "J4", "scale-path"),
+    bench=True,
+    oracle=f"""
+WITH cm AS (
+  SELECT label, CAST(pos - 1 AS INTEGER) AS pos, round(avg(v), 6) AS m
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS cluster_id, list(m ORDER BY pos) AS centroid
+  FROM cm GROUP BY label
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cosine_sql('e.embedding', 'c.centroid')} DESC,
+                      c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+members AS (
+  SELECT e.vec_id, e.embedding, a.cluster_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM members a JOIN members b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+)
+SELECT m.vec_id, m.cluster_id FROM members m
+WHERE m.vec_id NOT IN (SELECT vec_id FROM losers)
+""",
+)
+def doc_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.queries.vector import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("cluster_id"),
+        F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid"),
+    )
+    out = DD.semantic_dedup(emb, cents, threshold=0.4)
+    return out.select("vec_id", "cluster_id")
+
+
 def _bands_union_sql() -> str:
     parts = []
     for b in range(N_HASHES // BAND):
@@ -642,6 +700,50 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- contamination check
+@register(
+    "doc_semantic_contamination",
+    doc="Embedding-level contamination detection, the semantic complement "
+    "of doc_contamination's exact-shingle overlap (catches paraphrased "
+    "benchmark leakage that shares no 5-gram): corpus vectors scored "
+    "against the held-out eval set (vec_id % 97 == 0 stands in), flagged "
+    "at max-cosine >= 0.3 with the closest eval item. knn_join k=1 "
+    "broadcasts the eval side (eval sets are small by construction) and "
+    "collapses pair rows MAP-SIDE (partial argmax) — the corpus never "
+    "shuffles, only |corpus| partials move.",
+    tags=("dedup", "contamination", "J5"),
+    oracle=f"""
+SELECT vec_id, eval_id, round(sim, 6) AS sim FROM (
+  SELECT c.vec_id, e.vec_id AS eval_id,
+         {cosine_sql('c.embedding', 'e.embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {cosine_sql('c.embedding', 'e.embedding')} DESC, e.vec_id ASC
+         ) AS rn
+  FROM embeddings c, embeddings e
+  WHERE c.vec_id % 97 <> 0 AND e.vec_id % 97 = 0)
+WHERE rn = 1 AND sim >= 0.3
+""",
+)
+def doc_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.similarity import knn_join
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter((F.col("vec_id") % 97) == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    corp = emb.filter((F.col("vec_id") % 97) != 0).select(
+        "vec_id", F.col("embedding").alias("vec")
+    )
+    best = knn_join(
+        corp, ev, k=1,
+        query_id="vec_id", item_id="eval_id",
+        query_vec="vec", item_vec="eval_vec",
+    )
+    return best.filter(F.col("score") >= 0.3).select(
+        "vec_id", "eval_id", F.round("score", 6).alias("sim")
+    )
+
+
 @register(
     "doc_contamination",
     doc="Benchmark-contamination detection: per-document ratio of "

@@ -71,6 +71,10 @@ DEMOTED: frozenset[str] = frozenset(
         # round-4 additions; never-driver-checked — round-5 rotation queue
         "doc_heavy_terms",
         "doc_curation_pipeline",
+        "doc_semdedup",
+        "doc_shard_manifest",
+        "doc_curation_report",
+        "doc_semantic_contamination",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

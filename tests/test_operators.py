@@ -1130,3 +1130,98 @@ def test_heavy_hitters_phi_validation_and_capacity(spark):
     for batch in ({"a": 50, "b": 1, "c": 1}, {"d": 1, "e": 1, "f": 1}, {"a": 50, "g": 1}):
         s = _mg_fold(s, batch, k=2)
     assert "a" in s and len(s) <= 2
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def _semdedup_fixture(spark):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cluster_id int, centroid array<double>",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.01]),   # cluster 0
+            (2, [1.0, 0.0, 0.0, 0.02]),   # cluster 0, near-dup of 1 -> dropped
+            (3, [0.8, 0.0, 0.6, 0.0]),    # cluster 0, cos(v1,v3)~0.80 -> kept
+            (4, [0.71, 0.70, 0.0, 0.0]),  # cluster 0 (barely)
+            (5, [0.70, 0.71, 0.0, 0.0]),  # cluster 1 — near-dup of 4 but
+            #                               cross-cluster: SemDeDup keeps both
+            (6, [0.5, 0.5, 0.7, 0.0]),    # exact centroid tie -> cluster 0 (id asc)
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    return emb, cents
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    from newsify_spark.operators.dedup import semantic_dedup
+
+    emb, cents = _semdedup_fixture(spark)
+    out = semantic_dedup(emb, cents, threshold=0.95).toPandas()
+    got = dict(zip(out.vec_id, out.cluster_id))
+    # min-id survivor: 1 kept, 2 dropped (same cluster, cos ~0.9999)
+    assert 1 in got and 2 not in got
+    # sub-threshold same-cluster pair both survive
+    assert 3 in got
+    # cross-cluster near-dup pair (4,5): cos ~0.9998 but different
+    # clusters — SemDeDup's defining approximation keeps both
+    assert got[4] == 0 and got[5] == 1
+    # equidistant point breaks tie to the lower cluster id
+    assert got[6] == 0
+
+
+def test_semantic_dedup_mega_cluster_fails_fast(spark):
+    import pytest as _pytest
+
+    from newsify_spark.operators.dedup import semantic_dedup
+
+    emb, cents = _semdedup_fixture(spark)
+    with _pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(emb, cents, threshold=0.95, max_cluster=1)
+
+
+# ------------------------------------------------------- training shards
+
+
+def test_write_training_shards_roundtrip_and_determinism(spark, tmp_path):
+    from newsify_spark.operators.shards import (
+        shard_manifest,
+        validate_shards,
+        write_training_shards,
+    )
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = write_training_shards(docs, p1, "doc_id", 4)
+    # every row landed in exactly one shard; manifest counts cover all
+    assert sum(r.n_rows for r in m1.collect()) == docs.count()
+    back = spark.read.parquet(p1)
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() <= 4
+    # trainer-side integrity check passes on an intact write
+    assert validate_shards(spark, p1, "doc_id", 4)
+    # deterministic: a rebuild produces the identical manifest
+    m2 = write_training_shards(docs, p2, "doc_id", 4)
+    rows = lambda m: sorted(map(tuple, m.select(sorted(m.columns)).collect()))
+    assert rows(m1) == rows(m2)
+    # and equals the manifest computed straight from the source plan
+    src = shard_manifest(docs, "doc_id", 4)
+    assert rows(src) == rows(m1)
+
+
+def test_validate_shards_catches_missing_file(spark, tmp_path):
+    import glob
+    import os
+
+    from newsify_spark.operators.shards import validate_shards, write_training_shards
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    p = str(tmp_path / "s")
+    write_training_shards(docs, p, "doc_id", 4)
+    victim = sorted(glob.glob(f"{p}/shard=*/part-*.parquet"))[0]
+    os.remove(victim)
+    assert not validate_shards(spark, p, "doc_id", 4)

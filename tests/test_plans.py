@@ -280,3 +280,25 @@ def test_compact_small_files_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.v) for r in after.collect()) == want
     # second pass: already compact -> no-op
     assert compact_small_files(spark, path) == 0
+
+
+def test_semantic_dedup_pair_join_is_equi(spark):
+    """semantic_dedup's quadratic stage must be an equi join on the
+    cluster key (AQE-splittable), never a cross product. The ONLY
+    nested-loop join in the plan is the centroid assignment — a
+    crossJoin against the broadcast (|k|-row) centroid table."""
+    from newsify_spark.operators.dedup import semantic_dedup
+    from newsify_spark.queries.vector import label_centroids
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = label_centroids(spark, SF_DIR).select(
+        F.col("label").alias("cluster_id"), F.col("centroid")
+    )
+    out = semantic_dedup(emb, cents, threshold=0.4, max_cluster=None)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the quadratic pair stage shuffles/joins on the cluster key
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[cluster_id", plan
+    ) or "hashpartitioning(cluster_id" in plan, plan[:1200]

@@ -120,3 +120,30 @@ def test_minhash_estimates_jaccard(spark, data):
     sigs = minhash_signatures_pandas(docs).toPandas().set_index("doc_id")
     agree = sum(sigs.loc[0, f"h{i}"] == sigs.loc[1, f"h{i}"] for i in range(16)) / 16
     assert abs(agree - exact_j) <= 0.35
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.integers(-(2**62), 2**62), st.text(max_size=40)),
+        min_size=1,
+        max_size=30,
+    ),
+    n_shards=st.integers(1, 64),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shard_id_matches_pure_python_md5(spark, keys, n_shards):
+    """shard_id's portability claim: the Spark expression equals a
+    straight Python md5 reimplementation for any key (so DuckDB oracles
+    and external trainers can re-derive shard membership)."""
+    import hashlib
+
+    from newsify_spark.operators.shards import shard_id
+
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    got = {
+        r.k: r.s
+        for r in df.select("k", shard_id(F.col("k"), n_shards).alias("s")).collect()
+    }
+    for k in got:
+        want = int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % n_shards
+        assert got[k] == want
