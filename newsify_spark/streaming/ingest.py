@@ -1,0 +1,142 @@
+"""Streaming ingestion dedup: Structured Streaming front-end for
+``operators.dedup.incremental_dedup``.
+
+The reference dedups at ingest with a Redis SET-NX per link
+(ingestion_service.py:74-77) — exact-URL only, single-node state. This
+module is the 100 TB shape of the same stage: each micro-batch of new
+documents is near-dup-checked against the ENTIRE already-ingested corpus
+without ever re-reading it, because the corpus is represented by its
+MinHash signature store (~1e-3 of corpus bytes, growing by one batch of
+rows per ingest).
+
+Per micro-batch:
+1. within-batch dedup (``minhash_dedup`` — two dups arriving together
+   would both pass the store check);
+2. cross-set LSH band join of the batch signatures vs the store,
+   signature-only Jaccard estimate, drop hits
+   (``incremental_dedup``);
+3. append survivors to ``out_path/batch=<id>/`` and their signatures to
+   ``store_path/batch=<id>/``.
+
+Idempotent restarts: foreachBatch can re-deliver a batch after a
+failure, so BOTH writes go to a batch-id subdirectory with
+mode("overwrite") — the standard exactly-once file-sink pattern: a
+replayed batch rewrites its own partition instead of appending
+duplicates. (The replay sees the same store contents too, because its
+own partition is excluded from the load below.)
+
+Single-writer boundary: like ``operators.merge.upsert_partitioned``,
+this assumes one ingest stream per store — concurrent writers need a
+table format with commit coordination (Delta/Iceberg) swapped in at the
+two write sites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsify_spark.operators.dedup import (
+    incremental_dedup,
+    minhash_dedup,
+    minhash_signatures,
+)
+
+def load_signature_store(
+    spark: SparkSession,
+    store_path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """Signature store as a DataFrame; empty (with the right schema) if
+    nothing has been ingested yet. ``exclude_batch`` drops one batch
+    partition — a replayed batch must not see its own failed write."""
+    hcols = ", ".join(f"h{i} string" for i in range(num_hashes))
+    schema = f"{id_col} long, {hcols}"
+    try:
+        sigs = spark.read.option("basePath", store_path).parquet(store_path)
+    except Exception:  # AnalysisException: path missing / empty store
+        return spark.createDataFrame([], schema)
+    if exclude_batch is not None and "batch" in sigs.columns:
+        sigs = sigs.filter(F.col("batch") != exclude_batch)
+    return sigs.select(id_col, *[f"h{i}" for i in range(num_hashes)])
+
+
+def ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    band_size: int = 4,
+    jaccard_threshold: float = 0.8,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Process ONE micro-batch (the foreachBatch body, exposed for batch
+    use and tests). Returns the surviving rows it appended."""
+    spark = batch.sparkSession
+    # 1. within-batch near-dup (min-id survivor)
+    local = minhash_dedup(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        shingle_n=shingle_n,
+    )
+    # 2. vs-store (signature-only estimate; excludes this batch's own
+    #    partition so a replay is deterministic)
+    store = load_signature_store(
+        spark, store_path, id_col, num_hashes, exclude_batch=batch_id
+    )
+    survivors = incremental_dedup(
+        local,
+        store,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        band_size=band_size,
+        est_threshold=est_threshold,
+    )
+    # one pass feeds both writes
+    survivors = survivors.persist()
+    try:
+        survivors.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        sigs = minhash_signatures(
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+        )
+        sigs.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+    finally:
+        survivors.unpersist()
+    return survivors
+
+
+def dedup_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    **kw,
+):
+    """Wire :func:`ingest_batch` as a foreachBatch sink on a streaming
+    DataFrame of documents. Returns the started StreamingQuery."""
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        ingest_batch(batch, batch_id, store_path, out_path, **kw)
+
+    return (
+        stream.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -471,3 +471,82 @@ def test_streaming_heavy_hitters_no_false_negatives(spark, tmp_path):
     # MG counts never exceed true counts
     for r in final.itertuples():
         assert r.mg_count <= exact[r.item]
+
+
+def test_streaming_ingest_dedup_cross_and_within_batch(spark, tmp_path):
+    """3-batch ingest: within-batch dup dropped, cross-batch dup dropped
+    against the signature store (no corpus re-read), novel docs kept;
+    store grows only by survivors."""
+    from newsify_spark.streaming.ingest import ingest_batch, load_signature_store
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = mk([(1, base), (2, base + " extra"), (3, "completely different words entirely")])
+    s0 = ingest_batch(b0, 0, store, out)
+    # 1 and 2 are near-dups within the batch -> min-id 1 survives
+    assert sorted(r.doc_id for r in s0.collect()) == [1, 3]
+
+    b1 = mk([(10, base), (11, "fresh unseen content about spark engines")])
+    s1 = ingest_batch(b1, 1, store, out)
+    # 10 duplicates doc 1 from batch 0 — caught from SIGNATURES alone
+    assert sorted(r.doc_id for r in s1.collect()) == [11]
+
+    b2 = mk([(20, "fresh unseen content about spark engines")])
+    s2 = ingest_batch(b2, 2, store, out)
+    assert [r.doc_id for r in s2.collect()] == []  # dup of 11
+
+    sigs = load_signature_store(spark, store)
+    assert sorted(r.doc_id for r in sigs.collect()) == [1, 3, 11]
+    corpus = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 3, 11]
+
+
+def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch id (foreachBatch replay after failure) rewrites
+    its own partitions instead of appending duplicates — and excludes its
+    own earlier write from the store it checks against."""
+    from newsify_spark.streaming.ingest import ingest_batch
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b = mk([(1, "some document text with enough words to shingle properly here")])
+    first = ingest_batch(b, 0, store, out)
+    assert [r.doc_id for r in first.collect()] == [1]
+    replay = ingest_batch(b, 0, store, out)
+    # replay sees the store WITHOUT its own partition -> doc 1 survives again
+    assert [r.doc_id for r in replay.collect()] == [1]
+    assert spark.read.parquet(out).count() == 1
+    assert spark.read.parquet(store).groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    """Real readStream -> foreachBatch -> store/corpus round trip."""
+    from newsify_spark.streaming.ingest import dedup_ingest_stream
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # single flat files — the file-stream source does not recurse into
+    # Spark-written .parquet directories
+    pq.write_table(pa.table({"doc_id": pa.array([1], "int64"), "text": [txt]}), src / "f0.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([2], "int64"), "text": [txt]}), src / "f1.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = dedup_ingest_stream(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    corpus = spark.read.parquet(str(tmp_path / "out"))
+    # doc 2 is an exact dup of doc 1: at most one survives, one batch or two
+    assert [r.doc_id for r in corpus.collect()] == [1]
