@@ -242,3 +242,25 @@ def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
         ),
     ).otherwise(F.array(F.array_min(h)))
     return F.array_sort(F.array_distinct(mins))
+
+
+def dedup_lines(text: Column | str, sep: str = "\n") -> Column:
+    """Drop repeated lines within a document, keeping the FIRST
+    occurrence (CCNet/RefinedWeb-style in-document line dedup — repeated
+    nav/boilerplate lines are the classic web-corpus artifact). Pure
+    codegen'd expression, zero shuffle: array_distinct preserves
+    first-occurrence order."""
+    t = F.split(_c(text), sep)
+    return F.array_join(F.array_distinct(t), sep)
+
+
+def word_segments(text: Column | str, seg_words: int = 6) -> Column:
+    """Fixed-width word segmentation: consecutive ``seg_words``-word
+    windows (the tail segment may be shorter). The separator-free
+    segmentation used when a corpus has no line structure."""
+    t = F.split(_c(text), " ")
+    nseg = F.greatest(F.ceil(F.size(t) / F.lit(seg_words)).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * seg_words + F.lit(1), F.lit(seg_words)), " "),
+    )

@@ -90,3 +90,43 @@ def validate_shards(spark, path: str, key_col: str, n_shards: int) -> bool:
         "shard", "n_rows", "xor_checksum"
     )
     return stored.exceptAll(actual).isEmpty() and actual.exceptAll(stored).isEmpty()
+
+
+def split_assignment(
+    key: F.Column, weights: dict[str, float], buckets: int = 10_000
+) -> F.Column:
+    """Deterministic train/val/test assignment from the same portable
+    md5 hash as :func:`shard_id`: the key's hash bucket (of ``buckets``)
+    falls into cumulative weight ranges. STABLE UNDER CORPUS GROWTH —
+    a document's split never changes when other documents are added or
+    removed, which is what makes hash splits (vs random splits) safe to
+    recompute at every rebuild. Weights must sum to 1."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    b = h % F.lit(buckets)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = b < F.lit(int(round(acc * buckets)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return (expr.otherwise(last) if expr is not None else F.lit(last)).alias("split")
+
+
+def split_manifest(
+    df: DataFrame, key_col: str, weights: dict[str, float], buckets: int = 10_000
+) -> DataFrame:
+    """(split, n_rows, xor_checksum) per split — the hand-off contract
+    for a train/val/test partition, same checksum algebra as
+    :func:`shard_manifest`."""
+    key = F.col(key_col)
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return (
+        df.select(split_assignment(key, weights, buckets).alias("split"), h.alias("_h"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_rows"), F.expr("bit_xor(_h)").alias("xor_checksum"))
+    )

@@ -322,6 +322,7 @@ def knn_join_ivf(
     query_vec: str = "query_vec",
     item_vec: str = "item_vec",
     seed: int = 42,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate kNN: coarse-quantize items into ``n_cells``
     KMeans cells, probe each query's ``n_probe`` nearest cells, exact
@@ -332,21 +333,28 @@ def knn_join_ivf(
     and the query probe are broadcast lookups; the candidate join is an
     equi join on cell id — shuffle-partitionable, and candidate count is
     |items| * n_probe / n_cells per query on balanced cells.
+
+    ``cells`` overrides the KMeans quantizer with a precomputed
+    (cell int, cell_vec array<double>) table — any coarse quantizer
+    works (IVF semantics don't depend on how the cells were trained),
+    and a DETERMINISTIC cell table makes the whole index
+    oracle-checkable (vec_knn_ivf rides this with rounded label
+    centroids).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from newsify_spark.functions.vectors import l2_normalize
-
-    feats = items.select(
-        F.col(item_id), array_to_vector(l2_normalize(item_vec)).alias("features")
-    )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
-    cells = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
     spark = items.sparkSession
-    cell_df = F.broadcast(
-        spark.createDataFrame(cells, "cell int, cell_vec array<double>")
-    )
+    if cells is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from newsify_spark.functions.vectors import l2_normalize
+
+        feats = items.select(
+            F.col(item_id), array_to_vector(l2_normalize(item_vec)).alias("features")
+        )
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+        trained = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+        cells = spark.createDataFrame(trained, "cell int, cell_vec array<double>")
+    cell_df = F.broadcast(cells)
 
     item_cells = (
         items.crossJoin(cell_df)

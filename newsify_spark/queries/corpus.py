@@ -558,3 +558,36 @@ def doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
     )
     return failed.unionByName(tail)
+
+
+@register(
+    "doc_split_manifest",
+    doc="Deterministic train/val/test split manifest "
+    "(operators.shards.split_manifest): the same portable md5 hash as "
+    "doc_shard_manifest buckets each doc into cumulative weight ranges "
+    "(90/5/5). Hash splits are STABLE UNDER CORPUS GROWTH — a doc's "
+    "split never changes as others come and go — which random splits "
+    "can't offer; the per-split xor checksum is the rebuild-integrity "
+    "contract.",
+    tags=("shards", "training-output", "split"),
+    oracle="""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk
+  FROM documents
+),
+s AS (
+  SELECT hk,
+         CASE WHEN hk % 10000 < 9000 THEN 'train'
+              WHEN hk % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM h
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(hk) AS xor_checksum
+FROM s GROUP BY split
+""",
+)
+def doc_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.shards import split_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    return split_manifest(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})

@@ -699,6 +699,53 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_line_dedup",
+    doc="In-document segment dedup (CCNet/RefinedWeb drop repeated "
+    "lines; C4 drops repeated spans): the fixture has no line structure, "
+    "so documents are segmented into fixed 6-word windows "
+    "(functions.text.word_segments), repeated segments dropped keeping "
+    "the FIRST occurrence (array_distinct preserves first-occurrence "
+    "order; the DuckDB side keeps an element iff its list_position "
+    "equals its own index), text reassembled. Pure codegen'd "
+    "expressions, zero shuffle — the newline variant "
+    "(functions.text.dedup_lines) is unit-tested on synthetic docs.",
+    tags=("text", "dedup", "lines"),
+    oracle="""
+WITH segs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT), 1)),
+           i -> array_to_string((string_split(text, ' '))[(i-1)*6+1:(i-1)*6+6], ' ')) AS s
+  FROM documents
+),
+u AS (
+  SELECT doc_id, s,
+         list_transform(
+           list_filter(list_zip(s, generate_series(1, len(s))),
+                       p -> list_position(s, p[1]) = p[2]),
+           p -> p[1]) AS su
+  FROM segs
+)
+SELECT doc_id,
+       array_to_string(su, ' ') AS clean_text,
+       CAST(len(s) AS INTEGER) AS n_segments,
+       CAST(len(s) - len(su) AS INTEGER) AS n_dropped
+FROM u
+""",
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    segs = TX.word_segments("text", 6)
+    uniq = F.array_distinct(segs)
+    return docs.select(
+        "doc_id",
+        F.array_join(uniq, " ").alias("clean_text"),
+        F.size(segs).cast("int").alias("n_segments"),
+        (F.size(segs) - F.size(uniq)).cast("int").alias("n_dropped"),
+    )
+
+
 # ------------------------------------------------------- contamination check
 @register(
     "doc_semantic_contamination",

@@ -272,3 +272,75 @@ def vec_knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonself, ["query_id"], [F.col("score").desc(), F.col("item_id").asc()], 5
     )
     return top5.select("query_id", "item_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "vec_knn_ivf",
+    doc="IVF ANN made hash-checkable (J5 scale path): "
+    "operators.similarity.knn_join_ivf with a DETERMINISTIC coarse "
+    "quantizer — 6dp-rounded label centroids as the cell table (IVF "
+    "semantics are independent of how cells were trained; the KMeans "
+    "route stays timed as ml_ann_ivf_topk). Items assign to their top-1 "
+    "cell, queries probe their top-3, exact cosine reranks within probed "
+    "cells — every stage bit-identical cross-engine (fold-form cosine, "
+    "rounded centroids), so the APPROXIMATE index itself is "
+    "oracle-verified end to end, not just recall-tested.",
+    tags=("J5", "ivf", "scale-path"),
+    oracle=f"""
+WITH cm AS (
+  SELECT label, CAST(pos - 1 AS INTEGER) AS pos, round(avg(v), 6) AS m
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS cell, list(m ORDER BY pos) AS cell_vec
+  FROM cm GROUP BY label
+),
+icell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cosine_sql('e.embedding', 'c.cell_vec')} DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+qcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cosine_sql('e.embedding', 'c.cell_vec')} DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE rn <= 3
+),
+cand AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id
+  FROM qcell q JOIN icell i ON q.cell = i.cell
+),
+scored AS (
+  SELECT c.query_id, c.item_id,
+         {cosine_sql('qe.embedding', 'ie.embedding')} AS score,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY {cosine_sql('qe.embedding', 'ie.embedding')} DESC, c.item_id ASC) AS rn
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ie ON ie.vec_id = c.item_id
+)
+SELECT query_id, item_id, round(score, 6) AS score FROM scored WHERE rn <= 5
+""",
+)
+def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.similarity import knn_join_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    cells = label_centroids(spark, sf_dir).select(
+        F.col("label").cast("int").alias("cell"),
+        F.transform("centroid", lambda v: F.round(v, 6)).alias("cell_vec"),
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    out = knn_join_ivf(q, items, k=5, n_probe=3, cells=cells)
+    return out.select("query_id", "item_id", F.round("score", 6).alias("score"))

@@ -1225,3 +1225,58 @@ def test_validate_shards_catches_missing_file(spark, tmp_path):
     victim = sorted(glob.glob(f"{p}/shard=*/part-*.parquet"))[0]
     os.remove(victim)
     assert not validate_shards(spark, p, "doc_id", 4)
+
+
+# ------------------------------------------------------- in-doc line dedup
+
+
+def test_dedup_lines_and_word_segments(spark):
+    from newsify_spark.functions.text import dedup_lines, word_segments
+
+    df = spark.createDataFrame(
+        [
+            ("nav bar\ncontent one\nnav bar\ncontent two\nnav bar",),
+            ("only line",),
+        ],
+        "text string",
+    )
+    out = df.select(dedup_lines("text").alias("clean")).collect()
+    # repeated boilerplate line dropped, FIRST occurrence kept, order stable
+    assert out[0].clean == "nav bar\ncontent one\ncontent two"
+    assert out[1].clean == "only line"
+
+    seg = spark.createDataFrame([("a b c d e f a b c d e f g h",)], "text string")
+    rows = seg.select(word_segments("text", 6).alias("s")).first().s
+    assert rows == ["a b c d e f", "a b c d e f", "g h"]
+    deduped = seg.select(
+        F.array_join(F.array_distinct(word_segments("text", 6)), " ").alias("c")
+    ).first().c
+    assert deduped == "a b c d e f g h"
+
+
+def test_split_assignment_disjoint_stable_and_proportional(spark):
+    from newsify_spark.operators.shards import split_assignment
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    lab = docs.select(
+        "doc_id", split_assignment(F.col("doc_id"), w).alias("split")
+    ).toPandas()
+    # total + disjoint: every doc gets exactly one split
+    assert len(lab) == docs.count() and lab.doc_id.is_unique
+    frac = lab.split.value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.9) < 0.06
+    # growth stability: membership of existing docs unchanged when the
+    # corpus halves (hash splits, unlike random splits)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    lab2 = half.select(
+        "doc_id", split_assignment(F.col("doc_id"), w).alias("split")
+    ).toPandas()
+    merged = lab.merge(lab2, on="doc_id", suffixes=("_full", "_half"))
+    assert (merged.split_full == merged.split_half).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_assignment(F.col("doc_id"), {"a": 0.5, "b": 0.4})
