@@ -692,3 +692,42 @@ def knn_join_pq(
     return top_k_per_group(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
+
+
+def save_pq_index(
+    spark, path: str, codebooks: np.ndarray, encoded_items: DataFrame
+) -> None:
+    """Persist a PQ index as parquet: the trained codebooks (a few KB,
+    one row per (subspace, centroid)) plus the encoded item codes
+    (m uint8-range ints per vector — the ~96x-compressed table that
+    replaces raw vectors at serving time).
+
+    This is the reference's FAISS index save/load (S13/S14,
+    faiss.write_index at duplication_service.py) re-expressed as tables:
+    rebuildable from the corpus, diffable, and readable by any engine.
+    The original vector table is NOT needed again until an exact rerank
+    is requested."""
+    m, k, ds = codebooks.shape
+    rows = [
+        (mi, ki, [float(x) for x in codebooks[mi, ki]])
+        for mi in range(m)
+        for ki in range(k)
+    ]
+    cb = spark.createDataFrame(rows, "m int, k int, vec array<double>")
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded_items.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """Reload a persisted PQ index -> (codebooks ndarray, codes
+    DataFrame) ready for :func:`knn_join_pq`'s ``encoded_items`` fast
+    path. The codebook table is driver-collected (it is KB-sized by
+    construction); the codes stay distributed."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["m"] for r in rows) + 1
+    k = max(r["k"] for r in rows) + 1
+    ds = len(rows[0]["vec"])
+    codebooks = np.zeros((m, k, ds), dtype=np.float64)
+    for r in rows:
+        codebooks[r["m"], r["k"]] = r["vec"]
+    return codebooks, spark.read.parquet(f"{path}/codes")

@@ -1308,3 +1308,34 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert sum(recalls) / len(recalls) >= 0.45, f"IVF mean recall too low: {recalls}"
     merged = ivf.merge(exact, on=["query_id", "item_id"], suffixes=("_i", "_e"))
     assert (abs(merged.score_i - merged.score_e) < 1e-9).all()
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    """S13/S14 index persistence at scale shape: codebooks + encoded
+    codes persisted as parquet, reloaded, and serving the SAME top-k as
+    the freshly built index (reference: faiss.write_index/read_index)."""
+    import numpy as np
+
+    from newsify_spark.operators.similarity import (
+        knn_join_pq,
+        load_pq_index,
+        pq_encode,
+        pq_train,
+        save_pq_index,
+    )
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_train(items, m=8, k=16, sample=200)
+    codes = pq_encode(items, cb)
+    save_pq_index(spark, str(tmp_path / "idx"), cb, codes)
+    cb2, codes2 = load_pq_index(spark, str(tmp_path / "idx"))
+    assert np.array_equal(cb, cb2)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    fresh = knn_join_pq(q, items, k=5, codebooks=cb, encoded_items=codes)
+    reloaded = knn_join_pq(q, items, k=5, codebooks=cb2, encoded_items=codes2)
+    assert rows(fresh) == rows(reloaded)
