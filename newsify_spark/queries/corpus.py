@@ -337,18 +337,9 @@ def doc_domain_cap(spark: SparkSession, sf_dir: str, cap: int = DOMAIN_CAP) -> D
     )
 
 
-@register(
-    "doc_curation_pipeline",
-    doc="END-TO-END corpus curation in ONE declarative plan — the chain a "
-    "training-data team actually runs, composed from the individually "
-    "oracle-checked gates: language-ID (stopword ratio >= 0.08) → "
-    "quality floor (>= 0.5) → length band (mean ± 1.5σ) → repetition "
-    "gate (top-bigram fraction <= 0.18) → exact-dup survivor (min "
-    "doc_id per content hash). Emits the surviving corpus. All gates "
-    "are codegen'd expressions over one documents scan plus a 1-row "
-    "band aggregate broadcast back; dedup is the only keyed shuffle.",
-    tags=("text", "corpus", "dedup", "composed"),
-    oracle="""
+# CTE chain shared by doc_curation_pipeline and doc_corpus_build: the
+# full gate cascade ending in the deduped survivor set.
+_CURATION_CTES = """
 WITH stats AS (
   SELECT doc_id, source, n_chars, text,
          (CASE WHEN len(string_split(lower(text), ' ')) > 0 THEN CAST(len(list_filter(string_split(lower(text), ' '), tk -> tk IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / len(string_split(lower(text), ' ')) ELSE 0.0 END) AS stop_ratio,
@@ -378,6 +369,22 @@ deduped AS (
     AND g.doc_id = (SELECT min(doc_id) FROM gated g2 WHERE md5(g2.text) = md5(g.text)
                       AND g2.top_bg <= 0.18)
 )
+"""
+
+
+@register(
+    "doc_curation_pipeline",
+    doc="END-TO-END corpus curation in ONE declarative plan — the chain a "
+    "training-data team actually runs, composed from the individually "
+    "oracle-checked gates: language-ID (stopword ratio >= 0.08) → "
+    "quality floor (>= 0.5) → length band (mean ± 1.5σ) → repetition "
+    "gate (top-bigram fraction <= 0.18) → exact-dup survivor (min "
+    "doc_id per content hash). Emits the surviving corpus. All gates "
+    "are codegen'd expressions over one documents scan plus a 1-row "
+    "band aggregate broadcast back; dedup is the only keyed shuffle.",
+    tags=("text", "corpus", "dedup", "composed"),
+    oracle=_CURATION_CTES
+    + """
 SELECT doc_id, source, n_chars, round(quality, 6) AS quality FROM deduped ORDER BY doc_id
 """,
 )
@@ -591,3 +598,81 @@ def doc_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return split_manifest(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+@register(
+    "doc_quality_checks",
+    doc="Declarative data-quality constraint report "
+    "(operators.checks.run_checks, Deequ-style): every rule folds into "
+    "ONE aggregate scan (map-side-combined CASE sums — rule count never "
+    "adds passes or shuffles), unpivoted to (check, violations, total) "
+    "rows a pipeline gates on. NULL predicate results count as "
+    "violations (fail-closed). Violation mechanics + the expect_all "
+    "fail-fast gate are unit-tested on synthetic dirty data.",
+    tags=("checks", "observability"),
+    oracle="""
+WITH agg AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS v_id,
+         sum(CASE WHEN COALESCE(n_chars = len(text), FALSE) THEN 0 ELSE 1 END) AS v_n,
+         sum(CASE WHEN COALESCE(regexp_matches(lang, '^[a-z]{2}$'), FALSE) THEN 0 ELSE 1 END) AS v_lang,
+         sum(CASE WHEN COALESCE(len(text) > 0, FALSE) THEN 0 ELSE 1 END) AS v_text,
+         sum(CASE WHEN COALESCE(source <> '', FALSE) THEN 0 ELSE 1 END) AS v_src
+  FROM documents
+)
+SELECT 'doc_id_not_null' AS check, CAST(v_id AS BIGINT) AS violations, CAST(total AS BIGINT) AS total FROM agg
+UNION ALL SELECT 'n_chars_matches_text', CAST(v_n AS BIGINT), CAST(total AS BIGINT) FROM agg
+UNION ALL SELECT 'lang_is_iso2', CAST(v_lang AS BIGINT), CAST(total AS BIGINT) FROM agg
+UNION ALL SELECT 'text_nonempty', CAST(v_text AS BIGINT), CAST(total AS BIGINT) FROM agg
+UNION ALL SELECT 'source_nonempty', CAST(v_src AS BIGINT), CAST(total AS BIGINT) FROM agg
+""",
+)
+def doc_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.checks import run_checks
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        ("doc_id_not_null", F.col("doc_id").isNotNull()),
+        ("n_chars_matches_text", F.col("n_chars") == F.length("text")),
+        ("lang_is_iso2", F.col("lang").rlike("^[a-z]{2}$")),
+        ("text_nonempty", F.length("text") > 0),
+        ("source_nonempty", F.col("source") != ""),
+    ]
+    return run_checks(docs, rules)
+
+
+@register(
+    "doc_corpus_build",
+    doc="The WHOLE corpus build as one declarative plan — the capstone "
+    "composition: curation cascade (language-ID → quality → length band "
+    "→ repetition → exact-dup survivor, same CTE chain as "
+    "doc_curation_pipeline) with the training hand-off columns attached "
+    "to every survivor: deterministic train/val/test split and shard id "
+    "(operators.shards — portable md5, stable under corpus growth). "
+    "What lands in path/split=…/shard=…/ for the trainer, hash-checked "
+    "end to end.",
+    tags=("corpus", "composed", "shards", "split"),
+    oracle=_CURATION_CTES
+    + """
+SELECT doc_id, source, n_chars, round(quality, 6) AS quality,
+       CASE WHEN hk % 10000 < 9000 THEN 'train'
+            WHEN hk % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(hk % 8 AS INTEGER) AS shard
+FROM (SELECT d.*,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk
+      FROM deduped d)
+ORDER BY doc_id
+""",
+)
+def doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.shards import shard_id, split_assignment
+
+    base = doc_curation_pipeline(spark, sf_dir)
+    return base.select(
+        "*",
+        split_assignment(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).alias("split"),
+        shard_id(F.col("doc_id"), 8).alias("shard"),
+    )

@@ -1339,3 +1339,30 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path):
     fresh = knn_join_pq(q, items, k=5, codebooks=cb, encoded_items=codes)
     reloaded = knn_join_pq(q, items, k=5, codebooks=cb2, encoded_items=codes2)
     assert rows(fresh) == rows(reloaded)
+
+
+# ---------------------------------------------------- data-quality checks
+
+
+def test_run_checks_counts_violations_and_nulls_fail_closed(spark):
+    from newsify_spark.operators.checks import expect_all, run_checks
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None), (3, ""), (None, "x")],
+        "k int, v string",
+    )
+    rules = [
+        ("k_not_null", F.col("k").isNotNull()),
+        ("v_nonempty", F.length("v") > 0),  # NULL v -> NULL pred -> violation
+    ]
+    rep = {r["check"]: (r.violations, r.total) for r in run_checks(df, rules).collect()}
+    assert rep == {"k_not_null": (1, 4), "v_nonempty": (2, 4)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k_not_null: 1/4"):
+        expect_all(df, rules)
+    clean = spark.createDataFrame([(1, "a")], "k int, v string")
+    assert expect_all(clean, rules).count() == 2
+    with _pytest.raises(ValueError, match="no rules"):
+        run_checks(df, [])
