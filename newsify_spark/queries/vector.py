@@ -344,3 +344,123 @@ def vec_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_join_ivf(q, items, k=5, n_probe=3, cells=cells)
     return out.select("query_id", "item_id", F.round("score", 6).alias("score"))
+
+
+# --- vec_knn_lsh: the LSH index itself hash-checked -----------------------
+# Same plane family as the production pandas path (seed + 1000*band);
+# signatures via the EXPRESSION form whose fold is bit-identical to
+# DuckDB's list_reduce (sqlkit parity contract), so bucket membership —
+# and therefore the approximate result set — is reproducible in SQL.
+LSH_BANDS, LSH_BITS, LSH_SEED, LSH_DIM = 4, 6, 42, 64
+
+
+def _lsh_band_planes() -> list[list[list[float]]]:
+    from newsify_spark.operators.similarity import _hyperplanes
+
+    return [
+        _hyperplanes(LSH_DIM, LSH_BITS, LSH_SEED + 1000 * b) for b in range(LSH_BANDS)
+    ]
+
+
+def _rhp_band_sig_sql(planes: list[list[float]]) -> str:
+    """DuckDB mirror of operators.similarity.rhp_signature for one band:
+    sign bit per plane packed into an int. repr() float literals
+    round-trip exactly; the zip/transform/reduce fold matches Spark's
+    F.aggregate (0.0 + x == x in IEEE, so the missing init is a no-op)."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        proj = (
+            f"list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), "
+            f"CAST({arr} AS DOUBLE[])), p -> p[1] * p[2]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_oracle() -> str:
+    bands = _lsh_band_planes()
+    qs = "\nUNION ALL ".join(
+        f"SELECT vec_id AS query_id, {b} AS band, {_rhp_band_sig_sql(p)} AS sig "
+        "FROM embeddings WHERE vec_id < 20"
+        for b, p in enumerate(bands)
+    )
+    isg = "\nUNION ALL ".join(
+        f"SELECT vec_id AS item_id, {b} AS band, {_rhp_band_sig_sql(p)} AS sig "
+        "FROM embeddings"
+        for b, p in enumerate(bands)
+    )
+    cos = cosine_sql("qe.embedding", "ie.embedding")
+    return f"""
+WITH qs AS ({qs}),
+isg AS ({isg}),
+cand AS (
+  SELECT DISTINCT q.query_id, i.item_id
+  FROM qs q JOIN isg i ON q.band = i.band AND q.sig = i.sig
+  WHERE q.query_id <> i.item_id
+),
+scored AS (
+  SELECT c.query_id, c.item_id, {cos} AS score,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY {cos} DESC, c.item_id ASC) AS rn
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ie ON ie.vec_id = c.item_id
+)
+SELECT query_id, item_id, round(score, 6) AS score FROM scored WHERE rn <= 5
+"""
+
+
+@register(
+    "vec_knn_lsh",
+    doc="LSH ANN made hash-checkable (J5 scale path, completing the set "
+    "with vec_knn_bruteforce/vec_knn_ivf): random-hyperplane band "
+    "signatures via the EXPRESSION form (operators.similarity."
+    "rhp_signature — fold bit-identical to DuckDB list_reduce), bucket "
+    "equi-join candidates, exact cosine rerank top-5. The oracle embeds "
+    "the same seeded planes as repr() literals, so the APPROXIMATE "
+    "bucket membership itself is reproduced and hash-compared — recall "
+    "is whatever 4x6-bit banding gives, identically on both engines. "
+    "Production route (vectorized signatures, skew caps) stays "
+    "ml_ann_lsh_topk.",
+    tags=("J5", "lsh", "scale-path"),
+    oracle=_lsh_oracle(),
+)
+def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.similarity import rhp_signature
+    from newsify_spark.operators.topk import top_k_per_group
+
+    emb = load(spark, sf_dir, "embeddings")
+    bands = _lsh_band_planes()
+
+    def sigs(df, id_alias):
+        out = None
+        for b, planes in enumerate(bands):
+            one = df.select(
+                F.col("vec_id").alias(id_alias),
+                F.lit(b).alias("band"),
+                rhp_signature(F.col("embedding"), planes).alias("sig"),
+            )
+            out = one if out is None else out.unionByName(one)
+        return out
+
+    qs = sigs(emb.filter(F.col("vec_id") < 20), "query_id")
+    isg = sigs(emb, "item_id")
+    cand = (
+        qs.join(isg, ["band", "sig"])
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id")
+        .distinct()
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ie = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("iv"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ie, "item_id")
+        .withColumn("score", cosine(F.col("qv"), F.col("iv")))
+        .select("query_id", "item_id", "score")
+    )
+    top = top_k_per_group(
+        scored, ["query_id"], [F.col("score").desc(), F.col("item_id").asc()], 5
+    )
+    return top.select("query_id", "item_id", F.round("score", 6).alias("score"))
