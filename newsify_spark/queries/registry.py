@@ -68,19 +68,7 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_unigram_logprob",
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
-        # round-4 additions; never-driver-checked — round-5 rotation queue
-        "doc_heavy_terms",
-        "doc_curation_pipeline",
-        "doc_semdedup",
-        "doc_shard_manifest",
-        "doc_curation_report",
-        "doc_semantic_contamination",
-        "doc_line_dedup",
-        "doc_split_manifest",
-        "vec_knn_ivf",
-        "doc_quality_checks",
-        "doc_corpus_build",
-        "vec_knn_lsh",
+        # (round-4 additions all promoted in rotation #3 below)
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
@@ -160,6 +148,29 @@ DEMOTED: frozenset[str] = frozenset(
         "rec_read_path",  # serving read path; green r1+r3
         "rel_computed_projection",  # P2/S3; green r1+r2+r3
         "rel_full_outer_merge",  # J8/E3; green r1+r2+r3
+        # --- round-5 rotation OUT (rotation #3): no round-4 driver pass
+        # ran, so rotation #2's promotions stay in the window for their
+        # first driver exposure; slots for the never-driver-checked
+        # round-4 additions (doc_heavy_terms, doc_curation_pipeline,
+        # doc_semdedup, doc_shard_manifest, doc_curation_report,
+        # doc_semantic_contamination, doc_line_dedup, doc_split_manifest,
+        # vec_knn_ivf, doc_quality_checks, doc_corpus_build, vec_knn_lsh)
+        # come instead from names hash-green in >=2 driver rounds
+        # (r1-r3 evidence; rounds green noted per name). All remain
+        # oracle-verified locally by tests/test_oracle.py and
+        # scripts/green_gate.py --all.
+        "doc_exact_dedup",  # bench; green r1+r2+r3 (see BENCH_ROTATED_OUT)
+        "doc_minhash_signatures",  # bench; green r1+r2+r3
+        "rec_bias_report",  # bench; green r1+r2+r3
+        "doc_minhash_dedup_survivors",  # green r1+r2+r3
+        "rec_user_rec_lists",  # green r1+r2+r3
+        "rel_anti_join_customers",  # J7/E2; green r1+r2+r3
+        "rel_dedup_events",  # A8/S18; green r1+r2+r3
+        "rel_drift_score",  # A4; green r1+r2+r3
+        "rel_interaction_scores",  # A11/F18; green r1+r2+r3
+        "rel_json_roundtrip",  # F14/S4/S5; green r1+r2+r3
+        "rel_latest_n",  # O3/O4; green r1+r3
+        "rel_upsert_profiles",  # S9; green r1+r3
     }
 )
 
