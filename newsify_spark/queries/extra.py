@@ -773,3 +773,66 @@ def rel_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "rel_snapshot_diff",
+    doc="CDC-style snapshot diff: two deterministic snapshots of orders "
+    "(old drops o_orderkey%11=3, new drops %11=5 and reprices %7=2 "
+    "rows by +10) full-outer-joined on the key and classified "
+    "added/deleted/changed, unchanged rows dropped — the change feed a "
+    "downstream incremental consumer (or SCD2 merge, rel_scd2_segments) "
+    "ingests. One shuffle on the join key; at 100 TB both sides "
+    "partition-prune to the compared snapshot versions.",
+    tags=("J8", "E3", "cdc", "S11"),
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 11 <> 3
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 11 <> 5
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_type,
+       old.price AS old_price,
+       new.price AS new_price
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL OR old.price <> new.price
+ORDER BY o_orderkey
+""",
+)
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 3).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    # constant-delta reprice: raw doubles pass through bit-identically on
+    # both engines (x*1.1 rounded lands on .005 boundaries)
+    new = orders.filter(F.col("o_orderkey") % 11 != 5).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 2, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("old_price").isNull(), "added")
+            .when(F.col("new_price").isNull(), "deleted")
+            .otherwise("changed"),
+        )
+        .filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+        .orderBy("o_orderkey")
+    )

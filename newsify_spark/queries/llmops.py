@@ -1096,3 +1096,35 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus_sigs, num_hashes=N_HASHES, band_size=BAND, est_threshold=0.5
     )
     return survivors.select("doc_id").orderBy("doc_id")
+
+
+_BLOOM_ORACLE = """
+SELECT doc_id FROM documents
+WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_bloom_dedup",
+    doc="Bloom-prefiltered exact dedup of a re-delivered batch (all "
+    "docs — at-least-once delivery) against the ingested corpus (doc_id "
+    "% 3 = 0): a pure-expression Bloom bitmap (bit_or-aggregated build, "
+    "k codegen'd element_at probes, operators.bloom) passes definitely-"
+    "new rows with zero shuffle and routes only bloom-positives into "
+    "the exact verification anti-join. Result is EXACT (false positives "
+    "verified, false negatives impossible) — the oracle is the plain "
+    "anti-join. The Spark-native successor to the reference's per-key "
+    "Redis SET-NX lookup (duplication_service.py:120-143).",
+    tags=("dedup", "bloom", "S18", "incremental"),
+    oracle=_BLOOM_ORACLE,
+)
+def doc_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators import bloom as BL
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text_hash", DD.content_hash("text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).select("text_hash")
+    survivors = BL.bloom_prefilter_dedup(docs, corpus, "text_hash")
+    return survivors.select("doc_id").orderBy("doc_id")

@@ -425,3 +425,41 @@ def doc_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.idx, s.shingle "
         "FROM __udtf_docs d, LATERAL shingle_udtf(d.text, 3) s"
     )
+
+
+@register(
+    "ml_quality_classifier",
+    doc="Trained-in-engine quality classifier (ml/classify.py): weak "
+    "labels from the declarative heuristic (median split on "
+    "functions.text.quality_score), distilled into a char-3-gram "
+    "HashingTF + multinomial LogisticRegression — the fastText/CCNet "
+    "corpus-gating bootstrap. Trained on doc_id%5!=0, applied to the "
+    "held-out %5==0 docs. Rows-only (LBFGS float sums are not "
+    "SQL-reproducible); held-out agreement floor, determinism, "
+    "JVM-side inference, and persistence pinned in "
+    "tests/test_classify.py. The reference only ever APPLIES "
+    "downloaded checkpoints (bias_detection_service.py:61-62) — "
+    "training stays outside its system; here it is one query.",
+    tags=("U2", "U4", "ml", "text"),
+)
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.ml.classify import (
+        predict_labels,
+        train_text_classifier,
+        weak_quality_labels,
+    )
+
+    docs = weak_quality_labels(load(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model = train_text_classifier(train, label_col="weak_label")
+    return (
+        predict_labels(model, test)
+        .select(
+            "doc_id",
+            "weak_label",
+            "predicted",
+            (F.col("weak_label") == F.col("predicted")).alias("agrees"),
+        )
+        .orderBy("doc_id")
+    )

@@ -69,6 +69,12 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
         # (round-4 additions all promoted in rotation #3 below)
+        # round-5 additions; never-driver-checked — round-6 rotation queue
+        "doc_bloom_dedup",
+        "vec_int8_quantize",
+        "vec_knn_int8",
+        "rel_snapshot_diff",
+        "ml_quality_classifier",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

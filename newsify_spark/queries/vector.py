@@ -464,3 +464,104 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["query_id"], [F.col("score").desc(), F.col("item_id").asc()], 5
     )
     return top.select("query_id", "item_id", F.round("score", 6).alias("score"))
+
+
+# --- int8 scalar quantization (operators/quantize.py) ---------------------
+
+_SQ_DIMS_SQL = """
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos
+      FROM embeddings),
+dims AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM u GROUP BY pos),
+sc AS (SELECT pos, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS s
+       FROM dims)
+"""
+
+
+@register(
+    "vec_int8_quantize",
+    doc="int8 scalar quantization of the embedding column "
+    "(operators.quantize.sq_encode_col): per-dimension min/max affine "
+    "codes, FAISS IndexScalarQuantizer(QT_8bit) scheme — 4x index "
+    "compression with pure transform() expressions, no UDF. Flat "
+    "(vec_id, pos, code) output for unambiguous hashing.",
+    tags=("X5", "quantize"),
+    oracle=f"""
+WITH {_SQ_DIMS_SQL.strip()}
+SELECT u.vec_id, u.pos,
+       CAST(least(255.0, greatest(0.0, floor((u.v - sc.mn) / sc.s + 0.5))) AS BIGINT) AS code
+FROM u JOIN sc USING (pos)
+ORDER BY vec_id, pos
+""",
+)
+def vec_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.quantize import sq_encode_col, sq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    mins, scales = sq_train(emb, "embedding")
+    return (
+        emb.select("vec_id", sq_encode_col("embedding", mins, scales).alias("codes"))
+        .select("vec_id", F.posexplode("codes").alias("pos", "code"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "vec_knn_int8",
+    doc="J5/X5 kNN over int8-quantized items (operators.quantize."
+    "knn_join_sq): candidates ranked by cosine against DECODED int8 "
+    "vectors (6-dp rounded, item_id tiebreak), exact-cosine rerank of "
+    "the top-25 pool, top-5 out. Returned scores are exact; the whole "
+    "deterministic chain (train, encode, decode, both rankings) is "
+    "reproduced in the DuckDB oracle — the index itself is hash-checked, "
+    "like vec_knn_ivf/vec_knn_lsh.",
+    tags=("J5", "X5", "quantize"),
+    oracle=f"""
+WITH {_SQ_DIMS_SQL.strip()},
+ms AS (SELECT list(mn ORDER BY pos) AS mins, list(s ORDER BY pos) AS scales FROM sc),
+dec AS (
+  SELECT e.vec_id,
+         list_transform(
+           list_zip(CAST(e.embedding AS DOUBLE[]), m.mins, m.scales),
+           p -> p[2] + least(255.0, greatest(0.0, floor((p[1] - p[2]) / p[3] + 0.5))) * p[3]
+         ) AS dv
+  FROM embeddings e, ms m
+),
+approx AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+         round({cosine_sql('q.embedding', 'i.dv')}, 6) AS ascore
+  FROM embeddings q JOIN dec i ON i.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+),
+cand AS (
+  SELECT query_id, item_id FROM (
+    SELECT query_id, item_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ascore DESC, item_id ASC) AS rn
+    FROM approx) WHERE rn <= 25
+),
+exact AS (
+  SELECT c.query_id, c.item_id,
+         {cosine_sql('q.embedding', 'i.embedding')} AS score
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings i ON i.vec_id = c.item_id
+)
+SELECT query_id, item_id, round(score, 6) AS score FROM (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, item_id ASC) AS rn
+  FROM exact) WHERE rn <= 5
+""",
+)
+def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.quantize import knn_join_sq
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    top = knn_join_sq(q, items, k=5, candidate_k=25)
+    return top.select("query_id", "item_id", F.round("score", 6).alias("score"))
