@@ -1117,6 +1117,7 @@ ORDER BY doc_id
     "anti-join. The Spark-native successor to the reference's per-key "
     "Redis SET-NX lookup (duplication_service.py:120-143).",
     tags=("dedup", "bloom", "S18", "incremental"),
+    bench=True,
     oracle=_BLOOM_ORACLE,
 )
 def doc_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -517,6 +517,7 @@ def vec_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reproduced in the DuckDB oracle — the index itself is hash-checked, "
     "like vec_knn_ivf/vec_knn_lsh.",
     tags=("J5", "X5", "quantize"),
+    bench=True,
     oracle=f"""
 WITH {_SQ_DIMS_SQL.strip()},
 ms AS (SELECT list(mn ORDER BY pos) AS mins, list(s ORDER BY pos) AS scales FROM sc),

@@ -10,6 +10,9 @@ MinHash signature store (~1e-3 of corpus bytes, growing by one batch of
 rows per ingest).
 
 Per micro-batch:
+0. bloom exact-dup fast path (``operators.bloom``): a compact bitmap
+   over the store's text hashes drops exact re-deliveries before any
+   shingling — the common at-least-once case costs k hash probes/row;
 1. within-batch dedup (``minhash_dedup`` — two dups arriving together
    would both pass the store check);
 2. cross-set LSH band join of the batch signatures vs the store,
@@ -51,16 +54,22 @@ def load_signature_store(
 ) -> DataFrame:
     """Signature store as a DataFrame; empty (with the right schema) if
     nothing has been ingested yet. ``exclude_batch`` drops one batch
-    partition — a replayed batch must not see its own failed write."""
+    partition — a replayed batch must not see its own failed write.
+    Stores written by this module carry a ``text_hash`` column (the
+    exact-dup bloom fast path); stores from older layouts without it
+    still load."""
     hcols = ", ".join(f"h{i} string" for i in range(num_hashes))
-    schema = f"{id_col} long, {hcols}"
+    schema = f"{id_col} long, text_hash string, {hcols}"
     try:
         sigs = spark.read.option("basePath", store_path).parquet(store_path)
     except Exception:  # AnalysisException: path missing / empty store
         return spark.createDataFrame([], schema)
     if exclude_batch is not None and "batch" in sigs.columns:
         sigs = sigs.filter(F.col("batch") != exclude_batch)
-    return sigs.select(id_col, *[f"h{i}" for i in range(num_hashes)])
+    keep = [id_col] + (["text_hash"] if "text_hash" in sigs.columns else []) + [
+        f"h{i}" for i in range(num_hashes)
+    ]
+    return sigs.select(*keep)
 
 
 def ingest_batch(
@@ -79,6 +88,27 @@ def ingest_batch(
     """Process ONE micro-batch (the foreachBatch body, exposed for batch
     use and tests). Returns the surviving rows it appended."""
     spark = batch.sparkSession
+    # 0. bloom exact-dup fast path: at-least-once delivery mostly
+    #    re-sends EXACT copies; a Bloom bitmap over the store's
+    #    text_hash column drops them before the (much costlier)
+    #    shingle/MinHash stages. Pure cost optimization — output is
+    #    unchanged (positives are verified exactly; an exact dup that
+    #    somehow slipped through would still hit estimate 1.0 in the
+    #    incremental_dedup stage below).
+    pre_store = load_signature_store(
+        spark, store_path, id_col, num_hashes, exclude_batch=batch_id
+    )
+    if "text_hash" in pre_store.columns:
+        from newsify_spark.operators.bloom import _next_pow2, bloom_prefilter_dedup
+
+        n_store = pre_store.count()
+        if n_store:
+            batch = bloom_prefilter_dedup(
+                batch.withColumn("text_hash", F.md5(F.col(text_col))),
+                pre_store.select("text_hash"),
+                "text_hash",
+                m_bits=max(1024, _next_pow2(20 * n_store)),
+            ).drop("text_hash")
     # 1. within-batch near-dup (min-id survivor)
     local = minhash_dedup(
         batch,
@@ -91,9 +121,7 @@ def ingest_batch(
     )
     # 2. vs-store (signature-only estimate; excludes this batch's own
     #    partition so a replay is deterministic)
-    store = load_signature_store(
-        spark, store_path, id_col, num_hashes, exclude_batch=batch_id
-    )
+    store = pre_store.drop("text_hash") if "text_hash" in pre_store.columns else pre_store
     survivors = incremental_dedup(
         local,
         store,
@@ -115,7 +143,15 @@ def ingest_batch(
             num_hashes=num_hashes,
             shingle_n=shingle_n,
         )
-        sigs.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+        # text_hash rides along for the next batch's bloom fast path
+        # (broadcast-join back — sigs and the hash side are both
+        # batch-sized)
+        hashes = survivors.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+        )
+        sigs.join(F.broadcast(hashes), id_col).write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
     finally:
         survivors.unpersist()
     return survivors

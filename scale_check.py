@@ -70,6 +70,10 @@ QUERIES = [
     "doc_neardup_lsh",
     "ml_ann_lsh_topk",
     "ml_ann_pq_topk",
+    # round 5: bloom prefilter (build is m/64-bounded, probe is a map)
+    # and the int8-quantized ANN path
+    "doc_bloom_dedup",
+    "vec_knn_int8",
 ]
 
 

@@ -105,7 +105,8 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # until the next rotation, so they ride demoted (locally oracle-green)
 # with timing evidence now and MUST be promoted at the next rotation —
 # remove from this set when that happens.
-BENCH_PROMOTION_QUEUE: set[str] = set()  # doc_semdedup promoted in r5
+# (doc_semdedup, added r4, was promoted in r5 as promised)
+BENCH_PROMOTION_QUEUE = {"doc_bloom_dedup", "vec_knn_int8"}  # added r5, promote in r6
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the

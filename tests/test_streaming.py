@@ -550,3 +550,25 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
     corpus = spark.read.parquet(str(tmp_path / "out"))
     # doc 2 is an exact dup of doc 1: at most one survives, one batch or two
     assert [r.doc_id for r in corpus.collect()] == [1]
+
+
+def test_streaming_ingest_bloom_fast_path_drops_exact_redelivery(spark, tmp_path):
+    """An exact re-delivery of an ingested doc is dropped by the bloom
+    fast path (store carries text_hash), and the final corpus equals
+    what the MinHash-only path would produce — bloom is cost-only."""
+    from newsify_spark.streaming.ingest import ingest_batch, load_signature_store
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "some document text with enough words to shingle properly here"
+    t2 = "an entirely different second document mentioning other things now"
+    ingest_batch(mk([(1, t1), (2, t2)]), 0, store, out)
+    sigs = load_signature_store(spark, store)
+    assert "text_hash" in sigs.columns  # new store layout
+
+    # redeliver doc 1 verbatim (new id — at-least-once producers re-key),
+    # plus one novel doc
+    s1 = ingest_batch(mk([(10, t1), (11, "a third totally novel text about engines")]), 1, store, out)
+    assert sorted(r.doc_id for r in s1.collect()) == [11]
+    corpus = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 11]
