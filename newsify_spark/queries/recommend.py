@@ -372,3 +372,231 @@ def rec_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mine.unionByName(fallback)
+
+
+# --- serving-layer diversification + training-data negatives (round 5) ----
+
+_MMR_ORACLE = f"""
+WITH inter AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         sum({EVENT_WEIGHTS_SQL}) AS rating
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+  HAVING sum({EVENT_WEIGHTS_SQL}) > 0
+),
+withvec AS (
+  SELECT i.user_id, i.item, round(i.rating, 6) AS rel, e.embedding
+  FROM inter i JOIN embeddings e ON i.item = e.vec_id
+),
+cand AS (
+  SELECT user_id, item, rel, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY rel DESC, item ASC) AS rn
+    FROM withvec) WHERE rn <= 8
+),
+sims AS (
+  SELECT a.user_id, a.item AS ia, b.item AS ib,
+         round({{cos}}, 6) AS s
+  FROM cand a JOIN cand b ON a.user_id = b.user_id AND a.item <> b.item
+),
+p1 AS (
+  SELECT user_id, item, rel AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY rel DESC, item ASC) AS rn
+    FROM cand) WHERE rn = 1
+),
+r2 AS (
+  SELECT c.user_id, c.item, round(0.7 * c.rel - 0.3 * s.s, 6) AS score
+  FROM cand c
+  JOIN p1 ON c.user_id = p1.user_id AND c.item <> p1.item
+  JOIN sims s ON s.user_id = c.user_id AND s.ia = c.item AND s.ib = p1.item
+),
+p2 AS (
+  SELECT user_id, item, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY score DESC, item ASC) AS rn
+    FROM r2) WHERE rn = 1
+),
+r3 AS (
+  SELECT c.user_id, c.item, round(0.7 * c.rel - 0.3 * max(s.s), 6) AS score
+  FROM cand c
+  JOIN p1 ON c.user_id = p1.user_id AND c.item <> p1.item
+  JOIN p2 ON c.user_id = p2.user_id AND c.item <> p2.item
+  JOIN sims s ON s.user_id = c.user_id AND s.ia = c.item
+             AND s.ib IN (p1.item, p2.item)
+  GROUP BY c.user_id, c.item, c.rel
+),
+p3 AS (
+  SELECT user_id, item, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY score DESC, item ASC) AS rn
+    FROM r3) WHERE rn = 1
+)
+SELECT user_id, CAST(1 AS INTEGER) AS rk, item, score FROM p1
+UNION ALL SELECT user_id, 2, item, score FROM p2
+UNION ALL SELECT user_id, 3, item, score FROM p3
+ORDER BY user_id, rk
+"""
+
+
+@register(
+    "rec_mmr_rerank",
+    doc="MMR diversification re-rank (operators.mmr, Carbonell & "
+    "Goldstein SIGIR'98): per-user top-8 candidate pools by rating, "
+    "then 3 greedy picks maximizing 0.7*rel - 0.3*max_sim_to_picked — "
+    "the ACTION the reference's diversity measurement "
+    "(rec_bias_report / bias_detection_service.py) never takes. The k "
+    "greedy steps unroll into k relational stages (join + group-max + "
+    "per-user top-1), all user-keyed; the Python loop builds the PLAN, "
+    "no data touches the driver. Whole chain hash-checked against "
+    "unrolled DuckDB CTEs.",
+    tags=("W2", "A5", "mmr", "serving"),
+    oracle=None,  # set below — needs cosine_sql templating
+)
+def rec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.mmr import mmr_rerank
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    emb = load(spark, sf_dir, "embeddings")
+    inter = interactions(ev).withColumn("rel", F.round("rating", 6))
+    withvec = inter.join(
+        F.broadcast(emb.select(F.col("vec_id").alias("item"), "embedding")), "item"
+    )
+    cand = top_k_per_group(
+        withvec, ["user_id"], [F.col("rel").desc(), F.col("item").asc()], 8
+    ).select("user_id", "item", "rel", F.col("embedding").alias("vec"))
+    out = mmr_rerank(cand, k=3, lam=0.7)
+    return out.select("user_id", "rk", "item", "score").orderBy("user_id", "rk")
+
+
+_NEG_ORACLE = """
+WITH pos AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE user_id < 50
+),
+users AS (SELECT DISTINCT user_id FROM pos),
+catalog AS (SELECT vec_id AS item FROM embeddings),
+cand AS (
+  SELECT u.user_id, c.item
+  FROM users u CROSS JOIN catalog c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.user_id = u.user_id AND p.item = c.item)
+)
+SELECT user_id, item, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT user_id, item,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY md5(CAST(user_id AS VARCHAR) || '|' || CAST(item AS VARCHAR)),
+                    item) AS rk
+  FROM cand) WHERE rk <= 5
+ORDER BY user_id, item
+"""
+
+
+@register(
+    "rec_negative_samples",
+    doc="Deterministic negative sampling for recommender/contrastive "
+    "training data: per user, 5 catalog items the user has NOT "
+    "interacted with, chosen by md5(user|item) order — reproducible "
+    "across runs and engines (no rand()). Catalog side broadcast + "
+    "anti join on the positives; at 100 TB pre-thin the catalog per "
+    "user with pmod(xxhash64(user, item), R) = 0 before the anti join "
+    "so candidate generation is |users|*|catalog|/R, then sample as "
+    "here. The reference trains ALS on positives only "
+    "(recommendation-trainer.py) — implicit-feedback pipelines need "
+    "exactly this negative feed.",
+    tags=("J7", "training-data", "sampling"),
+    oracle=_NEG_ORACLE,
+)
+def rec_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    emb = load(spark, sf_dir, "embeddings")
+    pos = (
+        ev.withColumn("item", F.from_json("props", "k bigint")["k"])
+        .select("user_id", "item")
+        .distinct()
+    )
+    users = pos.select("user_id").distinct()
+    catalog = emb.select(F.col("vec_id").alias("item"))
+    cand = users.crossJoin(F.broadcast(catalog)).join(
+        pos, ["user_id", "item"], "left_anti"
+    )
+    h = F.md5(F.concat_ws("|", F.col("user_id"), F.col("item")))
+    ranked = top_k_per_group(
+        cand.withColumn("_h", h), ["user_id"], [F.col("_h").asc(), F.col("item").asc()], 5,
+        rank_col="rk", keep_rank=True,
+    )
+    return ranked.select("user_id", "item", "rk").orderBy("user_id", "item")
+
+
+# rec_mmr_rerank oracle needs the fold-form cosine over the two cand
+# embeddings — inject it now that sqlkit is importable without cycles.
+from newsify_spark.queries.registry import REGISTRY  # noqa: E402
+from newsify_spark.queries.sqlkit import cosine_sql as _cos_sql  # noqa: E402
+
+REGISTRY["rec_mmr_rerank"].oracle = _MMR_ORACLE.format(
+    cos=_cos_sql("a.embedding", "b.embedding")
+)
+
+
+_PAGERANK_ORACLE = """
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE user_id < 300
+),
+ok AS (SELECT user_id FROM ui GROUP BY user_id HAVING count(*) <= 100),
+ui2 AS (SELECT ui.user_id, ui.item FROM ui JOIN ok USING (user_id)),
+edges AS (
+  SELECT a.item AS src, b.item AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM ui2 a JOIN ui2 b ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT src AS item FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM edges GROUP BY src),
+norm AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS p
+         FROM edges e JOIN outw o USING (src)),
+pr0 AS (SELECT item, round(CAST(1.0 AS DOUBLE) / nn.n, 6) AS pr FROM nodes, nn),
+c1 AS (SELECT norm.dst AS item, sum(pr0.pr * norm.p) AS i
+       FROM pr0 JOIN norm ON pr0.item = norm.src GROUP BY 1),
+it1 AS (
+  SELECT nd.item,
+         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c1.i, CAST(0.0 AS DOUBLE)), 6) AS pr
+  FROM nodes nd CROSS JOIN nn LEFT JOIN c1 USING (item)
+),
+c2 AS (SELECT norm.dst AS item, sum(it1.pr * norm.p) AS i
+       FROM it1 JOIN norm ON it1.item = norm.src GROUP BY 1),
+it2 AS (
+  SELECT nd.item,
+         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c2.i, CAST(0.0 AS DOUBLE)), 6) AS pr
+  FROM nodes nd CROSS JOIN nn LEFT JOIN c2 USING (item)
+)
+SELECT item, pr FROM it2 ORDER BY item
+"""
+
+
+@register(
+    "rec_item_pagerank",
+    doc="PageRank centrality over the item co-occurrence graph "
+    "(operators.pagerank): distinct (user,item) pairs -> capped "
+    "per-user self-join edges (the bot-basket skew guard) -> 2 "
+    "weighted power iterations, each one join + dst-keyed partial-agg "
+    "sum; the Python loop unrolls the PLAN, no driver state. 6-dp "
+    "rounding after each iteration keeps the chain engine-reproducible "
+    "— hash-checked against the same unrolled steps in DuckDB. The "
+    "graph-centrality upgrade of the reference's popularity count "
+    "(recommendation-trainer.py:222-231).",
+    tags=("graph", "A1", "scale-path", "rec"),
+    oracle=_PAGERANK_ORACLE,
+)
+def rec_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.pagerank import cooccurrence_edges, pagerank
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    ui = ev.withColumn("item", F.from_json("props", "k bigint")["k"]).select(
+        "user_id", "item"
+    )
+    edges = cooccurrence_edges(ui, max_user_items=100)
+    return pagerank(edges, iterations=2, damping=0.85).orderBy("item")
