@@ -546,7 +546,11 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
         str(tmp_path / "out"),
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    # under full-suite load the availableNow run can exceed 120s; make
+    # an unfinished stream a distinct failure instead of reading a
+    # half-written corpus
+    finished = q.awaitTermination(420)
+    assert finished, "ingest stream still running after 420s"
     corpus = spark.read.parquet(str(tmp_path / "out"))
     # doc 2 is an exact dup of doc 1: at most one survives, one batch or two
     assert [r.doc_id for r in corpus.collect()] == [1]
