@@ -130,3 +130,31 @@ def knn_join_sq(
         exact, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
     return top.select(query_id, item_id, "score")
+
+
+def save_sq_index(
+    spark,
+    path: str,
+    mins: list[float],
+    scales: list[float],
+    encoded_items: DataFrame,
+) -> None:
+    """Persist an int8 index as parquet: the per-dimension (min, scale)
+    table (dim rows) plus the encoded codes — the 4x-compressed table
+    that replaces raw vectors at serving time. Same table-shaped
+    persistence contract as save_pq_index (S13/S14: the reference's
+    faiss.write_index re-expressed as diffable, engine-agnostic
+    parquet)."""
+    rows = [(i, float(m), float(s)) for i, (m, s) in enumerate(zip(mins, scales))]
+    dims = spark.createDataFrame(rows, "pos int, mn double, s double")
+    dims.coalesce(1).write.mode("overwrite").parquet(f"{path}/dims")
+    encoded_items.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_sq_index(spark, path: str) -> tuple[list[float], list[float], DataFrame]:
+    """(mins, scales, codes) back from :func:`save_sq_index`."""
+    rows = spark.read.parquet(f"{path}/dims").orderBy("pos").collect()
+    mins = [r["mn"] for r in rows]
+    scales = [r["s"] for r in rows]
+    codes = spark.read.parquet(f"{path}/codes")
+    return mins, scales, codes

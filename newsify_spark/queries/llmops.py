@@ -1129,3 +1129,42 @@ def doc_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 3 == 0).select("text_hash")
     survivors = BL.bloom_prefilter_dedup(docs, corpus, "text_hash")
     return survivors.select("doc_id").orderBy("doc_id")
+
+
+_NORM_DEDUP_ORACLE = """
+SELECT norm_hash,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT)    AS group_n
+FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_hash
+  FROM documents)
+GROUP BY norm_hash
+"""
+
+
+@register(
+    "doc_normalized_dedup",
+    doc="Normalization-robust exact dedup: lowercase, strip non-"
+    "alphanumerics, collapse whitespace, THEN hash — catches the "
+    "trivially-reformatted copies (case, punctuation, spacing) that "
+    "raw-text hashing (doc_exact_dedup) misses, at identical cost: one "
+    "regex-chain projection + the same content-hash groupBy, zero extra "
+    "shuffles. The cheap middle rung between exact and MinHash dedup in "
+    "a corpus-cleaning cascade.",
+    tags=("dedup", "S18", "text"),
+    oracle=_NORM_DEDUP_ORACLE,
+)
+def doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        docs.withColumn("norm_hash", F.md5(norm))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("group_n"))
+    )

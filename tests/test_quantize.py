@@ -90,3 +90,17 @@ def test_train_is_deterministic(spark):
     assert a == b
     assert all(s > 0 for s in a[1])
     assert not any(math.isnan(m) for m in a[0])
+
+
+def test_sq_index_persistence_roundtrip(spark, tmp_path):
+    from newsify_spark.operators.quantize import load_sq_index, save_sq_index
+
+    emb = load(spark, SF, "embeddings")
+    mins, scales = sq_train(emb, "embedding")
+    enc = emb.select("vec_id", sq_encode_col("embedding", mins, scales).alias("codes"))
+    save_sq_index(spark, str(tmp_path / "sq"), mins, scales, enc)
+    m2, s2, codes = load_sq_index(spark, str(tmp_path / "sq"))
+    assert m2 == mins and s2 == scales
+    a = sorted((r["vec_id"], tuple(r["codes"])) for r in enc.collect())
+    b = sorted((r["vec_id"], tuple(r["codes"])) for r in codes.collect())
+    assert a == b
