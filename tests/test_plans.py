@@ -302,3 +302,42 @@ def test_semantic_dedup_pair_join_is_equi(spark):
     assert re.search(
         r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[cluster_id", plan
     ) or "hashpartitioning(cluster_id" in plan, plan[:1200]
+
+
+def test_pagerank_iterations_partial_aggregate_before_shuffle(spark):
+    """Each power iteration's contribution sum must combine map-side:
+    HashAggregate(partial) below the Exchange keyed by dst item."""
+    from newsify_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (2, 3, 2), (3, 2, 2)], "src long, dst long, w long"
+    )
+    plan = _plan(pagerank(edges, iterations=2, persist_edges=False))
+    assert "partial_sum" in plan.lower() or "Partial" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mmr_similarity_join_is_equi_not_cartesian(spark):
+    """The per-user pairwise-similarity join must hash on the user key —
+    a CartesianProduct would be quadratic in USERS, not pools."""
+    from newsify_spark.operators.mmr import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 1, 0.9, [1.0, 0.0]), (1, 2, 0.8, [0.0, 1.0]), (2, 3, 0.7, [1.0, 1.0])],
+        "user_id long, item long, rel double, vec array<double>",
+    )
+    plan = _plan(mmr_rerank(cand, k=2))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_int8_quantize_scan_prunes_to_used_columns(spark):
+    """vec_int8_quantize must read only (vec_id, embedding) — label is
+    never referenced and must not reach the scan."""
+    from newsify_spark.queries import REGISTRY
+
+    full = _analyzed(REGISTRY["vec_int8_quantize"].fn(spark, SF_DIR))
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", full)
+    assert m is not None
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert "label" not in cols, cols
