@@ -26,12 +26,20 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     right_time <= left_time (strictly < when inclusive=False) within the
     same ``on`` key. Left rows with no prior right row keep NULL payloads
     (left-join semantics, matching DuckDB's ASOF LEFT JOIN oracle).
+
+    ``direction='forward'`` flips the semantics: the EARLIEST right row
+    with right_time >= left_time (next-event-after — SLA lookups, next
+    maintenance window, label-at-horizon joins). Same plan shape: the
+    window just traverses time descending, so cost is identical.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # side marker orders equal timestamps: right rows first when
     # inclusive (so a left row at t sees a right row at t), after when not.
     # The payload travels as ONE struct so a single last(ignorenulls)
@@ -54,9 +62,15 @@ def asof_join(
     )
     r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
     u = l.unionByName(r)
+    # forward = the same carry-forward traversal over DESCENDING time:
+    # the first right row at-or-after each left row is the last one seen
+    # walking from the future backwards. The __side marker keeps
+    # equal-timestamp semantics identical in both directions (right rows
+    # visited before left at the same t iff inclusive).
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(

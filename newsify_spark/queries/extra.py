@@ -836,3 +836,58 @@ def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "change_type", "old_price", "new_price")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "rel_asof_forward",
+    doc="FORWARD as-of join (operators.asof direction='forward'): each "
+    "click picks up the user's NEXT signup at-or-after the click — "
+    "next-event-after semantics (SLA lookups, label-at-horizon joins). "
+    "Identical union+window plan as the backward form, traversed over "
+    "descending time. Oracle: DuckDB ASOF LEFT JOIN with c.ts <= s.ts.",
+    tags=("asof", "J-extra"),
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts, value
+  FROM events WHERE event_type = 'click'
+),
+signups AS (
+  -- dedup exact-duplicate timestamps deterministically (min event id)
+  SELECT user_id, ts, min(sv) AS signup_value FROM (
+    SELECT user_id, date_trunc('microseconds', ts) AS ts, value AS sv
+    FROM events WHERE event_type = 'signup')
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       s.ts AS signup_ts,
+       round(coalesce(s.signup_value, -1.0), 4) AS signup_value
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts <= s.ts
+""",
+)
+def rel_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("signup_value"))
+        .select("user_id", F.col("ts").alias("signup_ts"), "signup_value")
+    )
+    out = asof_join(
+        clicks,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_time="signup_ts",
+        payload_cols=["signup_ts", "signup_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "signup_ts",
+        F.round(F.coalesce("signup_value", F.lit(-1.0)), 4).alias("signup_value"),
+    )
