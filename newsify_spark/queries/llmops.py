@@ -1168,3 +1168,64 @@ def doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("group_n"))
     )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({tokens_sql()}) AS tok FROM documents
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok
+),
+pos AS (
+  SELECT tok, t.r,
+         CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || tok), 1, 8)
+              AS BIGINT) % 256 AS c
+  FROM toks, range(4) t(r)
+),
+sketch AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM pos GROUP BY r, c
+),
+keypos AS (SELECT DISTINCT tok, r, c FROM pos),
+est AS (
+  SELECT k.tok, min(s.cnt) AS est
+  FROM keypos k JOIN sketch s USING (r, c) GROUP BY k.tok
+)
+SELECT e.tok, e.n_exact, est.est, est.est >= e.n_exact AS never_under
+FROM exact e JOIN est USING (tok)
+ORDER BY tok
+"""
+
+
+@register(
+    "doc_cms_token_counts",
+    doc="Count-Min sketch point-frequency estimates (operators.cms; "
+    "Cormode & Muthukrishnan 2005) over the corpus token stream: d=4 "
+    "md5-derived counter rows, w=256 — the sketch is a (r,c,cnt) "
+    "DataFrame bounded at d*w rows regardless of stream size, merges "
+    "counter-wise (per-day sketches compose exactly), and estimates "
+    "are min-over-rows with the never-undercount guarantee surfaced as "
+    "a column. Completes the mergeable-summary family (HLL distinct, "
+    "Misra-Gries heavy hitters, CM frequencies). Deterministic hashing "
+    "makes the whole chain hash-checkable.",
+    tags=("sketch", "A8", "streaming", "scale-path"),
+    oracle=_CMS_ORACLE,
+)
+def doc_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.cms import cm_build, cm_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("tok"))
+    sketch = cm_build(toks, "tok", depth=4, width=256)
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    est = cm_estimate(sketch, toks.distinct(), "tok", depth=4, width=256)
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "n_exact",
+            "est",
+            (F.col("est") >= F.col("n_exact")).alias("never_under"),
+        )
+        .orderBy("tok")
+    )
