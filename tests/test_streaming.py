@@ -576,3 +576,44 @@ def test_streaming_ingest_bloom_fast_path_drops_exact_redelivery(spark, tmp_path
     assert sorted(r.doc_id for r in s1.collect()) == [11]
     corpus = spark.read.parquet(out)
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 11]
+
+
+def test_freq_cap_admits_at_most_cap_per_key_across_batches(spark, tmp_path):
+    """CM-sketch-backed streaming frequency cap: a hot key is admitted
+    up to cap across batches, cold keys pass untouched, and the sketch
+    store stays d*w-bounded per batch partition."""
+    from newsify_spark.streaming.freqcap import cap_batch, load_sketch_store
+
+    store = str(tmp_path / "cms_store")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, source string")
+
+    # batch 0: hot source sends 3, cap is 4 -> all 3 admitted
+    b0 = mk([(1, "hot"), (2, "hot"), (3, "hot"), (4, "cold")])
+    a0 = cap_batch(b0, 0, store, "source", "doc_id", cap=4, width=64)
+    assert sorted(r.doc_id for r in a0.collect()) == [1, 2, 3, 4]
+
+    # batch 1: hot sends 3 more -> only 1 admitted (budget 4-3); cold fine
+    b1 = mk([(10, "hot"), (11, "hot"), (12, "hot"), (13, "cold")])
+    a1 = cap_batch(b1, 1, store, "source", "doc_id", cap=4, width=64)
+    assert sorted(r.doc_id for r in a1.collect()) == [10, 13]
+
+    # batch 2: hot is fully capped out
+    b2 = mk([(20, "hot"), (21, "cold")])
+    a2 = cap_batch(b2, 2, store, "source", "doc_id", cap=4, width=64)
+    assert sorted(r.doc_id for r in a2.collect()) == [21]
+
+    # store stays sketch-sized: <= d*w rows after merging all batches
+    assert load_sketch_store(spark, store).count() <= 4 * 64
+
+
+def test_freq_cap_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch id admits the SAME rows (deterministic order,
+    own partition excluded from the store it reads)."""
+    from newsify_spark.streaming.freqcap import cap_batch
+
+    store = str(tmp_path / "cms_store")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, source string")
+    b = mk([(1, "s"), (2, "s"), (3, "s")])
+    first = sorted(r.doc_id for r in cap_batch(b, 0, store, "source", "doc_id", cap=2).collect())
+    replay = sorted(r.doc_id for r in cap_batch(b, 0, store, "source", "doc_id", cap=2).collect())
+    assert first == replay == [1, 2]
