@@ -552,8 +552,13 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
     finished = q.awaitTermination(420)
     assert finished, "ingest stream still running after 420s"
     corpus = spark.read.parquet(str(tmp_path / "out"))
-    # doc 2 is an exact dup of doc 1: at most one survives, one batch or two
-    assert [r.doc_id for r in corpus.collect()] == [1]
+    # doc 2 is an exact dup of doc 1: EXACTLY one survives. Which one is
+    # batch-order-dependent — the file source orders by modification
+    # time, and the two fixture files can share an mtime, so under load
+    # either may ingest first. The dedup contract is one-survivor, not
+    # which-survivor.
+    survivors = sorted(r.doc_id for r in corpus.collect())
+    assert survivors in ([1], [2]), survivors
 
 
 def test_streaming_ingest_bloom_fast_path_drops_exact_redelivery(spark, tmp_path):
