@@ -87,7 +87,14 @@ def cm_estimate(
     width: int = 1024,
 ) -> DataFrame:
     """(key, est): min over the key's d counters. ``keys`` should be
-    distinct; the join side is the d*w-bounded sketch (broadcast)."""
+    distinct; the join side is the d*w-bounded sketch (broadcast).
+
+    Counters the sketch never touched are EMPTY rows in the sparse
+    (r, c, cnt) representation — they mean 0, not "absent", so the
+    lookup is a LEFT join with coalesce(cnt, 0): a never-seen key whose
+    cells are all empty estimates 0 (true CMS), and a key hashing to
+    >=1 empty cell keeps the (e/w)*N overcount bound instead of taking
+    min() over only its occupied cells."""
     pos = keys.select(
         F.col(key_col),
         F.explode(
@@ -102,7 +109,7 @@ def cm_estimate(
         ).alias("p"),
     ).select(key_col, F.col("p.r").alias("r"), F.col("p.c").alias("c"))
     return (
-        pos.join(F.broadcast(sketch), ["r", "c"])
+        pos.join(F.broadcast(sketch), ["r", "c"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)).cast("long")).alias("est"))
     )

@@ -565,6 +565,17 @@ def semantic_dedup(
     centroid_vec: str = "centroid",
     threshold: float = 0.95,
     max_cluster: int | None = 100_000,
+    assign_route: str = "auto",
+    assign_exact_max: int = 64,
+    assign_cells: int | None = None,
+    assign_probe: int = 4,
+    prune_route: str = "auto",
+    prune_lsh_min: int = 20_000,
+    dim: int | None = None,
+    n_bands: int = 16,
+    bits_per_band: int | None = None,
+    seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """SemDeDup-style clustered semantic dedup (Abbas et al., "SemDeDup",
     arXiv:2303.09540): assign every embedding to its nearest centroid,
@@ -575,81 +586,186 @@ def semantic_dedup(
     This is the scale bridge between ``embedding_near_dup`` (exact, O(n²))
     and ``embedding_near_dup_lsh`` (approximate, bucketed): clustering
     bounds the quadratic term at Σ|cluster|² ≈ n²/k for k balanced
-    clusters, and recall within a cluster is exact. NOTE the scale law:
-    assignment costs n·k pair scores and pruning n²/k, so k must GROW
-    with the corpus — k ∝ √n balances the two stages at O(n^1.5) total
-    (with k fixed, the within-cluster stage degrades to quadratic;
-    ``max_cluster`` is the runtime enforcement). Past the point where
-    n^1.5 is too much, swap the exact within-cluster prune for
-    ``embedding_near_dup_lsh`` run per cluster — same output contract. The cluster pair join
-    is a plain equi join on ``cluster_col`` — AQE can skew-split it — and
-    the centroid side of the assignment is broadcast (one row per
-    cluster), so the embedding table shuffles only on its cluster key.
+    clusters, and recall within a cluster is exact. The scale law: exact
+    assignment costs n·k pair scores and exact pruning n²/k, so k must
+    GROW with the corpus (k ∝ √n balances the two at O(n^1.5)) — and
+    BOTH superlinear terms have bucketed replacements that auto-engage:
+
+    - ASSIGNMENT (``assign_route``): "exact" scores all k centroids per
+      point; "ivf" coarse-probes through ``knn_join_ivf`` — the centroid
+      TABLE is itself quantized into ~√k cells, each point scores the
+      cells plus only the centroids in its ``assign_probe`` nearest
+      cells, ≈ n·O(√k) total. "auto" (default) routes to ivf above
+      ``assign_exact_max`` centroids, keeping small-k runs (and their
+      oracle hash-checks) on the exact argmax.
+    - PRUNE (``prune_route``): "exact" is the within-cluster pair equi
+      join (AQE-skew-splittable); "lsh" runs random-hyperplane LSH
+      candidates WITHIN each cluster — bucket key (cluster, band, sig) —
+      then the same dot-verify; "auto" swaps to lsh when the largest
+      cluster exceeds ``prune_lsh_min`` (mirroring ``neardup_auto``'s
+      20k all-pairs cap). The lsh route needs ``dim``.
 
     ``centroids`` is any (cluster_col, centroid_vec) table: MLlib KMeans
     centers, label centroids, or a coarse quantizer — SemDeDup semantics
     don't depend on how the partition was produced. ``max_cluster``
     fails fast (one cheap count aggregate, guarding a quadratic join) on
-    degenerate clusterings: a cluster above the cap needs a finer
-    clustering upstream, not a bigger self-join here. Pass ``None`` to
-    skip the extra job.
+    degenerate clusterings when the exact prune runs: a cluster above
+    the cap needs a finer clustering upstream, not a bigger self-join
+    here. Pass ``None`` to skip the extra job.
     """
-    from newsify_spark.operators.similarity import nearest_centroid_assign
+    from newsify_spark.operators.similarity import knn_join_ivf, nearest_centroid_assign
 
-    assign = nearest_centroid_assign(
-        emb.select(F.col(id_col), F.col(vec_col)),
-        centroids,
-        threshold=-2.0,  # always "matched": pruning, not story-minting
-        point_id=id_col,
-        centroid_id=cluster_col,
-        point_vec=vec_col,
-        centroid_vec=centroid_vec,
-    ).select(id_col, cluster_col)
-    members = emb.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
-    if max_cluster is not None:
-        over = (
-            members.groupBy(cluster_col)
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_cluster)
-            .limit(1)
-            .collect()
-        )
-        if over:
-            raise ValueError(
-                f"semantic_dedup: cluster {over[0][cluster_col]} has "
-                f"{over[0]['n']} members (> max_cluster={max_cluster}); "
-                "refine the clustering before the quadratic within-cluster join"
-            )
-    # members feeds both pair-join sides and the survivor anti join —
-    # persist so assignment runs once. The per-row L2 norm is computed
-    # HERE (n rows), not per pair (n²/k rows): sim = dot/(na·nb) is the
-    # same float ops in the same order as cosine(), so results stay
-    # bit-identical to the fold-form oracle while the quadratic stage
-    # drops from three array folds per pair to one.
+    pts = emb.select(F.col(id_col), F.col(vec_col))
+    if assign_route not in ("auto", "exact", "ivf"):
+        raise ValueError(f"assign_route must be auto|exact|ivf, got {assign_route!r}")
+    if prune_route not in ("auto", "exact", "lsh"):
+        raise ValueError(f"prune_route must be auto|exact|lsh, got {prune_route!r}")
+    k_cent = None
+    if assign_route == "auto" or (assign_route == "ivf" and assign_cells is None):
+        k_cent = centroids.count()  # centroid side is small by construction
+    use_ivf = assign_route == "ivf" or (
+        assign_route == "auto" and k_cent > assign_exact_max
+    )
+    if use_ivf:
+        import math
+
+        n_cells = assign_cells or max(2, math.isqrt(k_cent or centroids.count()))
+        assign = knn_join_ivf(
+            pts,
+            centroids,
+            k=1,
+            n_cells=n_cells,
+            n_probe=assign_probe,
+            query_id=id_col,
+            item_id=cluster_col,
+            query_vec=vec_col,
+            item_vec=centroid_vec,
+            seed=seed,
+        ).select(id_col, cluster_col)
+    else:
+        assign = nearest_centroid_assign(
+            pts,
+            centroids,
+            threshold=-2.0,  # always "matched": pruning, not story-minting
+            point_id=id_col,
+            centroid_id=cluster_col,
+            point_vec=vec_col,
+            centroid_vec=centroid_vec,
+        ).select(id_col, cluster_col)
+    # members feeds the cluster-size probe, both prune sides, and the
+    # survivor anti join — persist so assignment runs once. The per-row
+    # L2 norm is computed HERE (n rows), not per pair (n²/k rows):
+    # sim = dot/(na·nb) is the same float ops in the same order as
+    # cosine(), so results stay bit-identical to the fold-form oracle
+    # while the quadratic stage drops from three array folds per pair to
+    # one.
     from newsify_spark.functions.vectors import dot, l2_norm
 
-    members = members.withColumn("_n", l2_norm(F.col(vec_col))).persist()
-    a = members.select(
-        cluster_col,
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_n").alias("na"),
+    members = (
+        pts.join(assign, id_col)
+        .withColumn("_n", l2_norm(F.col(vec_col)))
+        .persist()
     )
-    b = members.select(
-        cluster_col,
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_n").alias("nb"),
+    max_sz = None
+    if prune_route == "auto" or max_cluster is not None:
+        max_sz = (
+            members.groupBy(cluster_col)
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("m"))
+            .first()["m"]
+        ) or 0
+    # auto only swaps when the caller supplied dim (the LSH route needs
+    # the dimensionality); without it, big clusters still hit the
+    # max_cluster fail-fast below rather than a surprise requirement
+    use_lsh = prune_route == "lsh" or (
+        prune_route == "auto" and dim is not None and max_sz > prune_lsh_min
     )
-    sim = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(0.0))
-    losers = (
-        a.join(b, cluster_col)
+    if not use_lsh and max_cluster is not None and max_sz > max_cluster:
+        raise ValueError(
+            f"semantic_dedup: largest cluster has {max_sz} members "
+            f"(> max_cluster={max_cluster}); refine the clustering or pass "
+            "prune_route='lsh' before the quadratic within-cluster join"
+        )
+    if use_lsh:
+        losers = _semdedup_lsh_losers(
+            members, id_col, vec_col, cluster_col, threshold,
+            dim=dim, n_bands=n_bands, bits_per_band=bits_per_band,
+            seed=seed, max_bucket=max_bucket,
+        )
+    else:
+        a = members.select(
+            cluster_col,
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_n").alias("na"),
+        )
+        b = members.select(
+            cluster_col,
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("_n").alias("nb"),
+        )
+        sim = F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        ).otherwise(F.lit(0.0))
+        losers = (
+            a.join(b, cluster_col)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(sim >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+    return members.join(losers, id_col, "left_anti").select(id_col, cluster_col)
+
+
+def _semdedup_lsh_losers(
+    members: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float,
+    dim: int | None,
+    n_bands: int,
+    bits_per_band: int | None,
+    seed: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Per-cluster LSH prune: random-hyperplane band signatures over the
+    members, candidate pairs from the (cluster, band, sig) bucket
+    self-join — SemDeDup's within-cluster-only contract rides the
+    cluster key — unit-vector dot verify, id_b losers. Candidate volume
+    is bucket-bounded instead of Σ|cluster|²; the shuffle carries ids
+    only."""
+    from newsify_spark.operators.similarity import rhp_signatures_pandas
+
+    if dim is None:
+        raise ValueError("dim (embedding dimensionality) required for the LSH prune")
+    if bits_per_band is None:
+        bits_per_band = _auto_bits(members.count())
+    sig = rhp_signatures_pandas(
+        members.select(F.col(id_col), F.col(vec_col)),
+        id_col, vec_col, dim, n_bands, bits_per_band, seed, normalize=True,
+    ).join(members.select(F.col(id_col), F.col(cluster_col)), id_col).persist()
+    sized = sig.groupBy(cluster_col, "band", "sig").agg(F.count("*").alias("n"))
+    ok = sized.filter(F.col("n").between(2, max_bucket)).select(cluster_col, "band", "sig")
+    capped = sig.join(ok, [cluster_col, "band", "sig"], "left_semi")
+    a = capped.select(cluster_col, "band", "sig", F.col(id_col).alias("id_a"))
+    b = capped.select(cluster_col, "band", "sig", F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, [cluster_col, "band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    from newsify_spark.functions.vectors import dot
+
+    unit = sig.filter(F.col("band") == 0).select(F.col(id_col), F.col(vec_col).alias("_uv"))
+    return (
+        cands.join(unit.select(F.col(id_col).alias("id_a"), F.col("_uv").alias("va")), "id_a")
+        .join(unit.select(F.col(id_col).alias("id_b"), F.col("_uv").alias("vb")), "id_b")
+        .withColumn("sim", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return members.join(losers, id_col, "left_anti").select(id_col, cluster_col)

@@ -71,7 +71,14 @@ def pagerank(
     uniform start. Dangling mass is ignored (co-occurrence edges are
     symmetric, so every node has out-edges). pr is rounded to 6 dp
     AFTER each iteration so the chain stays engine-reproducible
-    (the DuckDB oracle unrolls the same steps)."""
+    (the DuckDB oracle unrolls the same steps).
+
+    ``persist_edges=True`` caches the node set and the NORMALIZED edge
+    table (``norm``) for the duration of the iteration loop, then
+    materializes the bounded (item, pr) result via localCheckpoint and
+    unpersists both — no cached partitions leak past the call, and the
+    returned plan's lineage is truncated (it would otherwise grow
+    linearly with iterations)."""
     nodes = (
         edges.select(F.col("src").alias("item"))
         .unionByName(edges.select(F.col("dst").alias("item")))
@@ -103,4 +110,10 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+    if persist_edges:
+        # materialize the bounded (item, pr) result, then drop the caches
+        # (ADVICE r5: these previously leaked for the session lifetime)
+        pr = pr.localCheckpoint(eager=True)
+        nodes.unpersist()
+        norm.unpersist()
     return pr

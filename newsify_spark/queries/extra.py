@@ -803,14 +803,21 @@ SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
        old.price AS old_price,
        new.price AS new_price
 FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
-WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL OR old.price <> new.price
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.price IS DISTINCT FROM new.price
 ORDER BY o_orderkey
 """,
 )
 def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    # explicit per-side presence markers (ADVICE r5): row presence is
+    # classified on the marker, never on a payload column's NULLness —
+    # a snapshot row whose price is genuinely NULL stays 'changed', not
+    # misclassified as added/deleted.
     old = orders.filter(F.col("o_orderkey") % 11 != 3).select(
-        "o_orderkey", F.col("o_totalprice").alias("old_price")
+        "o_orderkey",
+        F.col("o_totalprice").alias("old_price"),
+        F.lit(True).alias("_in_old"),
     )
     # constant-delta reprice: raw doubles pass through bit-identically on
     # both engines (x*1.1 rounded lands on .005 boundaries)
@@ -819,19 +826,21 @@ def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 7 == 2, F.col("o_totalprice") + 10.0)
         .otherwise(F.col("o_totalprice"))
         .alias("new_price"),
+        F.lit(True).alias("_in_new"),
     )
     joined = old.join(new, "o_orderkey", "full_outer")
     return (
         joined.withColumn(
             "change_type",
-            F.when(F.col("old_price").isNull(), "added")
-            .when(F.col("new_price").isNull(), "deleted")
+            F.when(F.col("_in_old").isNull(), "added")
+            .when(F.col("_in_new").isNull(), "deleted")
             .otherwise("changed"),
         )
         .filter(
-            F.col("old_price").isNull()
-            | F.col("new_price").isNull()
-            | (F.col("old_price") != F.col("new_price"))
+            F.col("_in_old").isNull()
+            | F.col("_in_new").isNull()
+            # null-safe inequality: catches NULL<->value price transitions
+            | ~F.col("old_price").eqNullSafe(F.col("new_price"))
         )
         .select("o_orderkey", "change_type", "old_price", "new_price")
         .orderBy("o_orderkey")

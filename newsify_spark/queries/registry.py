@@ -68,19 +68,8 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_unigram_logprob",
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
-        # (round-4 additions all promoted in rotation #3 below)
-        # round-5 additions; never-driver-checked — round-6 rotation queue
-        "doc_bloom_dedup",
-        "vec_int8_quantize",
-        "vec_knn_int8",
-        "rel_snapshot_diff",
-        "ml_quality_classifier",
-        "rec_mmr_rerank",
-        "rec_negative_samples",
-        "rec_item_pagerank",
-        "doc_normalized_dedup",
-        "rel_asof_forward",
-        "doc_cms_token_counts",
+        # (round-4 additions all promoted in rotation #3 below; round-5
+        # additions all promoted in rotation #4 below)
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
@@ -127,9 +116,9 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_needs_refresh",  # green r1+r2 (P6/P7/T7)
         "rel_timestamp_parse",  # green r1+r2 (S3/F4)
         # round-3 TPC-H completion (queries/tpch.py) — beyond-reference
-        # relational coverage, oracle-verified locally
-        "tpch_q02_min_acctbal_supplier",
-        "tpch_q05_local_supplier_volume",
+        # relational coverage, oracle-verified locally; rotation #4
+        # promoted the first 3 (q02, q05, q18) into the driver window,
+        # the rest rotate in 2-4 per round
         "tpch_q07_volume_shipping",
         "tpch_q08_market_share",
         "tpch_q09_product_profit",
@@ -137,7 +126,6 @@ DEMOTED: frozenset[str] = frozenset(
         "tpch_q15_top_supplier",
         "tpch_q16_supplier_part_counts",
         "tpch_q17_small_qty_revenue",
-        "tpch_q18_large_volume_customers",
         "tpch_q19_disjunctive_revenue",
         "tpch_q20_promotion_suppliers",
         "tpch_q21_waiting_suppliers",
@@ -183,6 +171,27 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_json_roundtrip",  # F14/S4/S5; green r1+r2+r3
         "rel_latest_n",  # O3/O4; green r1+r3
         "rel_upsert_profiles",  # S9; green r1+r3
+        # --- round-6 rotation OUT (rotation #4): every name below is
+        # driver hash-green in >=3 rounds (rounds noted per name; all
+        # bench names move to BENCH_ROTATED_OUT, MUST_BE_CHECKED trimmed
+        # accordingly), freeing window slots for the 11 round-5 additions
+        # plus the first 3 deep-TPC-H queries — all first-ever driver
+        # rows. All remain oracle-verified locally by tests/test_oracle.py
+        # and scripts/green_gate.py --all every round.
+        "doc_neardup_auto",  # green r2+r3+r5
+        "rec_hybrid_topk",  # bench; green r1+r3+r5
+        "rel_asof_join",  # bench; green r1+r2+r3+r5
+        "rel_membership_explode_join",  # bench; green r1+r2+r3+r5
+        "rel_pricing_summary",  # bench; green r2+r3+r5
+        "rel_revenue_by_nation",  # bench; green r2+r3+r5
+        "rel_window_minmax_norm",  # W3/A7; green r2+r3+r5
+        "rel_window_topk",  # bench; green r2+r3+r5
+        "stream_window_counts",  # bench; green r2+r3+r5
+        "vec_centroids",  # bench; green r2+r3+r5
+        "vec_cosine_pairs",  # F11-F13; green r2+r3+r5
+        "vec_knn_bruteforce",  # bench; green r2+r3+r5
+        "vec_knn_matmul",  # bench; green r2+r3+r5
+        "vec_nearest_centroid",  # bench; green r2+r3+r5
     }
 )
 

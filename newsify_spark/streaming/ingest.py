@@ -12,7 +12,11 @@ rows per ingest).
 Per micro-batch:
 0. bloom exact-dup fast path (``operators.bloom``): a compact bitmap
    over the store's text hashes drops exact re-deliveries before any
-   shingling — the common at-least-once case costs k hash probes/row;
+   shingling — the common at-least-once case costs k hash probes/row.
+   The bitmap is PERSISTED beside the signature store as (word, bits)
+   parquet partitions (one per batch, same idempotent overwrite
+   contract) and loaded+bit_or-merged per trigger — m/64-bounded rows,
+   never a rescan of the corpus key set;
 1. within-batch dedup (``minhash_dedup`` — two dups arriving together
    would both pass the store check);
 2. cross-set LSH band join of the batch signatures vs the store,
@@ -84,31 +88,81 @@ def ingest_batch(
     band_size: int = 4,
     jaccard_threshold: float = 0.8,
     est_threshold: float = 0.5,
+    bloom_store_path: str | None = None,
+    bloom_capacity: int = 100_000,
 ) -> DataFrame:
     """Process ONE micro-batch (the foreachBatch body, exposed for batch
-    use and tests). Returns the surviving rows it appended."""
+    use and tests). Returns the surviving rows it appended.
+
+    ``bloom_store_path`` (default ``<store_path>_bloom``) holds the
+    persisted (word, bits) bitmap partitions; ``bloom_capacity`` sizes
+    the bitmap (dedup-horizon keys, 20 bits/key) when the FIRST batch
+    creates the store — m is fixed for the store's life, so a store
+    past capacity just degrades fpp (more verified false positives),
+    never correctness."""
+    from newsify_spark.operators.bloom import (
+        LITERAL_MAX_WORDS,
+        _next_pow2,
+        _words_to_bitmap,
+        bloom_build_words,
+        bloom_prefilter_dedup,
+        load_bloom_store_df,
+        save_bloom_partition,
+    )
+
     spark = batch.sparkSession
+    if bloom_store_path is None:
+        bloom_store_path = f"{store_path.rstrip('/')}_bloom"
     # 0. bloom exact-dup fast path: at-least-once delivery mostly
     #    re-sends EXACT copies; a Bloom bitmap over the store's
     #    text_hash column drops them before the (much costlier)
     #    shingle/MinHash stages. Pure cost optimization — output is
     #    unchanged (positives are verified exactly; an exact dup that
     #    somehow slipped through would still hit estimate 1.0 in the
-    #    incremental_dedup stage below).
+    #    incremental_dedup stage below). The bitmap is loaded from the
+    #    persisted word store (m/64-bounded read, replays excluded),
+    #    NOT rebuilt from the corpus key set each trigger.
     pre_store = load_signature_store(
         spark, store_path, id_col, num_hashes, exclude_batch=batch_id
     )
-    if "text_hash" in pre_store.columns:
-        from newsify_spark.operators.bloom import _next_pow2, bloom_prefilter_dedup
-
-        n_store = pre_store.count()
-        if n_store:
+    words, m_store = load_bloom_store_df(
+        spark, bloom_store_path, exclude_batch=batch_id
+    )
+    if m_store is None:
+        m_store = max(1024, _next_pow2(20 * max(bloom_capacity, 1)))
+    if words is None and "text_hash" in pre_store.columns and not pre_store.isEmpty():
+        # migration: signature store predates the bloom store — build the
+        # word table from it ONCE at the store's canonical m (subsequent
+        # batches hit the persisted partitions written below)
+        words = bloom_build_words(pre_store.select("text_hash"), "text_hash", m_store)
+    hashed = None
+    if words is not None:
+        # the batch source feeds the prefilter's definitely-new/maybe
+        # split AND the MinHash stages below — persist it once so the
+        # un-cached source isn't evaluated three times (ADVICE r5)
+        hashed = batch.withColumn("text_hash", F.md5(F.col(text_col))).persist()
+        # small store: collect the m/64-bounded words into a plan-literal
+        # bitmap (zero-shuffle codegen probe); big store: the words table
+        # stays distributed and the relational probe joins it as data.
+        # Verification side either way: only bloom-POSITIVE rows reach the
+        # anti-join, probing the store's single hash column.
+        if m_store // 64 <= LITERAL_MAX_WORDS:
+            bitmap = _words_to_bitmap(words.collect(), m_store)
             batch = bloom_prefilter_dedup(
-                batch.withColumn("text_hash", F.md5(F.col(text_col))),
+                hashed, pre_store.select("text_hash"), "text_hash", bitmap=bitmap
+            ).drop("text_hash")
+        else:
+            batch = bloom_prefilter_dedup(
+                hashed,
                 pre_store.select("text_hash"),
                 "text_hash",
-                m_bits=max(1024, _next_pow2(20 * n_store)),
+                words=words.select("word", "bits"),
+                m_bits=m_store,
             ).drop("text_hash")
+        # the prefiltered batch feeds EVERY downstream MinHash branch
+        # (16 band scans x 2 join sides) — persist it so the probe's
+        # join/groupBy chain runs once, not once per branch
+        batch = batch.persist()
     # 1. within-batch near-dup (min-id survivor)
     local = minhash_dedup(
         batch,
@@ -152,8 +206,18 @@ def ingest_batch(
         sigs.join(F.broadcast(hashes), id_col).write.mode("overwrite").parquet(
             f"{store_path}/batch={batch_id}"
         )
+        # the admitted hashes' bloom words join the persisted bitmap
+        # store (m/64-bounded rows; same idempotent batch partition)
+        save_bloom_partition(
+            bloom_build_words(hashes.select("text_hash"), "text_hash", m_store),
+            bloom_store_path,
+            batch_id,
+        )
     finally:
         survivors.unpersist()
+        if hashed is not None:
+            batch.unpersist()
+            hashed.unpersist()
     return survivors
 
 

@@ -52,6 +52,54 @@ def test_prefilter_dedup_is_exact(spark):
     assert len(got) == 600
 
 
+def test_relational_probe_matches_literal_probe(spark):
+    """Bitmaps past LITERAL_MAX_WORDS route to the relational probe
+    (words table joined as data, not a plan literal). Same exact output
+    as both the literal path and the plain anti-join."""
+    from newsify_spark.operators.bloom import bloom_build_words, bloom_probe_flags
+
+    batch = _keys(spark, 0, 1000, "d-")
+    corpus = _keys(spark, 600, 1600, "d-")
+    m_bits = 1024 * 16
+    words = bloom_build_words(corpus, "k", m_bits).select("word", "bits")
+    got = sorted(
+        r["k"]
+        for r in bloom_prefilter_dedup(
+            batch, corpus, "k", words=words, m_bits=m_bits
+        ).collect()
+    )
+    want = sorted(r["k"] for r in batch.join(corpus, "k", "left_anti").collect())
+    assert got == want
+    # flags agree with the expression probe bit for bit
+    bm = bloom_build(corpus, "k", m_bits)
+    lit_maybe = {
+        r["k"] for r in batch.filter(bloom_might_contain("k", bm)).collect()
+    }
+    rel_maybe = {
+        r["k"]
+        for r in bloom_probe_flags(batch, "k", words, m_bits).filter("maybe").collect()
+    }
+    assert lit_maybe == rel_maybe
+
+
+def test_oversize_bitmap_list_reroutes_to_words(spark):
+    """A bitmap list longer than LITERAL_MAX_WORDS must not become a plan
+    literal — the prefilter hands it back as a words table and the result
+    stays exact."""
+    from newsify_spark.operators import bloom as BL
+
+    batch = _keys(spark, 0, 300, "z-")
+    corpus = _keys(spark, 100, 400, "z-")
+    m_bits = (BL.LITERAL_MAX_WORDS + 64) * 64
+    bm = bloom_build(corpus, "k", m_bits)
+    assert len(bm) > BL.LITERAL_MAX_WORDS
+    got = sorted(
+        r["k"] for r in bloom_prefilter_dedup(batch, corpus, "k", bitmap=bm).collect()
+    )
+    want = sorted(r["k"] for r in batch.join(corpus, "k", "left_anti").collect())
+    assert got == want
+
+
 def test_probe_and_build_are_all_expression(spark):
     corpus = _keys(spark, 0, 100, "p-")
     bm = bloom_build(corpus, "k", m_bits=1024)

@@ -49,6 +49,30 @@ def test_merge_equals_union_build(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
 
 
+def test_absent_keys_estimate_zero_not_vanish(spark):
+    """ADVICE r5: empty counters in the sparse sketch mean 0. A key
+    hitting >=1 empty cell must take that 0 into its min (not min over
+    only occupied cells), and keys whose cells are all empty must still
+    appear in the output with est=0."""
+    one = spark.createDataFrame([("alpha",)], "tok string")
+    wide = 4096
+    sketch = cm_build(one, "tok", D, wide)
+    keys = spark.createDataFrame(
+        [("alpha",), ("never_seen_1",), ("never_seen_2",)], "tok string"
+    )
+    est = {r["tok"]: r["est"] for r in cm_estimate(sketch, keys, "tok", D, wide).collect()}
+    assert set(est) == {"alpha", "never_seen_1", "never_seen_2"}
+    assert est["alpha"] == 1
+    # deterministic md5 positions: with 1 occupied cell per row of 4096,
+    # these unseen keys hit an empty cell in at least one row -> 0
+    assert est["never_seen_1"] == 0 and est["never_seen_2"] == 0
+    # empty store (streaming first batch): every key estimates exactly 0
+    empty = spark.createDataFrame([], "r int, c long, cnt long")
+    est0 = cm_estimate(empty, keys, "tok", D, wide)
+    assert est0.count() == 3
+    assert est0.filter(F.col("est") != 0).count() == 0
+
+
 def test_build_is_all_expression(spark):
     plan = cm_build(_toks(spark), "tok", D, W)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

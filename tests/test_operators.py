@@ -1182,6 +1182,52 @@ def test_semantic_dedup_mega_cluster_fails_fast(spark):
         semantic_dedup(emb, cents, threshold=0.95, max_cluster=1)
 
 
+def test_semantic_dedup_ivf_assignment_full_probe_equals_exact(spark):
+    """assign_route='ivf' with n_probe == n_cells probes every cell, so
+    the coarse-quantized assignment degenerates to the exact argmax —
+    the whole dedup output must match the exact route bit for bit."""
+    from newsify_spark.operators.dedup import semantic_dedup
+    from newsify_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = (
+        emb.orderBy("vec_id").limit(12)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid"))
+    )
+    exact = sorted(map(tuple, semantic_dedup(
+        emb, cents, threshold=0.4, assign_route="exact", max_cluster=None
+    ).collect()))
+    ivf = sorted(map(tuple, semantic_dedup(
+        emb, cents, threshold=0.4, assign_route="ivf",
+        assign_cells=3, assign_probe=3, max_cluster=None,
+    ).collect()))
+    assert exact == ivf
+
+
+def test_semantic_dedup_lsh_prune_recall(spark):
+    """prune_route='lsh' swaps the within-cluster quadratic pair join for
+    bucketed LSH candidates: survivors must be a superset of the exact
+    route's (LSH can only MISS dup pairs, never invent them) and recall
+    on the fixture is complete at these band params."""
+    from newsify_spark.operators.dedup import semantic_dedup
+    from newsify_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = (
+        emb.orderBy("vec_id").limit(12)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centroid"))
+    )
+    exact = set(map(tuple, semantic_dedup(
+        emb, cents, threshold=0.4, max_cluster=None
+    ).collect()))
+    lsh = set(map(tuple, semantic_dedup(
+        emb, cents, threshold=0.4, prune_route="lsh", dim=64,
+        bits_per_band=2, max_cluster=None,
+    ).collect()))
+    assert exact <= lsh
+    assert lsh == exact  # full recall at 16 bands x 2 bits on this fixture
+
+
 # ------------------------------------------------------- training shards
 
 

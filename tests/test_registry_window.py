@@ -17,18 +17,13 @@ from newsify_spark.queries.registry import DEMOTED, driver_registry
 # driver row). Rotated out r3: rel_needs_refresh, rel_timestamp_parse.
 # Rotated out r4: doc_entity_rollup (A3, green r1+r3).
 MUST_BE_CHECKED = {
-    "vec_nearest_centroid",  # J4/W1/A10
-    "vec_knn_bruteforce",  # J5 exact
-    "vec_knn_matmul",  # J5 BLAS
-    "vec_centroids",  # A2
-    "vec_cosine_pairs",  # F11-F13
-    "rel_window_minmax_norm",  # W3/A7
-    "rel_window_topk",  # W2
-    "stream_window_counts",  # T6
+    # (rotation #4 trimmed the round-1 done-list names that accumulated
+    # >=3 rounds of driver hash-green evidence: vec_nearest_centroid,
+    # vec_knn_bruteforce/matmul, vec_centroids, vec_cosine_pairs,
+    # rel_window_minmax_norm, rel_window_topk, stream_window_counts,
+    # rel_revenue_by_nation, rel_pricing_summary, doc_neardup_auto —
+    # all still oracle-verified locally every round.)
     "rel_scalar_bundle",  # F1-F9
-    "rel_revenue_by_nation",  # J2
-    "rel_pricing_summary",  # A1/P4/O1
-    "doc_neardup_auto",  # size-routed embedding near-dup
     # round-3 rotation IN: first-ever driver rows for these operators
     "rel_point_lookup",  # S7
     "rel_top_revenue_orders",  # O1
@@ -65,6 +60,22 @@ MUST_BE_CHECKED = {
     "doc_quality_checks",  # declarative data-quality gates
     "doc_corpus_build",  # end-to-end corpus-build capstone
     "vec_knn_lsh",  # LSH ANN (hash-checked index)
+    # round-6 rotation IN (rotation #4): first-ever driver rows — the 11
+    # round-5 additions plus the first 3 deep-TPC-H queries
+    "doc_bloom_dedup",  # bloom-prefiltered exact dedup (bench headliner)
+    "vec_int8_quantize",  # int8 vector quantization round-trip
+    "vec_knn_int8",  # int8-quantized ANN (bench headliner)
+    "rel_snapshot_diff",  # CDC snapshot diff
+    "ml_quality_classifier",  # trained quality classifier
+    "rec_mmr_rerank",  # MMR diversity re-rank
+    "rec_negative_samples",  # deterministic negative sampling
+    "rec_item_pagerank",  # item-graph PageRank
+    "doc_normalized_dedup",  # normalization-robust exact dedup
+    "rel_asof_forward",  # forward as-of join
+    "doc_cms_token_counts",  # Count-Min sketch estimates
+    "tpch_q02_min_acctbal_supplier",  # deep TPC-H block starts rotating
+    "tpch_q05_local_supplier_volume",
+    "tpch_q18_large_volume_customers",
 }
 
 
@@ -105,8 +116,9 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # until the next rotation, so they ride demoted (locally oracle-green)
 # with timing evidence now and MUST be promoted at the next rotation —
 # remove from this set when that happens.
-# (doc_semdedup, added r4, was promoted in r5 as promised)
-BENCH_PROMOTION_QUEUE = {"doc_bloom_dedup", "vec_knn_int8"}  # added r5, promote in r6
+# (doc_semdedup, added r4, was promoted in r5; doc_bloom_dedup and
+# vec_knn_int8, added r5, were promoted in r6 — queue currently empty)
+BENCH_PROMOTION_QUEUE: set[str] = set()
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the
@@ -117,6 +129,18 @@ BENCH_ROTATED_OUT = {
     "doc_exact_dedup",  # green r1+r2+r3
     "doc_minhash_signatures",  # green r1+r2+r3
     "rec_bias_report",  # green r1+r2+r3
+    # rotation #4 (round 6): >=3 driver-green rounds each
+    "rec_hybrid_topk",  # green r1+r3+r5
+    "rel_asof_join",  # green r1+r2+r3+r5
+    "rel_membership_explode_join",  # green r1+r2+r3+r5
+    "rel_pricing_summary",  # green r2+r3+r5
+    "rel_revenue_by_nation",  # green r2+r3+r5
+    "rel_window_topk",  # green r2+r3+r5
+    "stream_window_counts",  # green r2+r3+r5
+    "vec_centroids",  # green r2+r3+r5
+    "vec_knn_bruteforce",  # green r2+r3+r5
+    "vec_knn_matmul",  # green r2+r3+r5
+    "vec_nearest_centroid",  # green r2+r3+r5
 }
 
 

@@ -519,6 +519,22 @@ def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
     assert [r.doc_id for r in replay.collect()] == [1]
     assert spark.read.parquet(out).count() == 1
     assert spark.read.parquet(store).groupBy("doc_id").count().filter("count > 1").count() == 0
+    # persisted-bitmap path is replay-idempotent too: the bloom word
+    # store holds exactly ONE batch partition (the replay overwrote its
+    # own), and the merged bitmap equals a fresh build over the store's
+    # hashes — replays never double-set or leak stale bits
+    from newsify_spark.operators.bloom import bloom_build_words, load_bloom_store_df
+
+    words, m_bits = load_bloom_store_df(spark, f"{store}_bloom")
+    assert m_bits is not None
+    bdirs = spark.read.option("basePath", f"{store}_bloom").parquet(f"{store}_bloom")
+    assert [r.batch for r in bdirs.select("batch").distinct().collect()] == [0]
+    fresh = bloom_build_words(
+        spark.read.parquet(store).select("text_hash"), "text_hash", m_bits
+    )
+    got = sorted((r.word, r.bits) for r in words.collect())
+    want = sorted((r.word, r.bits) for r in fresh.select("word", "bits").collect())
+    assert got == want
 
 
 def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
