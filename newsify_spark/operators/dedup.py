@@ -556,6 +556,67 @@ def incremental_dedup(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 12,
+    min_docs: int = 2,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Windowed exact-substring duplicate-span detection — the
+    token-span rung of the dedup ladder (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022, ExactSubstr):
+    document- and line-level dedup miss templated pages and quote farms
+    that share long verbatim PASSAGES inside otherwise-distinct
+    documents; this flags them.
+
+    Every ``window``-token sliding span (stride 1 — exact semantics) is
+    hashed; spans occurring in >= ``min_docs`` DISTINCT documents are
+    duplicated, and each document reports its duplicated-span fraction:
+    (id, n_spans, n_dup, dup_frac, flagged). Downstream either drops
+    flagged docs or cuts the spans (the reference paper's remove step).
+
+    Spark shape: one codegen'd transform+slice projection (no UDF), one
+    (hash, id) shuffle for the cross-doc span count, one per-doc
+    aggregate. Span rows ≈ total corpus tokens — the same linear-pass
+    cost the suffix-array ExactSubstr pays, but as a plain hash groupBy
+    a 1000-executor cluster partitions trivially; no suffix array, no
+    global sort. Short docs (< window tokens) contribute their whole
+    text as one span (the ``word_shingles`` fallback), so verbatim tiny
+    docs still collide.
+    """
+    from newsify_spark.functions.text import word_shingles
+
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, window)).alias("_span"),
+    ).select(F.col(id_col), F.md5(F.col("_span")).alias("_h"))
+    dup = (
+        spans.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    total = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    dupc = (
+        spans.join(dup, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup"))
+    )
+    frac = F.coalesce("n_dup", F.lit(0)) / F.col("n_spans").cast("double")
+    return (
+        total.join(dupc, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(frac, 4).alias("dup_frac"),
+            (frac >= flag_frac).alias("flagged"),
+        )
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,

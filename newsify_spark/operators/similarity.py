@@ -694,6 +694,162 @@ def knn_join_pq(
     )
 
 
+def knn_join_ivfpq(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    codebooks: np.ndarray,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    item_id: str = "item_id",
+    query_vec: str = "query_vec",
+    item_vec: str = "item_vec",
+    rerank_factor: int = 4,
+    max_queries: int = 100_000,
+    seed: int = 42,
+    cells: DataFrame | None = None,
+    encoded_items: DataFrame | None = None,
+) -> DataFrame:
+    """FAISS IndexIVFPQ re-expressed: coarse-quantize items into
+    ``n_cells`` (the IVF layer — same cell construction as
+    :func:`knn_join_ivf`), PQ-encode each item once (the compression
+    layer — :func:`pq_encode`), then per query scan ONLY its ``n_probe``
+    nearest cells' codes with the asymmetric-distance tables and exact-
+    cosine rerank the shortlist. The reference ships FAISS flat indexes
+    (batch-cluster-service.py:81); this is the composed production
+    index: scan cost |items|·n_probe/n_cells code lookups instead of
+    |items| float vectors, memory m bytes per item instead of 4·dim.
+
+    Distributed shape: the encoded-code table is left-semi pruned to the
+    union of probed cells BEFORE the scan (partition pruning when codes
+    are stored partitioned by cell), per-query cell restriction is a
+    boolean mask riding the closure (|Q| x n_cells bits), and the only
+    shuffles are the shortlist top-k and the id-keyed rerank joins —
+    candidates move as ids, never vectors. Approximate recall, exact
+    scores (same contract as the LSH/IVF/PQ routes); recall floor pinned
+    in tests.
+
+    ``cells`` overrides the KMeans coarse quantizer (any deterministic
+    (cell int, cell_vec array<double>) table); ``encoded_items``
+    ((item_id, codes)) reuses a persisted PQ code table — with both
+    supplied, nothing is trained at query time (encode-at-ingest,
+    the production shape).
+    """
+    import pandas as pd
+
+    spark = items.sparkSession
+    if cells is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from newsify_spark.functions.vectors import l2_normalize
+
+        feats = items.select(
+            F.col(item_id), array_to_vector(l2_normalize(item_vec)).alias("features")
+        )
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+        trained = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+        cells = spark.createDataFrame(trained, "cell int, cell_vec array<double>")
+    crows = sorted(cells.collect(), key=lambda r: r["cell"])
+    cids = np.array([r["cell"] for r in crows])
+    cmat = np.array([r["cell_vec"] for r in crows], dtype=np.float64)
+    cnrm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnrm[cnrm == 0] = 1.0
+    cunit = cmat / cnrm
+
+    # item -> cell assignment (broadcast argmax, same as knn_join_ivf)
+    item_cells = (
+        items.crossJoin(F.broadcast(cells))
+        .withColumn("csim", cosine(F.col(item_vec), F.col("cell_vec")))
+        .transform(
+            lambda df: top_k_per_group(
+                df, [item_id], [F.col("csim").desc(), F.col("cell").asc()], 1
+            )
+        )
+        .select(item_id, "cell")
+    )
+    enc = encoded_items if encoded_items is not None else pq_encode(
+        items, codebooks, item_id=item_id, item_vec=item_vec
+    )
+    enc = enc.join(item_cells, item_id)
+
+    # query side: driver-bounded collect (the serving-layer contract the
+    # PQ route already fail-fast caps), probe cells in numpy
+    m, kk, ds = codebooks.shape
+    qrows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(f"knn_join_ivfpq query side exceeds max_queries={max_queries}")
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Q = Q / qn
+    qsim = Q @ cunit.T  # |Q| x n_cells
+    n_probe = min(n_probe, len(cids))
+    probe_idx = np.argsort(-qsim, axis=1, kind="stable")[:, :n_probe]
+    probed_cells = cids[probe_idx]  # |Q| x n_probe
+    # per-query cell mask, cell ids mapped to dense positions
+    pos = {int(c): i for i, c in enumerate(cids)}
+    mask = np.zeros((len(Q), len(cids)), dtype=bool)
+    for qi in range(len(Q)):
+        for c in probed_cells[qi]:
+            mask[qi, pos[int(c)]] = True
+    tables = np.empty((len(Q), m, kk))
+    for j in range(m):
+        qs = Q[:, j * ds : (j + 1) * ds]
+        tables[:, j, :] = ((qs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+
+    # prune the code table to cells ANY query probes (partition pruning
+    # at scale when the code store is partitioned by cell)
+    union_cells = spark.createDataFrame(
+        [(int(c),) for c in sorted({int(c) for c in probed_cells.ravel()})], "cell int"
+    )
+    enc = enc.join(F.broadcast(union_cells), "cell", "left_semi")
+    n_cand = k * rerank_factor
+
+    def scan(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[item_id].to_numpy()
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            cellpos = np.array([pos[int(c)] for c in pdf["cell"]], dtype=np.int64)
+            est = tables[:, np.arange(m)[None, :], codes].sum(-1)  # |Q| x |batch|
+            est = np.where(mask[:, cellpos], est, np.inf)  # per-query cell gate
+            nc = min(n_cand, est.shape[1])
+            idx = np.argpartition(est, nc - 1, axis=1)[:, :nc]
+            vals = np.take_along_axis(est, idx, axis=1)
+            keep = np.isfinite(vals)
+            if not keep.any():
+                continue
+            qrep = np.repeat(qids, nc).reshape(len(qids), nc)
+            yield pd.DataFrame(
+                {
+                    query_id: qrep[keep].ravel(),
+                    item_id: ids[idx][keep].ravel(),
+                    "est": vals[keep].ravel(),
+                }
+            )
+
+    q_dt = dict(queries.dtypes)[query_id]
+    i_dt = dict(enc.dtypes)[item_id]
+    cand = enc.mapInPandas(scan, schema=f"{query_id} {q_dt}, {item_id} {i_dt}, est double")
+    shortlist = top_k_per_group(
+        cand, [query_id], [F.col("est").asc(), F.col(item_id).asc()], n_cand
+    ).select(query_id, item_id)
+    qdf = queries.select(query_id, query_vec)
+    scored = (
+        shortlist.join(F.broadcast(qdf), query_id)
+        .join(items.select(item_id, item_vec), item_id)
+        .withColumn("score", METRICS["cosine"](F.col(query_vec), F.col(item_vec)))
+        .select(query_id, item_id, "score")
+    )
+    return top_k_per_group(
+        scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
+    )
+
+
 def save_pq_index(
     spark, path: str, codebooks: np.ndarray, encoded_items: DataFrame
 ) -> None:

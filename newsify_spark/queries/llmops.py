@@ -1154,6 +1154,49 @@ def doc_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id").orderBy("doc_id")
 
 
+_DUP_SPANS_ORACLE = f"""
+WITH wins AS (
+  SELECT doc_id, md5(s) AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('text', 12)}) AS s FROM documents)
+),
+dup AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h)
+  WHERE nd >= 2
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM wins GROUP BY doc_id),
+dupc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+  FROM wins WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+       round(COALESCE(d.n_dup, 0) / CAST(t.n_spans AS DOUBLE), 4) AS dup_frac,
+       COALESCE(d.n_dup, 0) / CAST(t.n_spans AS DOUBLE) >= 0.5 AS flagged
+FROM tot t LEFT JOIN dupc d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_dup_spans",
+    doc="Windowed exact-substring duplicate-span detection "
+    "(operators.dedup.duplicate_spans; Lee et al. ACL 2022 ExactSubstr): "
+    "every 12-token sliding span hashed, spans shared by >=2 distinct "
+    "docs counted per document as a duplicated-text fraction — catches "
+    "templated pages and quote farms that share long verbatim passages "
+    "inside otherwise-distinct documents, the gap between doc-level "
+    "(doc_exact_dedup) and line-level (doc_line_dedup) dedup. One "
+    "codegen'd span projection + one (hash,id) shuffle — the linear "
+    "pass ExactSubstr's suffix array pays, without the global sort.",
+    tags=("dedup", "spans", "S18", "scale-path"),
+    oracle=_DUP_SPANS_ORACLE,
+)
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = DD.duplicate_spans(docs, window=12, min_docs=2, flag_frac=0.5)
+    return out.orderBy("doc_id")
+
+
 _NORM_DEDUP_ORACLE = """
 SELECT norm_hash,
        CAST(min(doc_id) AS BIGINT) AS doc_id,

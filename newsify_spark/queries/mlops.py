@@ -105,6 +105,36 @@ def ml_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_ann_ivfpq_topk",
+    doc="The composed FAISS-style production index: IVF coarse cells + "
+    "PQ codes (operators.similarity.knn_join_ivfpq) — each query scans "
+    "only its n_probe nearest cells' m-byte codes via asymmetric-"
+    "distance tables, then exact-cosine reranks the shortlist. Combines "
+    "ml_ann_pq_topk's memory compression (m bytes/item) with "
+    "vec_knn_ivf's scan pruning (n_probe/n_cells of the corpus): the "
+    "index shape that serves billion-vector corpora. Rows-only "
+    "(approximate recall, exact scores); recall floor + exact-score "
+    "equality pinned in tests.",
+    tags=("X5", "J5", "pq", "ivf", "scale-path"),
+)
+def ml_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.similarity import knn_join_ivfpq, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    books = pq_train(items, m=16, k=32)
+    out = knn_join_ivfpq(
+        q, items, k=5, codebooks=books, n_cells=8, n_probe=3, rerank_factor=4
+    )
+    return out.filter(F.col("query_id") != F.col("item_id"))
+
+
+@register(
     "ml_greedy_story_assign",
     doc="W4 greedy 1:1 cluster→story assignment (batch-cluster-service.py:"
     "49-69): driver loop over the collected, thresholded score table; "

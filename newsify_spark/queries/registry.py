@@ -70,6 +70,9 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
         # (round-4 additions all promoted in rotation #3 below; round-5
         # additions all promoted in rotation #4 below)
+        # round-6 additions; never-driver-checked — round-7 rotation queue
+        "doc_dup_spans",
+        "ml_ann_ivfpq_topk",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

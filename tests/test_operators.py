@@ -882,6 +882,52 @@ def test_pq_knn_recall_and_exact_scores(spark):
     assert a1.equals(approx2)
 
 
+def test_ivfpq_knn_recall_exact_scores_and_full_probe(spark):
+    """IVF-PQ composed index: (a) recall floor vs exact kNN at modest
+    n_probe, (b) EXACT cosine scores for what it returns, (c) with
+    n_probe == n_cells the cell gate is a no-op so the result equals
+    plain PQ at the same rerank budget."""
+    from newsify_spark.operators.similarity import (
+        knn_join,
+        knn_join_ivfpq,
+        knn_join_pq,
+        pq_train,
+    )
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    books = pq_train(items, m=16, k=32)
+
+    exact = knn_join(q, items, k=6).filter("query_id != item_id").toPandas()
+    approx = (
+        knn_join_ivfpq(q, items, k=6, codebooks=books, n_cells=8, n_probe=3, rerank_factor=4)
+        .filter("query_id != item_id")
+        .toPandas()
+    )
+    es = exact.groupby("query_id")["item_id"].apply(set)
+    as_ = approx.groupby("query_id")["item_id"].apply(set)
+    recalls = [len(es[i] & as_.get(i, set())) / len(es[i]) for i in es.index]
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean IVF-PQ recall too low: {recalls}"
+    merged = approx.merge(exact, on=["query_id", "item_id"], suffixes=("_a", "_e"))
+    assert (abs(merged.score_a - merged.score_e) < 1e-9).all()
+
+    full = (
+        knn_join_ivfpq(q, items, k=6, codebooks=books, n_cells=8, n_probe=8, rerank_factor=4)
+        .filter("query_id != item_id")
+        .toPandas().sort_values(["query_id", "item_id"]).reset_index(drop=True)
+    )
+    pq = (
+        knn_join_pq(q, items, k=6, codebooks=books, rerank_factor=4)
+        .filter("query_id != item_id")
+        .toPandas().sort_values(["query_id", "item_id"]).reset_index(drop=True)
+    )
+    assert full.equals(pq)
+
+
 def test_sketch_rollup_merge_equals_direct(spark):
     """HLL sketch union must be lossless under regrouping: month-level
     estimate from unioned daily sketches == estimate of one direct
@@ -1130,6 +1176,31 @@ def test_heavy_hitters_phi_validation_and_capacity(spark):
     for batch in ({"a": 50, "b": 1, "c": 1}, {"d": 1, "e": 1, "f": 1}, {"a": 50, "g": 1}):
         s = _mg_fold(s, batch, k=2)
     assert "a" in s and len(s) <= 2
+
+
+def test_duplicate_spans_flags_shared_passages_only(spark):
+    """ExactSubstr-style span dedup: docs sharing a long verbatim passage
+    are flagged; distinct docs and within-doc repetition are not."""
+    from newsify_spark.operators.dedup import duplicate_spans
+
+    passage = " ".join(f"w{i}" for i in range(20))  # 20 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, passage + " unique tail one two three four five six"),
+            (2, "different head alpha beta gamma delta " + passage),
+            (3, "totally unrelated text " + " ".join(f"x{i}" for i in range(30))),
+            # within-doc repetition only — no cross-doc span, not flagged
+            (4, " ".join(["rep token block"] * 12)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_spans(docs, window=12).collect()}
+    assert out[1].flagged and out[2].flagged  # shared 20-token passage
+    assert out[1].n_dup == out[2].n_dup == 9  # 20 - 12 + 1 shared spans
+    assert not out[3].flagged and out[3].n_dup == 0
+    assert not out[4].flagged and out[4].n_dup == 0
+    # span accounting: n_spans = tokens - window + 1 (doc 3 = 33 tokens)
+    assert out[3].n_spans == 33 - 12 + 1
 
 
 # ------------------------------------------------------- semantic dedup
