@@ -1154,6 +1154,81 @@ def doc_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id").orderBy("doc_id")
 
 
+_BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["sort", "merge", "batch"]),
+    (3, ["vector", "scan", "filter"]),
+    (4, ["customer", "order"]),
+]
+
+
+def _bm25_oracle() -> str:
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+scal AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM dft, scal s
+),
+qterms (query_id, term) AS (VALUES {qrows}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(i.idf * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN idf i USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN scal s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "doc_bm25_search",
+    doc="BM25 ranked keyword retrieval (operators.bm25; Robertson & "
+    "Zaragoza FnTIR 2009, Lucene +1 idf): postings/doc-length/idf "
+    "built in one tokenize pass, 4 fixed keyword queries probe only "
+    "their terms' postings (broadcast query-vocabulary join — the "
+    "inverted-index probe expressed relationally), k1=1.2 b=0.75, "
+    "scores rounded to 4dp before ranking so float-sum order agrees "
+    "cross-engine, top-10 per query with doc-id tiebreak. The lexical "
+    "third leg beside recency/popularity ranking (rec_*) and embedding "
+    "ANN (vec_knn_*) — the standard cheap baseline for RAG retrieval. "
+    "Fully hash-checked: BM25 is pure aggregate arithmetic.",
+    tags=("retrieval", "bm25", "text", "J5"),
+    oracle=_bm25_oracle(),
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.bm25 import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _BM25_QUERIES],
+        "query_id int, terms array<string>",
+    )
+    out = bm25_topk(docs, queries, k=10)
+    return out.orderBy("query_id", "rank")
+
+
 _DUP_SPANS_ORACLE = f"""
 WITH wins AS (
   SELECT doc_id, md5(s) AS h

@@ -73,6 +73,7 @@ DEMOTED: frozenset[str] = frozenset(
         # round-6 additions; never-driver-checked — round-7 rotation queue
         "doc_dup_spans",
         "ml_ann_ivfpq_topk",
+        "doc_bm25_search",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

@@ -1178,6 +1178,38 @@ def test_heavy_hitters_phi_validation_and_capacity(spark):
     assert "a" in s and len(s) <= 2
 
 
+def test_bm25_ranking_semantics(spark):
+    """BM25 basics on a controlled corpus: a doc matching both query
+    terms outranks single-term docs; rare-term matches outrank
+    common-term matches (idf); term repetition saturates (tf is
+    dampened, not linear); ranks are contiguous from 1."""
+    from newsify_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # both query terms
+            (2, "alpha epsilon zeta eta"),          # common term only
+            (3, "beta theta iota kappa"),           # rare term only
+            (4, "alpha alpha alpha alpha"),         # repetition of common term
+            (5, "lambda mu nu xi"),                 # no match
+            (6, "alpha omicron pi rho"),            # common term only
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, ["alpha", "beta"])], "query_id int, terms array<string>")
+    out = bm25_topk(docs, qs, k=10).collect()
+    by_rank = {r.rank: r for r in out}
+    assert [by_rank[i].rank for i in sorted(by_rank)] == list(range(1, len(out) + 1))
+    assert by_rank[1].doc_id == 1  # both terms win
+    scores = {r.doc_id: r.score for r in out}
+    assert 5 not in scores  # no shared term, no row
+    # beta appears in 2 docs, alpha in 4 -> beta-only doc outranks
+    # alpha-only docs (higher idf)
+    assert scores[3] > scores[2] and scores[3] > scores[6]
+    # 4x-repeated alpha scores above single alpha but NOT 4x it (saturation)
+    assert scores[2] < scores[4] < 4 * scores[2]
+
+
 def test_duplicate_spans_flags_shared_passages_only(spark):
     """ExactSubstr-style span dedup: docs sharing a long verbatim passage
     are flagged; distinct docs and within-doc repetition are not."""
