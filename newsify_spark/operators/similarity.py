@@ -772,7 +772,8 @@ def knn_join_ivfpq(
     enc = encoded_items if encoded_items is not None else pq_encode(
         items, codebooks, item_id=item_id, item_vec=item_vec
     )
-    enc = enc.join(item_cells, item_id)
+    if "cell" not in enc.columns:
+        enc = enc.join(item_cells, item_id)
 
     # query side: driver-bounded collect (the serving-layer contract the
     # PQ route already fail-fast caps), probe cells in numpy
@@ -887,3 +888,41 @@ def load_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
     for r in rows:
         codebooks[r["m"], r["k"]] = r["vec"]
     return codebooks, spark.read.parquet(f"{path}/codes")
+
+
+def save_ivfpq_index(
+    spark,
+    path: str,
+    codebooks: np.ndarray,
+    cells: DataFrame,
+    encoded_items: DataFrame,
+) -> None:
+    """Persist the composed IVF-PQ index (:func:`knn_join_ivfpq`) as
+    parquet tables: PQ codebooks + coarse cell centroids + the encoded
+    codes PARTITIONED BY CELL — so a probe's left-semi cell filter
+    becomes parquet partition pruning on reload (only n_probe/n_cells of
+    the code files are read). Same S13/S14 faiss.write_index parity as
+    :func:`save_pq_index`, for the composed production index.
+
+    ``encoded_items`` must carry a ``cell`` column (the assignment
+    :func:`knn_join_ivfpq` computes); cells is (cell, cell_vec)."""
+    m, k, ds = codebooks.shape
+    rows = [
+        (mi, ki, [float(x) for x in codebooks[mi, ki]])
+        for mi in range(m)
+        for ki in range(k)
+    ]
+    cb = spark.createDataFrame(rows, "m int, k int, vec array<double>")
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    cells.coalesce(1).write.mode("overwrite").parquet(f"{path}/cells")
+    encoded_items.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def load_ivfpq_index(spark, path: str) -> tuple[np.ndarray, DataFrame, DataFrame]:
+    """(codebooks, cells, codes) for :func:`knn_join_ivfpq`'s
+    ``cells``/``encoded_items`` fast path — nothing is retrained or
+    re-encoded at query time, and the cell-partitioned code layout
+    prunes unprobed cells at the scan."""
+    codebooks, codes = load_pq_index(spark, path)
+    cells = spark.read.parquet(f"{path}/cells")
+    return codebooks, cells, codes

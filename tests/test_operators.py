@@ -1490,6 +1490,59 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path):
     assert rows(fresh) == rows(reloaded)
 
 
+def test_ivfpq_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted IVF-PQ index (codebooks + cells + cell-partitioned
+    codes) reloads and serves the identical top-k without retraining,
+    re-encoding, or reassigning; the code files land partitioned by
+    cell so probes prune at the scan."""
+    import numpy as np
+    import os
+
+    from newsify_spark.operators.similarity import (
+        knn_join_ivfpq,
+        load_ivfpq_index,
+        pq_encode,
+        pq_train,
+        save_ivfpq_index,
+    )
+    from newsify_spark.tables import load
+    from newsify_spark.operators.topk import top_k_per_group
+    from newsify_spark.operators.similarity import cosine
+
+    emb = load(spark, SF_DIR, "embeddings")
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cb = pq_train(items, m=8, k=16, sample=200)
+    # deterministic cells: 4 lowest-id embeddings as centroids
+    cells = emb.orderBy("vec_id").limit(4).select(
+        F.monotonically_increasing_id().cast("int").alias("cell"),
+        F.col("embedding").alias("cell_vec"),
+    )
+    cells = spark.createDataFrame(cells.collect(), "cell int, cell_vec array<double>")
+    assign = (
+        items.crossJoin(F.broadcast(cells))
+        .withColumn("csim", cosine(F.col("item_vec"), F.col("cell_vec")))
+        .transform(lambda df: top_k_per_group(
+            df, ["item_id"], [F.col("csim").desc(), F.col("cell").asc()], 1))
+        .select("item_id", "cell")
+    )
+    codes = pq_encode(items, cb).join(assign, "item_id")
+    save_ivfpq_index(spark, str(tmp_path / "idx"), cb, cells, codes)
+    cb2, cells2, codes2 = load_ivfpq_index(spark, str(tmp_path / "idx"))
+    assert np.array_equal(cb, cb2)
+    assert any(d.startswith("cell=") for d in os.listdir(tmp_path / "idx" / "codes"))
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    fresh = knn_join_ivfpq(
+        q, items, k=5, codebooks=cb, n_probe=2, cells=cells, encoded_items=codes
+    )
+    reloaded = knn_join_ivfpq(
+        q, items, k=5, codebooks=cb2, n_probe=2, cells=cells2, encoded_items=codes2
+    )
+    assert rows(fresh) == rows(reloaded)
+
+
 # ---------------------------------------------------- data-quality checks
 
 
