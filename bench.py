@@ -38,6 +38,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # fresh per-run bloom cache dir: pass 1 measures the cold build path
+    # (same work the envelopes were recorded against) while passes 2..n
+    # stay warm within the run — repeated bench runs are reproducible and
+    # a build-path regression can't hide behind a stale /tmp cache
+    # (ADVICE r6). Respect an explicit override.
+    if "SPARK_GRAFT_BLOOM_CACHE" not in os.environ:
+        import tempfile
+
+        os.environ["SPARK_GRAFT_BLOOM_CACHE"] = tempfile.mkdtemp(
+            prefix="newsify_bench_bloom_"
+        )
+
     spark = get_spark("newsify_bench")
     # JVM/codegen warmup so the first timed query isn't penalized
     force(spark.range(1_000_000).selectExpr("sum(id) AS s"))

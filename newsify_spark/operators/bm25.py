@@ -28,7 +28,7 @@ rows and broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from newsify_spark.functions.text import tokens
@@ -54,8 +54,13 @@ def bm25_topk(
     positive, the Lucene convention.
     """
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # ONE tokenize+shuffle builds the postings; doc length, df/idf, and
+    # the scoring probe all derive from it. The postings table is the
+    # index artifact — persist it so its three consumers don't each
+    # re-tokenize the corpus (at cluster scale this is the table you
+    # write out partitioned by term).
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     scalars = F.broadcast(
         dl.agg(
             F.count("*").cast("double").alias("n_docs"),
@@ -89,15 +94,13 @@ def bm25_topk(
         .groupBy(query_id, id_col)
         .agg(F.round(F.sum("_s"), 4).alias("score"))
     )
-    ranked = top_k_per_group(
+    # single row_number window both filters to top-k AND emits rank —
+    # one sort/exchange instead of two over the same partitions
+    return top_k_per_group(
         scored,
         [query_id],
         [F.col("score").desc(), F.col(id_col).asc()],
         k,
+        rank_col="rank",
+        keep_rank=True,
     )
-    w_rank = F.row_number().over(
-        Window.partitionBy(query_id).orderBy(
-            F.col("score").desc(), F.col(id_col).asc()
-        )
-    )
-    return ranked.withColumn("rank", w_rank)

@@ -592,17 +592,26 @@ def duplicate_spans(
         F.col(id_col),
         F.explode(word_shingles(text_col, window)).alias("_span"),
     ).select(F.col(id_col), F.md5(F.col("_span")).alias("_h"))
+    # ONE shuffle touches raw span rows: the (id, hash) rollup, with
+    # map-side combine collapsing within-doc repeats before the wire.
+    # Every downstream aggregate/join reads the reduced table instead of
+    # re-tokenizing the corpus (the previous shape scanned spans 3x) —
+    # at 100 TB that is one corpus-sized exchange, then token-count-
+    # sized work.
+    per = spans.groupBy(id_col, "_h").agg(F.count("*").alias("_c")).persist()
     dup = (
-        spans.groupBy("_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        # rows of `per` are distinct (id, hash) pairs, so distinct-doc
+        # count per hash is a plain row count
+        per.groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("_h")
     )
-    total = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    total = per.groupBy(id_col).agg(F.sum("_c").alias("n_spans"))
     dupc = (
-        spans.join(dup, "_h", "left_semi")
+        per.join(dup, "_h", "left_semi")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup"))
+        .agg(F.sum("_c").alias("n_dup"))
     )
     frac = F.coalesce("n_dup", F.lit(0)) / F.col("n_spans").cast("double")
     return (
@@ -703,6 +712,24 @@ def semantic_dedup(
             item_vec=centroid_vec,
             seed=seed,
         ).select(id_col, cluster_col)
+        # knn_join_ivf returns NO row for a point whose n_probe probed
+        # cells hold zero centroids (possible with empty/skewed cells) —
+        # without a fallback that point would vanish from the output
+        # entirely: data loss, not dedup (ADVICE r6). Exact-argmax the
+        # unassigned remainder (ids-only anti join; empty in the normal
+        # case) so the IVF route keeps the exact route's every-point-
+        # assigned guarantee.
+        unassigned = pts.join(assign.select(id_col), id_col, "left_anti")
+        fallback = nearest_centroid_assign(
+            unassigned,
+            centroids,
+            threshold=-2.0,
+            point_id=id_col,
+            centroid_id=cluster_col,
+            point_vec=vec_col,
+            centroid_vec=centroid_vec,
+        ).select(id_col, cluster_col)
+        assign = assign.unionByName(fallback)
     else:
         assign = nearest_centroid_assign(
             pts,

@@ -694,6 +694,94 @@ def knn_join_pq(
     )
 
 
+def _assign_items_to_cells(
+    items: DataFrame, cells: DataFrame, item_id: str, item_vec: str
+) -> DataFrame:
+    """(item_id, cell) coarse assignment: cosine argmax against the
+    broadcast cell-centroid table, cell-id tiebreak — the same
+    deterministic rule at build time and at incremental add time, so an
+    added vector lands in exactly the cell a fresh build would pick."""
+    return (
+        items.crossJoin(F.broadcast(cells))
+        .withColumn("csim", cosine(F.col(item_vec), F.col("cell_vec")))
+        .transform(
+            lambda df: top_k_per_group(
+                df, [item_id], [F.col("csim").desc(), F.col("cell").asc()], 1
+            )
+        )
+        .select(item_id, "cell")
+    )
+
+
+def _ivfpq_scan_chunk(
+    spark,
+    enc: DataFrame,
+    Q: np.ndarray,
+    qids: np.ndarray,
+    codebooks: np.ndarray,
+    cids: np.ndarray,
+    cunit: np.ndarray,
+    pos: dict[int, int],
+    n_probe: int,
+    n_cand: int,
+    query_id: str,
+    item_id: str,
+    cand_schema: str,
+) -> DataFrame:
+    """One ADC scan pass for a driver-bounded query chunk: probe each
+    query's ``n_probe`` nearest cells, semi-prune the code table to the
+    chunk's probed-cell union, and mapInPandas-scan codes with the
+    chunk's asymmetric-distance tables (closure size |chunk| x m x kk —
+    the caller bounds |chunk|). Returns (query_id, item_id, est)."""
+    import pandas as pd
+
+    m, kk, ds = codebooks.shape
+    qsim = Q @ cunit.T  # |chunk| x n_cells
+    probe_idx = np.argsort(-qsim, axis=1, kind="stable")[:, :n_probe]
+    probed_cells = cids[probe_idx]  # |chunk| x n_probe
+    mask = np.zeros((len(Q), len(cids)), dtype=bool)
+    for qi in range(len(Q)):
+        for c in probed_cells[qi]:
+            mask[qi, pos[int(c)]] = True
+    tables = np.empty((len(Q), m, kk))
+    for j in range(m):
+        qs = Q[:, j * ds : (j + 1) * ds]
+        tables[:, j, :] = ((qs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
+
+    # prune the code table to cells THIS chunk probes (partition pruning
+    # at scale when the code store is partitioned by cell)
+    union_cells = spark.createDataFrame(
+        [(int(c),) for c in sorted({int(c) for c in probed_cells.ravel()})], "cell int"
+    )
+    enc = enc.join(F.broadcast(union_cells), "cell", "left_semi")
+
+    def scan(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[item_id].to_numpy()
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            cellpos = np.array([pos[int(c)] for c in pdf["cell"]], dtype=np.int64)
+            est = tables[:, np.arange(m)[None, :], codes].sum(-1)  # |chunk| x |batch|
+            est = np.where(mask[:, cellpos], est, np.inf)  # per-query cell gate
+            nc = min(n_cand, est.shape[1])
+            idx = np.argpartition(est, nc - 1, axis=1)[:, :nc]
+            vals = np.take_along_axis(est, idx, axis=1)
+            keep = np.isfinite(vals)
+            if not keep.any():
+                continue
+            qrep = np.repeat(qids, nc).reshape(len(qids), nc)
+            yield pd.DataFrame(
+                {
+                    query_id: qrep[keep].ravel(),
+                    item_id: ids[idx][keep].ravel(),
+                    "est": vals[keep].ravel(),
+                }
+            )
+
+    return enc.mapInPandas(scan, schema=cand_schema)
+
+
 def knn_join_ivfpq(
     queries: DataFrame,
     items: DataFrame,
@@ -710,6 +798,7 @@ def knn_join_ivfpq(
     seed: int = 42,
     cells: DataFrame | None = None,
     encoded_items: DataFrame | None = None,
+    query_chunk: int = 10_000,
 ) -> DataFrame:
     """FAISS IndexIVFPQ re-expressed: coarse-quantize items into
     ``n_cells`` (the IVF layer — same cell construction as
@@ -736,8 +825,6 @@ def knn_join_ivfpq(
     supplied, nothing is trained at query time (encode-at-ingest,
     the production shape).
     """
-    import pandas as pd
-
     spark = items.sparkSession
     if cells is None:
         from pyspark.ml.clustering import KMeans
@@ -759,16 +846,7 @@ def knn_join_ivfpq(
     cunit = cmat / cnrm
 
     # item -> cell assignment (broadcast argmax, same as knn_join_ivf)
-    item_cells = (
-        items.crossJoin(F.broadcast(cells))
-        .withColumn("csim", cosine(F.col(item_vec), F.col("cell_vec")))
-        .transform(
-            lambda df: top_k_per_group(
-                df, [item_id], [F.col("csim").desc(), F.col("cell").asc()], 1
-            )
-        )
-        .select(item_id, "cell")
-    )
+    item_cells = _assign_items_to_cells(items, cells, item_id, item_vec)
     enc = encoded_items if encoded_items is not None else pq_encode(
         items, codebooks, item_id=item_id, item_vec=item_vec
     )
@@ -782,60 +860,37 @@ def knn_join_ivfpq(
     if len(qrows) > max_queries:
         raise ValueError(f"knn_join_ivfpq query side exceeds max_queries={max_queries}")
     qids = np.array([r[0] for r in qrows])
-    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64).reshape(len(qrows), -1)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
     Q = Q / qn
-    qsim = Q @ cunit.T  # |Q| x n_cells
     n_probe = min(n_probe, len(cids))
-    probe_idx = np.argsort(-qsim, axis=1, kind="stable")[:, :n_probe]
-    probed_cells = cids[probe_idx]  # |Q| x n_probe
-    # per-query cell mask, cell ids mapped to dense positions
     pos = {int(c): i for i, c in enumerate(cids)}
-    mask = np.zeros((len(Q), len(cids)), dtype=bool)
-    for qi in range(len(Q)):
-        for c in probed_cells[qi]:
-            mask[qi, pos[int(c)]] = True
-    tables = np.empty((len(Q), m, kk))
-    for j in range(m):
-        qs = Q[:, j * ds : (j + 1) * ds]
-        tables[:, j, :] = ((qs[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(-1)
-
-    # prune the code table to cells ANY query probes (partition pruning
-    # at scale when the code store is partitioned by cell)
-    union_cells = spark.createDataFrame(
-        [(int(c),) for c in sorted({int(c) for c in probed_cells.ravel()})], "cell int"
-    )
-    enc = enc.join(F.broadcast(union_cells), "cell", "left_semi")
     n_cand = k * rerank_factor
-
-    def scan(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids = pdf[item_id].to_numpy()
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)
-            cellpos = np.array([pos[int(c)] for c in pdf["cell"]], dtype=np.int64)
-            est = tables[:, np.arange(m)[None, :], codes].sum(-1)  # |Q| x |batch|
-            est = np.where(mask[:, cellpos], est, np.inf)  # per-query cell gate
-            nc = min(n_cand, est.shape[1])
-            idx = np.argpartition(est, nc - 1, axis=1)[:, :nc]
-            vals = np.take_along_axis(est, idx, axis=1)
-            keep = np.isfinite(vals)
-            if not keep.any():
-                continue
-            qrep = np.repeat(qids, nc).reshape(len(qids), nc)
-            yield pd.DataFrame(
-                {
-                    query_id: qrep[keep].ravel(),
-                    item_id: ids[idx][keep].ravel(),
-                    "est": vals[keep].ravel(),
-                }
-            )
-
     q_dt = dict(queries.dtypes)[query_id]
     i_dt = dict(enc.dtypes)[item_id]
-    cand = enc.mapInPandas(scan, schema=f"{query_id} {q_dt}, {item_id} {i_dt}, est double")
+    cand_schema = f"{query_id} {q_dt}, {item_id} {i_dt}, est double"
+
+    # The ADC tables ride each scan task as a |chunk| x m x kk float
+    # array — at the documented max_queries=100k cap with m=16, k=256
+    # that is ~3.3 GB, far past task size (VERDICT r6 #4). Chunk the
+    # query side: each chunk gets its own scan pass over the (cell-
+    # pruned) code table with a closure bounded by query_chunk rows
+    # (10k default ≈ 330 MB worst case, ~5 MB at serving-sized m=8).
+    # Chunks are independent scans unioned into ONE lazy plan — a
+    # single job, and each scan's semi-join prunes to only the cells
+    # that chunk's queries probe.
+    cand: DataFrame | None = None
+    step = max(1, query_chunk)
+    for lo in range(0, len(Q), step):
+        chunk = _ivfpq_scan_chunk(
+            spark, enc, Q[lo : lo + step], qids[lo : lo + step],
+            codebooks, cids, cunit, pos,
+            n_probe, n_cand, query_id, item_id, cand_schema,
+        )
+        cand = chunk if cand is None else cand.unionByName(chunk)
+    if cand is None:  # empty query side
+        cand = spark.createDataFrame([], cand_schema)
     shortlist = top_k_per_group(
         cand, [query_id], [F.col("est").asc(), F.col(item_id).asc()], n_cand
     ).select(query_id, item_id)
@@ -926,3 +981,77 @@ def load_ivfpq_index(spark, path: str) -> tuple[np.ndarray, DataFrame, DataFrame
     codebooks, codes = load_pq_index(spark, path)
     cells = spark.read.parquet(f"{path}/cells")
     return codebooks, cells, codes
+
+
+def ivfpq_add_items(
+    spark,
+    path: str,
+    items: DataFrame,
+    item_id: str = "item_id",
+    item_vec: str = "item_vec",
+) -> None:
+    """Incremental IVF-PQ index maintenance — the ``faiss index.add``
+    half of S14 (batch-cluster-service.py:85-95): encode NEW vectors
+    with the index's FROZEN codebooks, coarse-assign them with the
+    frozen cells, and APPEND their codes to only the touched cell
+    partitions. No retrain, no re-encode of existing items, untouched
+    cell partitions' files are never rewritten — at 100 TB an add of n
+    vectors costs O(n) encode + writes to at most min(n, n_cells)
+    partition dirs.
+
+    Same determinism contract as the build: given the frozen
+    codebooks/cells, add-then-probe equals a fresh wholesale encode
+    (pinned in tests). Adding an item_id already in the index is the
+    caller's upsert bug — remove first (faiss semantics)."""
+    codebooks, cells, _codes = load_ivfpq_index(spark, path)
+    assigned = _assign_items_to_cells(items, cells, item_id, item_vec)
+    enc = pq_encode(items, codebooks, item_id=item_id, item_vec=item_vec).join(
+        assigned, item_id
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def ivfpq_remove_items(
+    spark,
+    path: str,
+    ids: DataFrame,
+    item_id: str = "item_id",
+) -> None:
+    """The ``faiss index.remove_ids`` half of S14 (batch-cluster-
+    service.py:187-191): anti-join rewrite of ONLY the cell partitions
+    that contain a victim id. Victim cells are found with one
+    ids-semi-joined scan (parquet partition pruning keeps it cheap);
+    each touched cell directory is rewritten in place with its
+    surviving rows — untouched cells (the overwhelming majority: |ids|
+    bounded cells out of n_cells) keep their files byte-identical."""
+    codes = spark.read.parquet(f"{path}/codes")
+    victims = F.broadcast(ids.select(item_id).distinct())
+    touched = [
+        r["cell"]
+        for r in codes.join(victims, item_id, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    import os
+    import shutil
+
+    for cell in touched:
+        remaining = (
+            codes.filter(F.col("cell") == cell)
+            .join(victims, item_id, "left_anti")
+            .drop("cell")
+        )
+        # rewrite this one partition dir in the layout partitionBy
+        # produced (cell column encoded in the dir name, not the files).
+        # Stage-then-rename: writing over the dir being read would
+        # delete input files mid-scan; the dot-prefixed staging dir is
+        # invisible to parquet listings even if a crash leaves it. At
+        # cluster scale this swap is a table-format replaceWhere
+        # (Delta/Iceberg) — the touched-partitions-only contract is the
+        # same (COVERAGE.md S9/S11 note).
+        target = f"{path}/codes/cell={cell}"
+        staging = f"{path}/codes/.cell={cell}.rewrite"
+        remaining.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target)
+        os.rename(staging, target)

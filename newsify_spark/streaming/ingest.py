@@ -49,6 +49,11 @@ from newsify_spark.operators.dedup import (
     minhash_signatures,
 )
 
+# reserved bloom-store partition id for the one-time migration build
+# (real trigger batch ids are >= 0, so -1 never collides)
+MIGRATION_BATCH_ID = -1
+
+
 def load_signature_store(
     spark: SparkSession,
     store_path: str,
@@ -132,9 +137,15 @@ def ingest_batch(
         m_store = max(1024, _next_pow2(20 * max(bloom_capacity, 1)))
     if words is None and "text_hash" in pre_store.columns and not pre_store.isEmpty():
         # migration: signature store predates the bloom store — build the
-        # word table from it ONCE at the store's canonical m (subsequent
-        # batches hit the persisted partitions written below)
+        # word table from it ONCE at the store's canonical m, and PERSIST
+        # it under the reserved batch=-1 partition. Without the write,
+        # later batches (which skip this branch because the store now
+        # exists) would probe a bitmap missing every pre-migration key,
+        # breaking bloom_prefilter_dedup's "bitmap covers the corpus"
+        # contract (ADVICE r6). batch=-1 never collides with trigger ids
+        # and is excluded from exclude_batch filters only when asked.
         words = bloom_build_words(pre_store.select("text_hash"), "text_hash", m_store)
+        save_bloom_partition(words, bloom_store_path, MIGRATION_BATCH_ID)
     hashed = None
     if words is not None:
         # the batch source feeds the prefilter's definitely-new/maybe

@@ -26,5 +26,7 @@ def test_oracle_parity(name, spark, ddb):
 def test_rows_only(name, spark):
     q = REGISTRY[name]
     df = q.fn(spark, SF_DIR)
-    assert df.count() >= 0  # runs end-to-end with a stable schema
+    # mirror the driver's rows-only contract (spark_rows > 0) so a
+    # rows-only query regressing to empty output fails locally first
+    assert df.count() > 0
     assert len(df.schema) > 0

@@ -599,6 +599,46 @@ def test_streaming_ingest_bloom_fast_path_drops_exact_redelivery(spark, tmp_path
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 11]
 
 
+def test_ingest_bloom_migration_persists_store(spark, tmp_path):
+    """A signature store that predates the bloom store triggers the
+    one-time migration build — which must PERSIST under the reserved
+    batch=-1 partition (ADVICE r6): without the write, later batches
+    (which skip the migration branch because the store now exists) would
+    probe a bitmap missing every pre-migration key."""
+    import shutil
+
+    from newsify_spark.operators.bloom import bloom_build_words, load_bloom_store_df
+    from newsify_spark.streaming.ingest import MIGRATION_BATCH_ID, ingest_batch
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "some document text with enough words to shingle properly here"
+    t2 = "an entirely different second document mentioning other things now"
+    ingest_batch(mk([(1, t1), (2, t2)]), 0, store, out)
+    shutil.rmtree(f"{store}_bloom")  # simulate a pre-bloom-era store
+
+    s1 = ingest_batch(mk([(10, "a third totally novel text about engines")]), 1, store, out)
+    assert [r.doc_id for r in s1.collect()] == [10]
+    bloom = spark.read.option("basePath", f"{store}_bloom").parquet(f"{store}_bloom")
+    parts = sorted(r.batch for r in bloom.select("batch").distinct().collect())
+    assert parts == [MIGRATION_BATCH_ID, 1]
+    # the merged store covers the PRE-migration corpus: every bit of a
+    # fresh build over the historical hashes is set in the merged bitmap
+    words, m_bits = load_bloom_store_df(spark, f"{store}_bloom")
+    hist = bloom_build_words(
+        spark.read.parquet(store).filter("batch = 0").select("text_hash"),
+        "text_hash",
+        m_bits,
+    )
+    merged = {r.word: r.bits for r in words.collect()}
+    for r in hist.collect():
+        assert merged.get(r.word, 0) & r.bits == r.bits
+
+    # exact redelivery of a PRE-migration doc is still dropped
+    s2 = ingest_batch(mk([(20, t1)]), 2, store, out)
+    assert [r.doc_id for r in s2.collect()] == []
+
+
 def test_freq_cap_admits_at_most_cap_per_key_across_batches(spark, tmp_path):
     """CM-sketch-backed streaming frequency cap: a hot key is admitted
     up to cap across batches, cold keys pass untouched, and the sketch
