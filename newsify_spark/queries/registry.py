@@ -69,11 +69,12 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_fingerprint",  # F15 fingerprinting also via doc_winnow_fingerprints
         "doc_lsh_candidates",  # inner stage of doc_minhash_dedup_survivors
         # (round-4 additions all promoted in rotation #3 below; round-5
-        # additions all promoted in rotation #4 below)
-        # round-6 additions; never-driver-checked — round-7 rotation queue
-        "doc_dup_spans",
-        "ml_ann_ivfpq_topk",
-        "doc_bm25_search",
+        # additions all promoted in rotation #4 below; round-6 additions
+        # — doc_dup_spans, doc_bm25_search, ml_ann_ivfpq_topk — all
+        # promoted in rotation #5 below)
+        # round-7 additions; never-driver-checked — rotation-#6 queue
+        # (promote next round with tpch_q19-q22)
+        "doc_hybrid_rrf",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
@@ -120,16 +121,12 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_needs_refresh",  # green r1+r2 (P6/P7/T7)
         "rel_timestamp_parse",  # green r1+r2 (S3/F4)
         # round-3 TPC-H completion (queries/tpch.py) — beyond-reference
-        # relational coverage, oracle-verified locally; rotation #4
-        # promoted the first 3 (q02, q05, q18) into the driver window,
-        # the rest rotate in 2-4 per round
-        "tpch_q07_volume_shipping",
-        "tpch_q08_market_share",
-        "tpch_q09_product_profit",
-        "tpch_q11_important_parts",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_qty_revenue",
+        # relational coverage, oracle-verified locally. Driver-evidence
+        # rotation schedule (VERDICT r6 #2): rotation #4 (round 6)
+        # promoted q02, q05, q18; rotation #5 (round 7) promoted q07,
+        # q08, q09, q11, q15, q16, q17; rotation #6 (round 8) promotes
+        # the final four below — after that every tpch_q* has a driver
+        # row.
         "tpch_q19_disjunctive_revenue",
         "tpch_q20_promotion_suppliers",
         "tpch_q21_waiting_suppliers",
@@ -196,6 +193,22 @@ DEMOTED: frozenset[str] = frozenset(
         "vec_knn_bruteforce",  # bench; green r2+r3+r5
         "vec_knn_matmul",  # bench; green r2+r3+r5
         "vec_nearest_centroid",  # bench; green r2+r3+r5
+        # --- round-7 rotation OUT (rotation #5): every name below is
+        # driver hash-green in 3 rounds (r3+r5+r6), freeing window slots
+        # for the 3 round-6 additions (doc_dup_spans, doc_bm25_search,
+        # ml_ann_ivfpq_topk) plus 7 more deep-TPC-H queries (q07, q08,
+        # q09, q11, q15, q16, q17) — all first-ever driver rows. All
+        # remain oracle-verified locally every round.
+        "doc_contamination",  # green r3+r5+r6
+        "doc_dup_components",  # green r3+r5+r6
+        "doc_pii_scrub",  # green r3+r5+r6
+        "doc_source_quality",  # green r3+r5+r6
+        "rel_point_lookup",  # green r3+r5+r6
+        "rel_range_join",  # green r3+r5+r6
+        "rel_recent_window_agg",  # green r3+r5+r6
+        "rel_scalar_bundle",  # green r3+r5+r6
+        "rel_sessionize",  # green r3+r5+r6
+        "rel_top_revenue_orders",  # green r3+r5+r6
     }
 )
 

@@ -74,6 +74,11 @@ QUERIES = [
     # and the int8-quantized ANN path
     "doc_bloom_dedup",
     "vec_knn_int8",
+    # round 7: the rotation-#5 bench promotions — span-level dedup (one
+    # (hash,id) shuffle) and BM25 retrieval (postings build + broadcast
+    # query-vocab probe)
+    "doc_dup_spans",
+    "doc_bm25_search",
 ]
 
 

@@ -23,17 +23,12 @@ MUST_BE_CHECKED = {
     # rel_window_minmax_norm, rel_window_topk, stream_window_counts,
     # rel_revenue_by_nation, rel_pricing_summary, doc_neardup_auto —
     # all still oracle-verified locally every round.)
-    "rel_scalar_bundle",  # F1-F9
-    # round-3 rotation IN: first-ever driver rows for these operators
-    "rel_point_lookup",  # S7
-    "rel_top_revenue_orders",  # O1
-    "rel_recent_window_agg",  # P4
-    "doc_dup_components",  # W4-free closure (connected components)
-    "doc_source_quality",  # corpus rollup (r2 parity bug, now fixed)
-    "rel_sessionize",  # W-extra sessionization
-    "rel_range_join",  # J-extra range join
-    "doc_pii_scrub",  # corpus PII scrub
-    "doc_contamination",  # eval-set contamination gate
+    # (rotation #5 trimmed the round-3 rotation-IN cohort after each
+    # accumulated 3 driver-green rounds (r3+r5+r6): rel_scalar_bundle,
+    # rel_point_lookup, rel_top_revenue_orders, rel_recent_window_agg,
+    # doc_dup_components, doc_source_quality, rel_sessionize,
+    # rel_range_join, doc_pii_scrub, doc_contamination — all still
+    # oracle-verified locally every round.)
     # round-4 rotation IN (rotation #2): first-ever driver rows
     "doc_incremental_dedup",  # rolling-ingest band-join dedup
     "ml_ann_pq_topk",  # J5 PQ-compressed ANN
@@ -76,6 +71,19 @@ MUST_BE_CHECKED = {
     "tpch_q02_min_acctbal_supplier",  # deep TPC-H block starts rotating
     "tpch_q05_local_supplier_volume",
     "tpch_q18_large_volume_customers",
+    # round-7 rotation IN (rotation #5): first-ever driver rows — the 3
+    # round-6 additions plus 7 more deep-TPC-H queries (rotation #6
+    # finishes the block with q19-q22)
+    "doc_dup_spans",  # ExactSubstr-style span dedup
+    "doc_bm25_search",  # BM25 lexical retrieval (bench headliner)
+    "ml_ann_ivfpq_topk",  # composed IVF-PQ ANN index
+    "tpch_q07_volume_shipping",
+    "tpch_q08_market_share",
+    "tpch_q09_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_qty_revenue",
 }
 
 
