@@ -1137,18 +1137,38 @@ def doc_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.filter(F.col("doc_id") % 3 == 0).select("text_hash")
     fp = BL.corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    # per-user cache root (a world-shared fixed /tmp path is poisonable
+    # by other local users — ADVICE r6); env override for bench isolation
     cache_root = os.environ.get(
         "SPARK_GRAFT_BLOOM_CACHE",
-        os.path.join(tempfile.gettempdir(), "newsify_bloom_cache"),
+        os.path.join(
+            tempfile.gettempdir(), f"newsify_bloom_cache_{os.getuid()}"
+        ),
     )
     store = os.path.join(cache_root, fp)
     bitmap, _m = BL.load_bloom_store(spark, store)
     if bitmap is None:
         n = corpus.count()
         m_bits = max(1024, BL._next_pow2(20 * max(n, 1)))
+        # build in a private temp dir and atomically rename into the
+        # fingerprint path: concurrent cache-miss runs can't interleave
+        # writes into one store, and a reader never sees a partial word
+        # table (rename is atomic on one filesystem; loser's dir is
+        # discarded — ADVICE r6)
+        os.makedirs(cache_root, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix=f".{fp}.", dir=cache_root)
+        build_dir = os.path.join(staging, "store")
         BL.save_bloom_partition(
-            BL.bloom_build_words(corpus, "text_hash", m_bits), store, 0
+            BL.bloom_build_words(corpus, "text_hash", m_bits), build_dir, 0
         )
+        try:
+            os.rename(build_dir, store)
+        except OSError:
+            pass  # another run won the race — its complete store is fine
+        finally:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
         bitmap, _m = BL.load_bloom_store(spark, store)
     survivors = BL.bloom_prefilter_dedup(docs, corpus, "text_hash", bitmap=bitmap)
     return survivors.select("doc_id").orderBy("doc_id")
@@ -1162,12 +1182,14 @@ _BM25_QUERIES = [
 ]
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The BM25 pipeline as a reusable WITH-body (toks -> tf/dl/idf ->
+    scored -> ranked); shared by the plain retrieval oracle and the RRF
+    fusion oracle."""
     qrows = ", ".join(
         f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in sorted(set(terms))
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest({tokens_sql()}) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
@@ -1195,7 +1217,12 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id ASC) AS rank
   FROM scored
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()}
 SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
@@ -1215,6 +1242,7 @@ ORDER BY query_id, rank
     "ANN (vec_knn_*) — the standard cheap baseline for RAG retrieval. "
     "Fully hash-checked: BM25 is pure aggregate arithmetic.",
     tags=("retrieval", "bm25", "text", "J5"),
+    bench=True,  # promoted to the headline set at rotation #5 (r7)
     oracle=_bm25_oracle(),
 )
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,6 +1254,113 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, terms array<string>",
     )
     out = bm25_topk(docs, queries, k=10)
+    return out.orderBy("query_id", "rank")
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()},
+sem_scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS doc_id,
+         round({cosine_sql('q.embedding', 'i.embedding')}, 6) AS s6
+  FROM embeddings q, embeddings i
+  WHERE q.vec_id IN (1, 2, 3, 4)
+),
+sem_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s6 DESC, doc_id ASC) AS r
+  FROM sem_scored
+),
+contrib AS (
+  SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+  FROM ranked WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c
+  FROM sem_ranked WHERE r <= 20
+),
+fused AS (
+  SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+         round(sum(c), 6) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM contrib GROUP BY 1, 2
+),
+out AS (
+  SELECT query_id, doc_id, rrf_score, n_legs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, n_legs, CAST(rank AS INTEGER) AS rank
+FROM out WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "doc_hybrid_rrf",
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke & "
+    "Buettcher SIGIR 2009, the production default in Elasticsearch/"
+    "Vespa/OpenSearch hybrid search): the BM25 lexical leg "
+    "(operators.bm25, top-20 per query) and the embedding cosine "
+    "semantic leg (top-20, query vectors keyed to the query ids) each "
+    "contribute 1/(60+rank); legs union, per-(query, doc) sum, top-10 "
+    "re-rank. Composes the round-6 retrieval legs into the standard "
+    "RAG serving stack — no score normalization needed across "
+    "heterogeneous rankers, which is exactly why RRF is the default "
+    "fusion. n_legs marks consensus hits (both rankers agree). Fully "
+    "hash-checked: both legs and the fusion are deterministic "
+    "aggregate arithmetic (scores rounded before ranking on both "
+    "engines).",
+    tags=("retrieval", "rrf", "hybrid", "J5"),
+    oracle=_hybrid_rrf_oracle(),
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.functions.vectors import cosine
+    from newsify_spark.operators.bm25 import bm25_topk
+    from newsify_spark.operators.topk import top_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _BM25_QUERIES],
+        "query_id int, terms array<string>",
+    )
+    lex = bm25_topk(docs, queries, k=20).select(
+        "query_id", "doc_id", F.col("rank").alias("r")
+    )
+    # semantic leg: the query ids' own embeddings probe the corpus —
+    # 4-row query side broadcast, corpus side stays distributed (the
+    # registered exact leg; vec_knn_{lsh,ivf,int8,ivfpq} are the drop-in
+    # scale paths for the same (query_id, doc_id, rank) contract)
+    qv = emb.filter(F.col("vec_id").isin(1, 2, 3, 4)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    sem = (
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("item_vec"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("s6", F.round(cosine("query_vec", "item_vec"), 6))
+        .transform(
+            lambda df: top_k_per_group(
+                df, ["query_id"], [F.col("s6").desc(), F.col("doc_id").asc()], 20,
+                rank_col="r", keep_rank=True,
+            )
+        )
+        .select("query_id", "doc_id", "r")
+    )
+    contrib = lex.unionByName(sem).select(
+        "query_id", "doc_id", (F.lit(1.0) / (F.lit(60) + F.col("r"))).alias("c")
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf_score"),
+        F.count("*").alias("n_legs"),
+    )
+    out = top_k_per_group(
+        fused, ["query_id"],
+        [F.col("rrf_score").desc(), F.col("doc_id").asc()], 10,
+        rank_col="rank", keep_rank=True,
+    )
     return out.orderBy("query_id", "rank")
 
 
@@ -1264,6 +1399,7 @@ ORDER BY doc_id
     "codegen'd span projection + one (hash,id) shuffle — the linear "
     "pass ExactSubstr's suffix array pays, without the global sort.",
     tags=("dedup", "spans", "S18", "scale-path"),
+    bench=True,  # promoted to the headline set at rotation #5 (r7)
     oracle=_DUP_SPANS_ORACLE,
 )
 def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
