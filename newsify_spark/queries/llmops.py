@@ -905,6 +905,64 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- weighted sample (A-ES)
+@register(
+    "doc_weighted_sample",
+    doc="Deterministic weighted sampling without replacement (Efraimidis "
+    "& Spirakis IPL 2006, algorithm A-ES): each doc draws u from the "
+    "portable md5 hash (reproducible across engines/runs — no rand()), "
+    "gets key ln(u)/w with w = token count, and the top-100 keys are "
+    "the sample — inclusion probability proportional to weight, the "
+    "standard quality/length-weighted draw a training-mix builder "
+    "needs. Keys round to 10dp before ranking so float order agrees "
+    "cross-engine (doc-id tiebreak). Global top-k routes to "
+    "TakeOrderedAndProject — no full sort, no single-partition window; "
+    "the per-stratum variant is the same key under a partitioned "
+    "window. Order-preservation under weight scaling is unit-pinned.",
+    tags=("sampling", "weighted", "corpus-mix"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(len({tokens_sql()}) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         round(ln((hk + 1) / 4294967296.0) / n_tokens, 10) AS samp_key
+  FROM h
+),
+ranked AS (
+  SELECT doc_id, n_tokens, samp_key,
+         row_number() OVER (ORDER BY samp_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, n_tokens, samp_key, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 100
+ORDER BY rank
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.topk import top_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    hk = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    n_tok = F.size(F.split(F.lower(F.col("text")), " ")).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.log((hk + F.lit(1)) / F.lit(4294967296.0)) / n_tok, 10
+        ).alias("samp_key"),
+    )
+    return top_k_per_group(
+        keyed, [], [F.col("samp_key").desc(), F.col("doc_id").asc()], 100,
+        rank_col="rank", keep_rank=True,
+    ).orderBy("rank")
+
+
 # ------------------------------------------------------- sequence packing
 @register(
     "doc_pack_sequences",

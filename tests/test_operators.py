@@ -1610,6 +1610,26 @@ def test_ivfpq_index_save_load_roundtrip(spark, tmp_path):
     assert rows(fresh) == rows(reloaded)
 
 
+def test_weighted_sample_order_invariant_under_weight_scaling(spark):
+    """A-ES sampling keys ln(u)/w: scaling every weight by a constant
+    c > 0 scales keys by 1/c, leaving the sampled ORDER (hence any
+    top-k set) invariant — the property that makes the weights relative
+    priorities rather than absolute magnitudes. Also pins that higher
+    weight at equal u yields a higher key (closer to 0)."""
+    df = spark.createDataFrame([(i, 1 + (i % 10)) for i in range(200)], "id long, w long")
+    hk = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("long")
+    u = (hk + F.lit(1)) / F.lit(4294967296.0)
+
+    def order(scale):
+        keyed = df.select("id", (F.log(u) / (F.col("w") * scale)).alias("k"))
+        return [r.id for r in keyed.orderBy(F.col("k").desc(), F.col("id").asc()).collect()]
+
+    assert order(1) == order(3) == order(100)
+    # same u, larger w -> larger key: ln(u) < 0 shrinks toward 0
+    row = df.filter("id = 7").select(F.log(u).alias("lu")).first()
+    assert row.lu / 20 > row.lu / 2
+
+
 def test_ivfpq_incremental_add_remove_equals_fresh_build(spark, tmp_path):
     """faiss index.add / remove_ids parity on the persisted index
     (VERDICT r6 #6): build on A, add B, remove victims — then probing
