@@ -900,3 +900,165 @@ def rel_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_ts",
         F.round(F.coalesce("signup_value", F.lit(-1.0)), 4).alias("signup_value"),
     )
+
+
+@register(
+    "rel_funnel_steps",
+    doc="Ordered conversion funnel (view -> click -> purchase, each step "
+    "within 48h of the previous, strictly increasing ts) — the "
+    "Amplitude/Mixpanel-style event-analytics query the reference's "
+    "event pipeline (recommendation-trainer.py consumes the same "
+    "interaction stream) has no answer for. Each step is a user-keyed "
+    "min-ts aggregate joined to the previous step's frontier; all three "
+    "shuffles share the user_id key, so at 100 TB the plan is one "
+    "exchange reused, with step frontiers |users|-sized. The 48h step "
+    "window makes conversion discriminate on the fixture (~54h mean "
+    "inter-arrival per event type).",
+    tags=("A-extra", "J-extra"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+),
+s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t
+         AND epoch_us(e.ts) - epoch_us(s1.t) <= 172800000000 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         AND epoch_us(e.ts) - epoch_us(s2.t) <= 172800000000 GROUP BY e.user_id),
+u AS (
+  SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+)
+SELECT step, step_name, users,
+       round(CAST(users AS DOUBLE)
+             / (SELECT CAST(count(*) AS DOUBLE) FROM s1), 6) AS conversion
+FROM u
+""",
+)
+def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    step_us = 172_800_000_000  # 48h conversion window per step
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (epoch_us("ts") - epoch_us("t1") <= step_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (epoch_us("ts") - epoch_us("t2") <= step_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def count_step(frontier: DataFrame, step: int, name: str) -> DataFrame:
+        return frontier.agg(F.count("*").alias("users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("users"),
+        )
+
+    steps = (
+        count_step(s1, 1, "view")
+        .unionByName(count_step(s2, 2, "click"))
+        .unionByName(count_step(s3, 3, "purchase"))
+    )
+    base = s1.agg(F.count("*").cast("double").alias("_base"))
+    return steps.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_name",
+        "users",
+        F.round(F.col("users") / F.col("_base"), 6).alias("conversion"),
+    )
+
+
+@register(
+    "rel_retention_cohorts",
+    doc="Weekly cohort retention triangle over high-value purchases "
+    "(value > 100, ~1.5/user/month on the fixture so the triangle has "
+    "real falloff): users cohorted by the week of their first qualifying "
+    "purchase; qualifying-active weeks counted distinct against the "
+    "cohort week. The standard product-analytics rollup — two "
+    "user_id-keyed aggregates (one exchange reused) plus a tiny "
+    "cohort-week join; output is |weeks|^2/2 rows regardless of scale.",
+    tags=("A-extra", "W-extra"),
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+  WHERE event_type = 'purchase' AND value > 100.0
+),
+first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM e GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM e
+),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first_seen GROUP BY cohort_week
+)
+SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INTEGER) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users,
+       s.cohort_size,
+       round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size, 6)
+         AS retention
+FROM activity a
+JOIN first_seen f ON a.user_id = f.user_id
+JOIN sizes s ON f.cohort_week = s.cohort_week
+GROUP BY f.cohort_week, week_offset, s.cohort_size
+""",
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .select("user_id", "ts")
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(first_seen, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

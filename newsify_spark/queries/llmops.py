@@ -1376,6 +1376,7 @@ ORDER BY query_id, rank
 def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsify_spark.functions.vectors import cosine
     from newsify_spark.operators.bm25 import bm25_topk
+    from newsify_spark.operators.fusion import rrf_fuse
     from newsify_spark.operators.topk import top_k_per_group
 
     docs = load(spark, sf_dir, "documents")
@@ -1407,19 +1408,7 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "doc_id", "r")
     )
-    contrib = lex.unionByName(sem).select(
-        "query_id", "doc_id", (F.lit(1.0) / (F.lit(60) + F.col("r"))).alias("c")
-    )
-    fused = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("c"), 6).alias("rrf_score"),
-        F.count("*").alias("n_legs"),
-    )
-    out = top_k_per_group(
-        fused, ["query_id"],
-        [F.col("rrf_score").desc(), F.col("doc_id").asc()], 10,
-        rank_col="rank", keep_rank=True,
-    )
-    return out.orderBy("query_id", "rank")
+    return rrf_fuse([lex, sem], k=10).orderBy("query_id", "rank")
 
 
 _DUP_SPANS_ORACLE = f"""

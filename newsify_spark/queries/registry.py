@@ -76,6 +76,8 @@ DEMOTED: frozenset[str] = frozenset(
         # (promote next round with tpch_q19-q22)
         "doc_hybrid_rrf",
         "doc_weighted_sample",
+        "rel_funnel_steps",
+        "rel_retention_cohorts",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

@@ -232,6 +232,48 @@ def ingest_batch(
     return survivors
 
 
+def expire_store_batches(
+    store_path: str,
+    keep_last: int,
+    protected: tuple[int, ...] = (MIGRATION_BATCH_ID,),
+) -> list[int]:
+    """Retention for batch-partitioned stores (the signature store, the
+    bloom word store, the CM-sketch store — any ``<path>/batch=<id>``
+    layout): delete every batch partition older than the newest
+    ``keep_last``, returning the expired ids. This is the reference's
+    Redis TTL re-expressed for table stores (duplication_service.py
+    keys its dedup SET entries with an expiry): Redis silently forgets
+    old keys; here the operator forgets old batches on the operator's
+    schedule instead of per-key timers — one directory delete per
+    expired batch, no scan, no rewrite of surviving partitions.
+
+    Documented semantic (identical to Redis-TTL dedup): a document
+    whose ONLY signature lived in an expired batch can re-enter on
+    redelivery. That is the retention trade — bounded store size at
+    100 TB ingest — and callers choose ``keep_last`` to match their
+    redelivery horizon. ``protected`` partitions (the migration build
+    by default) are never expired."""
+    import os
+    import re
+    import shutil
+
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    base = store_path.rstrip("/")
+    if not os.path.isdir(base):
+        return []
+    ids = []
+    for d in os.listdir(base):
+        m = re.fullmatch(r"batch=(-?\d+)", d)
+        if m:
+            ids.append(int(m.group(1)))
+    keep = set(protected) | set(sorted(set(ids) - set(protected))[-keep_last:] if keep_last else set())
+    expired = sorted(i for i in ids if i not in keep)
+    for i in expired:
+        shutil.rmtree(f"{base}/batch={i}")
+    return expired
+
+
 def dedup_ingest_stream(
     stream: DataFrame,
     store_path: str,

@@ -1610,6 +1610,244 @@ def test_ivfpq_index_save_load_roundtrip(spark, tmp_path):
     assert rows(fresh) == rows(reloaded)
 
 
+def test_rrf_fuse_three_legs_consensus_and_scores(spark):
+    """rrf_fuse on three synthetic legs: scores are exactly the summed
+    1/(60+rank) contributions, n_legs counts agreeing rankers, and an
+    item ranked mid-list by ALL legs outranks an item ranked #1 by only
+    one — the consensus property RRF is chosen for."""
+    from newsify_spark.operators.fusion import rrf_fuse
+
+    mk = lambda rows: spark.createDataFrame(rows, "query_id int, doc_id long, r int")
+    lex = mk([(1, 10, 1), (1, 20, 2), (1, 30, 3)])
+    sem = mk([(1, 20, 1), (1, 30, 2), (1, 40, 3)])
+    rec = mk([(1, 30, 1), (1, 20, 2), (1, 50, 3)])
+    out = {r.doc_id: r for r in rrf_fuse([lex, sem, rec], k=10).collect()}
+    # doc 20: ranks 2,1,2 in 3 legs; doc 10: rank 1 in one leg only
+    assert out[20].n_legs == 3 and out[10].n_legs == 1
+    assert out[20].rrf_score > out[10].rrf_score
+    exp20 = round(1 / 62 + 1 / 61 + 1 / 62, 6)
+    exp30 = round(1 / 63 + 1 / 62 + 1 / 61, 6)
+    assert abs(out[20].rrf_score - exp20) < 1e-9
+    assert abs(out[30].rrf_score - exp30) < 1e-9
+    # 20 and 30 tie exactly in contribution sets -> rounded tie broken
+    # by doc id
+    assert out[20].rank < out[30].rank
+    with __import__("pytest").raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_rrf_fuse_semantic_leg_swaps_to_ivfpq_index(spark):
+    """The semantic leg is index-pluggable: the IVF-PQ route at full
+    probe returns the same (query, item, rank) leg as plain PQ at the
+    same rerank budget (the pinned index equivalence), so swapping the
+    index under rrf_fuse leaves the fused output identical — the
+    drop-in-scale-path contract the hybrid query documents."""
+    from newsify_spark.operators.fusion import rrf_fuse
+    from newsify_spark.operators.similarity import (
+        knn_join_ivfpq,
+        knn_join_pq,
+        pq_train,
+    )
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    books = pq_train(items, m=8, k=16, sample=200)
+
+    from pyspark.sql import Window
+
+    def leg(df):
+        w = F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("score").desc(), F.col("item_id").asc()
+            )
+        )
+        return df.select("query_id", F.col("item_id").alias("doc_id"), w.alias("r"))
+
+    pq = leg(knn_join_pq(q, items, k=8, codebooks=books, rerank_factor=8))
+    ivfpq = leg(
+        knn_join_ivfpq(
+            q, items, k=8, codebooks=books, n_cells=4, n_probe=4, rerank_factor=8
+        )
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(rrf_fuse([pq], k=5)) == rows(rrf_fuse([ivfpq], k=5))
+
+
+def test_ivfpq_remove_items_can_empty_a_cell(spark, tmp_path):
+    """Removing EVERY item of a cell leaves a valid index: the emptied
+    partition reads as zero rows (not an error), other cells are
+    untouched, and probes only return surviving items."""
+    from newsify_spark.operators.similarity import (
+        _assign_items_to_cells,
+        ivfpq_remove_items,
+        load_ivfpq_index,
+        pq_encode,
+        pq_train,
+        save_ivfpq_index,
+    )
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(40)
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    cb = pq_train(items, m=8, k=16, sample=40)
+    cells = spark.createDataFrame(
+        emb.orderBy("vec_id").limit(2).select(
+            F.monotonically_increasing_id().cast("int").alias("cell"),
+            F.col("embedding").alias("cell_vec"),
+        ).collect(),
+        "cell int, cell_vec array<double>",
+    )
+    codes = pq_encode(items, cb).join(
+        _assign_items_to_cells(items, cells, "item_id", "item_vec"), "item_id"
+    )
+    idx = str(tmp_path / "idx")
+    save_ivfpq_index(spark, idx, cb, cells, codes)
+    cell0_ids = codes.filter("cell = 0").select("item_id")
+    n_cell1 = codes.filter("cell = 1").count()
+    assert cell0_ids.count() > 0 and n_cell1 > 0
+
+    ivfpq_remove_items(spark, idx, cell0_ids)
+    _cb, _cells, codes2 = load_ivfpq_index(spark, idx)
+    assert codes2.filter("cell = 0").count() == 0
+    assert codes2.filter("cell = 1").count() == n_cell1
+
+
+def test_bm25_index_save_load_roundtrip(spark, tmp_path):
+    """Persisted BM25 index (postings/doclen/idf/scalars parquet
+    tables) serves the identical ranking without re-tokenizing the
+    corpus — the lexical sibling of the PQ/IVF-PQ index-as-table
+    contract; postings land term-clustered for row-group pruning."""
+    import os
+
+    from newsify_spark.operators.bm25 import (
+        bm25_topk,
+        bm25_topk_from_index,
+        save_bm25_index,
+    )
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    queries = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["vector", "scan", "filter"])],
+        "query_id int, terms array<string>",
+    )
+    direct = bm25_topk(docs, queries, k=10)
+    idx = str(tmp_path / "bm25")
+    save_bm25_index(spark, idx, docs)
+    assert sorted(os.listdir(idx)) == ["df", "doclen", "idf", "postings", "scalars"]
+    served = bm25_topk_from_index(spark, idx, queries, k=10)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(direct) == rows(served)
+
+
+def test_bm25_add_docs_equals_fresh_build(spark, tmp_path):
+    """Incremental add (Lucene new-segment): index built on half the
+    corpus then bm25_add_docs'd the other half serves EXACTLY the
+    ranking of a fresh wholesale build — postings appended as new
+    files, df delta-updated, idf/scalars recomputed exactly. Existing
+    postings files are never rewritten (mtimes unchanged)."""
+    import os
+
+    from newsify_spark.operators.bm25 import (
+        bm25_add_docs,
+        bm25_topk_from_index,
+        save_bm25_index,
+    )
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    old, new = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    queries = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["vector", "scan", "filter"])],
+        "query_id int, terms array<string>",
+    )
+    inc, fresh = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    save_bm25_index(spark, inc, old)
+    pre = {
+        f: os.path.getmtime(f"{inc}/postings/{f}")
+        for f in os.listdir(f"{inc}/postings")
+        if f.endswith(".parquet")
+    }
+    bm25_add_docs(spark, inc, new)
+    post = {
+        f: os.path.getmtime(f"{inc}/postings/{f}")
+        for f in os.listdir(f"{inc}/postings")
+        if f.endswith(".parquet")
+    }
+    assert set(pre) < set(post) and all(post[f] == pre[f] for f in pre)
+    save_bm25_index(spark, fresh, docs)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(bm25_topk_from_index(spark, inc, queries, k=10)) == rows(
+        bm25_topk_from_index(spark, fresh, queries, k=10)
+    )
+
+
+def test_bm25_tombstone_delete_and_compaction(spark, tmp_path):
+    """bm25_remove_docs is Lucene liveDocs: deleted docs vanish from
+    results immediately (no postings rewrite — file mtimes unchanged),
+    surviving docs keep their PRE-delete scores (stale df/idf until
+    merge, the documented semantic); compact_bm25_index then rewrites
+    and equals a fresh build over the survivors exactly."""
+    import os
+
+    from newsify_spark.operators.bm25 import (
+        bm25_remove_docs,
+        bm25_topk_from_index,
+        compact_bm25_index,
+        save_bm25_index,
+    )
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    queries = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["vector", "scan", "filter"])],
+        "query_id int, terms array<string>",
+    )
+    idx = str(tmp_path / "idx")
+    save_bm25_index(spark, idx, docs)
+    before = bm25_topk_from_index(spark, idx, queries, k=20).collect()
+    victims = {r.doc_id for r in before[:3]}
+    mt = lambda: {
+        f: os.path.getmtime(f"{idx}/postings/{f}")
+        for f in os.listdir(f"{idx}/postings")
+        if f.endswith(".parquet")
+    }
+    pre = mt()
+    bm25_remove_docs(
+        spark, idx, spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    )
+    assert mt() == pre  # delete touched no postings file
+    after = bm25_topk_from_index(spark, idx, queries, k=20).collect()
+    assert not victims & {r.doc_id for r in after}
+    # survivors keep pre-delete scores (stale stats until compaction);
+    # docs newly promoted into the top-20 have no pre-delete row
+    pre_scores = {(r.query_id, r.doc_id): r.score for r in before}
+    shared = [r for r in after if (r.query_id, r.doc_id) in pre_scores]
+    assert shared and all(
+        pre_scores[(r.query_id, r.doc_id)] == r.score for r in shared
+    )
+
+    compact_bm25_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/tombstones")
+    fresh = str(tmp_path / "fresh")
+    keep = docs.join(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        "doc_id",
+        "left_anti",
+    )
+    save_bm25_index(spark, fresh, keep)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(bm25_topk_from_index(spark, idx, queries, k=20)) == rows(
+        bm25_topk_from_index(spark, fresh, queries, k=20)
+    )
+    # idempotent on a tombstone-free index
+    compact_bm25_index(spark, idx)
+
+
 def test_weighted_sample_order_invariant_under_weight_scaling(spark):
     """A-ES sampling keys ln(u)/w: scaling every weight by a constant
     c > 0 scales keys by 1/c, leaving the sampled ORDER (hence any

@@ -639,6 +639,56 @@ def test_ingest_bloom_migration_persists_store(spark, tmp_path):
     assert [r.doc_id for r in s2.collect()] == []
 
 
+def test_expire_store_batches_redis_ttl_semantics(spark, tmp_path):
+    """Store retention (the reference's Redis-TTL dedup re-expressed):
+    expiring old batch partitions bounds the store, survivors keep
+    deduping, and a doc whose only signature lived in an expired batch
+    RE-ENTERS on redelivery — the documented TTL trade. The migration
+    partition (batch=-1) is protected by default."""
+    import os
+
+    from newsify_spark.operators.bloom import (
+        bloom_build_words,
+        load_bloom_store_df,
+        save_bloom_partition,
+    )
+    from newsify_spark.streaming.ingest import (
+        MIGRATION_BATCH_ID,
+        expire_store_batches,
+        ingest_batch,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = "an early document about engines with enough words to shingle here"
+    t1 = "a later document about parquet layouts with plenty of words too"
+    ingest_batch(mk([(1, t0)]), 0, store, out)
+    ingest_batch(mk([(2, t1)]), 1, store, out)
+    # add a protected migration partition to the bloom store (at the
+    # store's canonical m — partitions at mixed m do not merge)
+    _w, m_bits = load_bloom_store_df(spark, f"{store}_bloom")
+    hashes = spark.createDataFrame([("00",)], "text_hash string")
+    save_bloom_partition(
+        bloom_build_words(hashes, "text_hash", m_bits), f"{store}_bloom", MIGRATION_BATCH_ID
+    )
+
+    assert expire_store_batches(store, keep_last=1) == [0]
+    assert expire_store_batches(f"{store}_bloom", keep_last=1) == [0]
+    assert sorted(os.listdir(store)) == ["batch=1"]
+    assert sorted(os.listdir(f"{store}_bloom")) == ["batch=-1", "batch=1"]
+
+    # redeliver the EXPIRED doc verbatim: its signature is gone, so it
+    # re-enters (TTL semantics); the surviving batch still dedups
+    s2 = ingest_batch(mk([(10, t0), (11, t1)]), 2, store, out)
+    assert sorted(r.doc_id for r in s2.collect()) == [10]
+    # empty store edge + bad arg
+    assert expire_store_batches(str(tmp_path / "missing"), keep_last=3) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        expire_store_batches(store, keep_last=-1)
+
+
 def test_freq_cap_admits_at_most_cap_per_key_across_batches(spark, tmp_path):
     """CM-sketch-backed streaming frequency cap: a hot key is admitted
     up to cap across batches, cold keys pass untouched, and the sketch
