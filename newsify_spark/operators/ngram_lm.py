@@ -1,0 +1,134 @@
+"""N-gram language-model perplexity scoring — the CCNet quality filter.
+
+The canonical web-corpus curation pipelines (CCNet, Wenzek et al. LREC
+2020; RefinedWeb; Gopher/MassiveText) score every document's perplexity
+under a language model trained on a trusted reference corpus and filter
+or bucket on it — low perplexity ≈ fluent in-domain prose, high ≈
+boilerplate, gibberish, or wrong-language text. CCNet uses a KenLM
+5-gram; the distributable core is the same at any order: an n-gram
+count model IS two aggregate tables, and scoring IS a join.
+
+The reference repo filters only on source heuristics
+(ingestion_service.py drops items without title/link); this adds the
+model-based quality axis its corpus pipeline lacks — the third leg
+beside the heuristic quality score (functions/text.py:112) and the
+trained classifier (ml/classify.py).
+
+Spark-first shape (no UDFs anywhere):
+
+- training = one tokenize pass → codegen'd bigram projection
+  (``transform(sequence(...))``) → two groupBy counts. The model is two
+  DataFrames — ``(ctx, tok, c_bi)`` and ``(ctx, c_ctx)`` — plus a 1-row
+  scalars table (vocab size, add-k). Tables, not a binary blob: persist
+  them as parquet and the model is diffable, mergeable (counts add
+  under union-groupBy — train shards independently and sum), and
+  servable by any engine. KenLM's .arpa file re-expressed relationally.
+- scoring = explode eval bigrams, LEFT JOIN the two count tables on
+  their natural keys, add-k smooth, per-doc ``exp(-avg(log p))``. Both
+  joins are keyed shuffles that AQE converts to broadcasts when the
+  model fits (a trusted-corpus model is the small side by design —
+  CCNet's Wikipedia model is ~100M n-grams vs the multi-TB corpus being
+  scored); unseen (ctx, tok) and unseen ctx degrade smoothly through
+  ``coalesce(c, 0)``.
+
+At 100 TB the corpus-side cost is one tokenize + one shuffle keyed by
+(ctx, tok) — the same profile as the BM25 postings build — and the
+model side is fixed-size. Nothing is ever collected to the driver.
+
+Smoothing is add-k (Lidstone): p(tok|ctx) = (c(ctx,tok) + k) /
+(c(ctx) + k·V). Chosen over Kneser-Ney because it is exactly
+SQL-expressible (the oracle hash-checks every score); the operator
+contract (model-as-tables, score-as-join) is smoothing-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from newsify_spark.functions.text import tokens
+
+# One bigram row per interior token pair; docs with < 2 tokens
+# contribute none. sequence() with start > stop counts DOWN in Spark,
+# so the size >= 2 filter is a correctness guard, not an optimization.
+_BIGRAMS = (
+    "transform(sequence(2, size(_t)), "
+    "i -> struct(element_at(_t, i - 1) AS ctx, element_at(_t, i) AS tok))"
+)
+
+
+class BigramLM(NamedTuple):
+    """A trained bigram model: two count tables + a 1-row scalars table
+    (n_vocab, add_k). All three are plain DataFrames — persist with
+    ``write.parquet`` for an index-as-table artifact (S15 parity)."""
+
+    bigrams: DataFrame  # (ctx, tok, c_bi)
+    contexts: DataFrame  # (ctx, c_ctx)
+    scalars: DataFrame  # 1 row: (n_vocab double, add_k double)
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, ctx, tok) — one row per interior bigram of each document."""
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(id_col, F.explode(F.expr(_BIGRAMS)).alias("_p"))
+        .select(id_col, "_p.ctx", "_p.tok")
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> BigramLM:
+    """Count model from the training corpus: one tokenize pass feeds
+    both count tables; vocabulary = distinct token types (unigrams, so
+    a document's first token counts toward V too)."""
+    bi = doc_bigrams(docs, id_col, text_col)
+    bigrams = bi.groupBy("ctx", "tok").agg(F.count("*").alias("c_bi"))
+    contexts = bigrams.groupBy("ctx").agg(F.sum("c_bi").alias("c_ctx"))
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("_tok"))
+        .agg(F.countDistinct("_tok").cast("double").alias("n_vocab"))
+        .withColumn("add_k", F.lit(float(add_k)))
+    )
+    return BigramLM(bigrams, contexts, vocab)
+
+
+def score_perplexity(
+    eval_docs: DataFrame,
+    model: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """(id, n_bigrams, ppl) for every eval doc with >= 2 tokens.
+
+    ppl = exp(-mean log p) over the doc's bigrams under add-k
+    smoothing; unseen (ctx, tok) pairs and wholly-unseen contexts fall
+    through coalesce(·, 0) to the smoothed floor. Rounded to
+    ``round_dp`` so cross-engine float-sum order can't flip a hash.
+    """
+    bi = doc_bigrams(eval_docs, id_col, text_col)
+    scored = (
+        bi.join(model.bigrams, ["ctx", "tok"], "left")
+        .join(model.contexts, "ctx", "left")
+        .crossJoin(F.broadcast(model.scalars))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce("c_bi", F.lit(0)) + F.col("add_k"))
+                / (F.coalesce("c_ctx", F.lit(0)) + F.col("add_k") * F.col("n_vocab"))
+            ).alias("_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("_logp")), round_dp).alias("ppl"),
+    )

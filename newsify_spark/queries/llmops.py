@@ -1555,3 +1555,79 @@ def doc_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+_PPL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql()} AS tk,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+           AS side
+  FROM documents
+),
+train_bi AS (
+  SELECT p.ctx, p.tok, CAST(count(*) AS BIGINT) AS c_bi
+  FROM (
+    SELECT unnest(list_transform(generate_series(2, len(tk)),
+                                 i -> {{'ctx': tk[i-1], 'tok': tk[i]}})) AS p
+    FROM t WHERE side = 0 AND len(tk) >= 2
+  )
+  GROUP BY p.ctx, p.tok
+),
+train_ctx AS (SELECT ctx, sum(c_bi) AS c_ctx FROM train_bi GROUP BY ctx),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS n_vocab
+  FROM (SELECT unnest(tk) AS tok FROM t WHERE side = 0)
+),
+eval_bi AS (
+  SELECT doc_id, p.ctx AS ctx, p.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(2, len(tk)),
+                                 i -> {{'ctx': tk[i-1], 'tok': tk[i]}})) AS p
+    FROM t WHERE side = 1 AND len(tk) >= 2
+  )
+),
+scored AS (
+  SELECT e.doc_id,
+         ln((COALESCE(b.c_bi, 0) + 0.5)
+            / (COALESCE(c.c_ctx, 0) + 0.5 * v.n_vocab)) AS logp
+  FROM eval_bi e
+  LEFT JOIN train_bi b ON e.ctx = b.ctx AND e.tok = b.tok
+  LEFT JOIN train_ctx c ON e.ctx = c.ctx
+  CROSS JOIN vocab v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_ngram_perplexity",
+    doc="N-gram LM perplexity quality scoring (operators.ngram_lm) — "
+    "the CCNet filter (Wenzek et al. LREC 2020): a bigram count model "
+    "trained on the hash-split reference half of the corpus (add-k "
+    "smoothing, k=0.5) scores every held-out document's "
+    "exp(-mean log p); low ppl = fluent in-domain prose, high = "
+    "boilerplate/gibberish. The model is two count tables + a scalars "
+    "row — mergeable (counts add across training shards), persistable, "
+    "KenLM's .arpa as parquet. Scoring is two left joins keyed by the "
+    "model's natural keys; at 100 TB the corpus side pays one tokenize "
+    "+ one (ctx,tok) shuffle and the fixed-size model side broadcasts. "
+    "Third quality axis beside the heuristic score and the trained "
+    "classifier.",
+    tags=("quality", "text", "lm", "scale-path"),
+    oracle=_PPL_ORACLE,
+)
+def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.ngram_lm import score_perplexity, train_bigram_lm
+    from newsify_spark.operators.shards import shard_id
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_side", shard_id(F.col("doc_id"), 2)
+    )
+    model = train_bigram_lm(docs.filter(F.col("_side") == 0), add_k=0.5)
+    return score_perplexity(docs.filter(F.col("_side") == 1), model).orderBy(
+        "doc_id"
+    )

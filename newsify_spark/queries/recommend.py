@@ -600,3 +600,108 @@ def rec_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cooccurrence_edges(ui, max_user_items=100)
     return pagerank(edges, iterations=2, damping=0.85).orderBy("item")
+
+
+_RANKING_METRICS_ORACLE = """
+WITH inter AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         event_type
+  FROM events
+),
+ranked AS (
+  SELECT user_id, item, rank FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY count(*) DESC, item ASC) AS rank
+    FROM inter WHERE event_type <> 'purchase' GROUP BY user_id, item
+  ) WHERE rank <= 10
+),
+rel AS (SELECT DISTINCT user_id, item FROM inter WHERE event_type = 'purchase'),
+n_rel AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM rel GROUP BY user_id),
+hits AS (
+  SELECT r.user_id, r.rank FROM ranked r JOIN rel USING (user_id, item)
+),
+per_user AS (
+  SELECT n_rel.user_id,
+         COALESCE(1.0 / min(h.rank), 0.0) AS rr,
+         COALESCE(count(h.rank), 0) / CAST(n_rel.n AS DOUBLE) AS recall,
+         COALESCE(sum(1.0 / log2(h.rank + 1)), 0.0)
+           / list_reduce(list_transform(generate_series(1, LEAST(n_rel.n, 10)),
+                                        i -> 1.0 / log2(i + 1)),
+                         (x, y) -> x + y) AS ndcg
+  FROM n_rel LEFT JOIN hits h USING (user_id)
+  GROUP BY n_rel.user_id, n_rel.n
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(rr), 6) AS mrr,
+       round(avg(recall), 6) AS recall_at_10,
+       round(avg(ndcg), 6) AS ndcg_at_10
+FROM per_user
+"""
+
+
+@register(
+    "rec_ranking_metrics",
+    doc="Offline ranking-quality evaluation — MRR, recall@10, nDCG@10 "
+    "of the interaction-count ranker against held-out purchases as "
+    "relevance (the Cremonesi/Koren offline protocol every serving "
+    "stack needs before an A/B test; the reference trains and serves "
+    "recommendation-trainer.py rankings with no evaluation loop at "
+    "all). Per-user ranked list = top-10 non-purchase interactions "
+    "(count desc, item asc — deterministic); relevant set = the user's "
+    "distinct purchased items; binary-relevance nDCG with "
+    "ideal-DCG(min(|rel|,10)) denominator computed by a codegen'd "
+    "fold, no UDF. Every stage is user-keyed — one exchange reused "
+    "through ranking, hits, and the per-user rollup; output is one "
+    "row. Evaluates ANY (user,item,rank) leg: swap in ALS, BM25, ANN "
+    "or fused rankings unchanged.",
+    tags=("A-extra", "W-extra", "eval"),
+    oracle=_RANKING_METRICS_ORACLE,
+)
+def rec_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.topk import top_k_per_group
+
+    inter = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.from_json("props", "k bigint")["k"].alias("item"),
+        "event_type",
+    )
+    ranked = top_k_per_group(
+        inter.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "item")
+        .agg(F.count("*").alias("_n")),
+        ["user_id"],
+        [F.col("_n").desc(), F.col("item").asc()],
+        10,
+        rank_col="rank",
+        keep_rank=True,
+    ).select("user_id", "item", "rank")
+    rel = (
+        inter.filter(F.col("event_type") == "purchase")
+        .select("user_id", "item")
+        .distinct()
+    )
+    n_rel = rel.groupBy("user_id").agg(F.count("*").alias("n"))
+    hits = ranked.join(rel, ["user_id", "item"]).select("user_id", "rank")
+    idcg = F.expr(
+        "aggregate(sequence(1, int(least(n, 10))), 0D,"
+        " (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    per_user = (
+        n_rel.join(hits, "user_id", "left")
+        .groupBy("user_id", "n")
+        .agg(
+            F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)).alias("rr"),
+            (F.count("rank") / F.col("n").cast("double")).alias("recall"),
+            F.coalesce(
+                F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)), F.lit(0.0)
+            ).alias("_dcg"),
+        )
+        .withColumn("ndcg", F.col("_dcg") / idcg)
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("recall"), 6).alias("recall_at_10"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg_at_10"),
+    )

@@ -75,7 +75,9 @@ DEMOTED: frozenset[str] = frozenset(
         # round-7 additions; never-driver-checked — rotation-#6 queue
         # (promote next round with tpch_q19-q22)
         "doc_hybrid_rrf",
+        "doc_ngram_perplexity",
         "doc_weighted_sample",
+        "rec_ranking_metrics",
         "rel_funnel_steps",
         "rel_retention_cohorts",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul

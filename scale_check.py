@@ -79,6 +79,11 @@ QUERIES = [
     # query-vocab probe)
     "doc_dup_spans",
     "doc_bm25_search",
+    # round 7: bigram-LM perplexity (tokenize + one (ctx,tok) shuffle;
+    # model side fixed-size) and the offline ranking-eval rollup (all
+    # stages user-keyed, one exchange reused)
+    "doc_ngram_perplexity",
+    "rec_ranking_metrics",
 ]
 
 

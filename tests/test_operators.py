@@ -1974,3 +1974,125 @@ def test_run_checks_counts_violations_and_nulls_fail_closed(spark):
     assert expect_all(clean, rules).count() == 2
     with _pytest.raises(ValueError, match="no rules"):
         run_checks(df, [])
+
+
+def test_bigram_lm_hand_checked_scores(spark):
+    """Tiny hand-computable corpus pins the add-k arithmetic exactly."""
+    import math
+
+    from newsify_spark.operators.ngram_lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    # V = 3 (a, b, c); bigrams: (a,b)x2+1=3? no — doc1: (a,b),(b,a),(a,b);
+    # doc2: (a,b),(b,c) => c(a,b)=3, c(b,a)=1, c(b,c)=1; c_ctx: a=3, b=2
+    model = train_bigram_lm(train, add_k=0.5)
+    bi = {(r.ctx, r.tok): r.c_bi for r in model.bigrams.collect()}
+    assert bi == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    ctx = {r.ctx: r.c_ctx for r in model.contexts.collect()}
+    assert ctx == {"a": 3, "b": 2}
+    sc = model.scalars.collect()[0]
+    assert sc.n_vocab == 3.0 and sc.add_k == 0.5
+
+    ev = spark.createDataFrame([(10, "a b z")], ["doc_id", "text"])
+    out = score_perplexity(ev, model).collect()
+    assert len(out) == 1 and out[0].n_bigrams == 2
+    # p(b|a) = (3+.5)/(3+1.5) = 7/9; p(z|b) = (0+.5)/(2+1.5) = 1/7
+    want = math.exp(-(math.log(7 / 9) + math.log(1 / 7)) / 2)
+    assert abs(out[0].ppl - round(want, 4)) < 1e-9
+
+
+def test_bigram_lm_counts_merge_across_shards(spark):
+    """Model counts add under union+groupBy — shard-trainable (the
+    mergeable-model contract the docstring promises)."""
+    from pyspark.sql import functions as F
+
+    from newsify_spark.operators.ngram_lm import train_bigram_lm
+
+    rows = [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 2}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    whole = train_bigram_lm(docs)
+    a = train_bigram_lm(docs.filter(F.col("doc_id") < 10))
+    b = train_bigram_lm(docs.filter(F.col("doc_id") >= 10))
+    merged = (
+        a.bigrams.unionByName(b.bigrams)
+        .groupBy("ctx", "tok")
+        .agg(F.sum("c_bi").alias("c_bi"))
+    )
+    lhs = {(r.ctx, r.tok): r.c_bi for r in merged.collect()}
+    rhs = {(r.ctx, r.tok): r.c_bi for r in whole.bigrams.collect()}
+    assert lhs == rhs
+
+
+def test_bigram_lm_short_docs_and_unseen_context(spark):
+    """Docs with <2 tokens score nothing; a wholly-unseen context hits
+    the 1/V smoothing floor."""
+    import math
+
+    from newsify_spark.operators.ngram_lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    model = train_bigram_lm(
+        spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    )
+    ev = spark.createDataFrame(
+        [(10, "solo"), (11, "p q")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in score_perplexity(ev, model).collect()}
+    assert 10 not in out  # single-token doc: no bigrams, no row
+    # unseen ctx p: p(q|p) = .5/(0 + .5*2) = 1/2 -> ppl = 2
+    assert out[11].n_bigrams == 1
+    assert abs(out[11].ppl - round(math.exp(-math.log(0.5)), 4)) < 1e-9
+
+
+def test_ranking_metrics_hand_checked(spark):
+    """Hand-computed MRR/recall/nDCG on a 2-user fixture pins the
+    metric arithmetic in rec_ranking_metrics' shape (ranked leg +
+    relevance set -> per-user metrics -> means)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from newsify_spark.operators.topk import top_k_per_group
+
+    # user 1: ranked [a,b,c], relevant {b, z} -> hit at rank 2.
+    #   rr = 1/2; recall = 1/2; dcg = 1/log2(3); idcg = 1 + 1/log2(3)
+    # user 2: ranked [a], relevant {q} -> no hits: all zeros.
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (2, "a", 1)],
+        ["user_id", "item", "rank"],
+    )
+    rel = spark.createDataFrame(
+        [(1, "b"), (1, "z"), (2, "q")], ["user_id", "item"]
+    )
+    n_rel = rel.groupBy("user_id").agg(F.count("*").alias("n"))
+    hits = ranked.join(rel, ["user_id", "item"]).select("user_id", "rank")
+    idcg = F.expr(
+        "aggregate(sequence(1, int(least(n, 10))), 0D,"
+        " (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    per_user = (
+        n_rel.join(hits, "user_id", "left")
+        .groupBy("user_id", "n")
+        .agg(
+            F.coalesce(F.lit(1.0) / F.min("rank"), F.lit(0.0)).alias("rr"),
+            (F.count("rank") / F.col("n").cast("double")).alias("recall"),
+            F.coalesce(
+                F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)), F.lit(0.0)
+            ).alias("_dcg"),
+        )
+        .withColumn("ndcg", F.col("_dcg") / idcg)
+    )
+    got = {r.user_id: r for r in per_user.collect()}
+    d3 = 1.0 / math.log2(3)
+    assert abs(got[1].rr - 0.5) < 1e-12
+    assert abs(got[1].recall - 0.5) < 1e-12
+    assert abs(got[1].ndcg - d3 / (1 + d3)) < 1e-12
+    assert got[2].rr == 0.0 and got[2].recall == 0.0 and got[2].ndcg == 0.0
+    assert top_k_per_group is not None  # the ranked-leg producer used in the query

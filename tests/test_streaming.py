@@ -728,3 +728,71 @@ def test_freq_cap_replay_is_idempotent(spark, tmp_path):
     first = sorted(r.doc_id for r in cap_batch(b, 0, store, "source", "doc_id", cap=2).collect())
     replay = sorted(r.doc_id for r in cap_batch(b, 0, store, "source", "doc_id", cap=2).collect())
     assert first == replay == [1, 2]
+
+
+def test_streaming_perplexity_scoring_matches_batch(spark, tmp_path):
+    """The CCNet quality filter AT INGEST: a bigram LM trained offline
+    (operators.ngram_lm) scores documents inside a live
+    readStream -> foreachBatch(score_perplexity) -> parquet pipeline —
+    the model tables are static DataFrames the per-batch join reuses
+    (stream-static join, Spark's blessed serving shape). Streamed
+    scores must equal the batch run exactly; a doc is score-complete
+    within its micro-batch (documents arrive whole), so append
+    semantics hold without a watermark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newsify_spark.operators.ngram_lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    model = train_bigram_lm(train)
+    want = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in score_perplexity(ev, model).collect()
+    }
+
+    rows = ev.toPandas().sort_values("doc_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows.iloc[i * third : (i + 1) * third if i < 2 else len(rows)]
+        if len(chunk):
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False),
+                src / f"f{i}.parquet",
+            )
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+    def score_batch(batch_df, batch_id):
+        score_perplexity(batch_df, model).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
