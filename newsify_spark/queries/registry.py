@@ -80,6 +80,7 @@ DEMOTED: frozenset[str] = frozenset(
         "rec_ranking_metrics",
         "rel_funnel_steps",
         "rel_retention_cohorts",
+        "rel_txnlog_snapshot",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

@@ -2096,3 +2096,123 @@ def test_ranking_metrics_hand_checked(spark):
     assert abs(got[1].ndcg - d3 / (1 + d3)) < 1e-12
     assert got[2].rr == 0.0 and got[2].recall == 0.0 and got[2].ndcg == 0.0
     assert top_k_per_group is not None  # the ranked-leg producer used in the query
+
+
+def _txn_fixture(spark, n=100):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).cast("double").alias("val"),
+            F.concat(F.lit("row"), F.col("id")).alias("tag"),
+        )
+        .repartitionByRange(4, "k")
+    )
+
+
+def test_txnlog_create_append_read_and_history(spark, tmp_path):
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    assert T.create_table(spark, path, _txn_fixture(spark)) == 0
+    assert T.append_rows(spark, path, _txn_fixture(spark, 10).withColumn(
+        "k", F.col("k") + 1000)) == 1
+    got = T.read_table(spark, path)
+    assert got.count() == 110
+    ops = [e["op"] for e in T.history(path)]
+    assert ops == ["create", "append"]
+
+
+def test_txnlog_upsert_is_file_granular_cow(spark, tmp_path):
+    """A point upsert rewrites ONLY the data file(s) holding the key:
+    every other file stays byte-identical on disk AND referenced by the
+    new snapshot."""
+    import os
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark))
+    before = {
+        f: (os.path.getsize(os.path.join(path, f)),
+            os.path.getmtime(os.path.join(path, f)))
+        for f in T._live_files(path)
+    }
+    assert len(before) == 4
+    up = spark.createDataFrame(
+        [(7, 777.0, "edited"), (9999, 1.0, "new")], ["k", "val", "tag"]
+    )
+    T.upsert_rows(spark, path, up, ["k"])
+    entry = T.history(path)[-1]
+    assert entry["op"] == "upsert" and len(entry["remove"]) == 1
+    after = T._live_files(path)
+    untouched = [f for f in before if f not in entry["remove"]]
+    assert len(untouched) == 3
+    for f in untouched:
+        assert f in after
+        assert (os.path.getsize(os.path.join(path, f)),
+                os.path.getmtime(os.path.join(path, f))) == before[f]
+    rows = {r.k: (r.val, r.tag) for r in T.read_table(spark, path).collect()}
+    assert len(rows) == 101
+    assert rows[7] == (777.0, "edited") and rows[9999] == (1.0, "new")
+    assert rows[8] == (80.0, "row8")  # neighbor in the rewritten file survives
+
+
+def test_txnlog_delete_and_time_travel(spark, tmp_path):
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark))
+    doomed = spark.createDataFrame([(3,), (50,)], ["k"])
+    T.delete_rows(spark, path, doomed, ["k"])
+    now = {r.k for r in T.read_table(spark, path).collect()}
+    assert 3 not in now and 50 not in now and len(now) == 98
+    # time travel: version 0 still shows the deleted rows
+    v0 = {r.k for r in T.read_table(spark, path, version=0).collect()}
+    assert 3 in v0 and 50 in v0 and len(v0) == 100
+
+
+def test_txnlog_concurrent_writer_loses_cas(spark, tmp_path):
+    import pytest as _pytest
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark, 10))
+    # another writer claims version 1 between our read and our commit
+    T._commit(path, 1, "append", [], [], ["k", "val", "tag"])
+    with _pytest.raises(T.ConcurrentWriteError):
+        T._commit(path, 1, "append", [], [], ["k", "val", "tag"])
+
+
+def test_txnlog_vacuum_drops_only_dead_files(spark, tmp_path):
+    import os
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark))
+    T.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(7, 1.0, "x")], ["k", "val", "tag"]), ["k"],
+    )
+    dead = set(T.history(path)[-1]["remove"])
+    removed = set(T.vacuum(spark, path))
+    assert removed == dead
+    for f in T._live_files(path):
+        assert os.path.exists(os.path.join(path, f))
+    assert T.read_table(spark, path).count() == 100  # latest snapshot intact
+
+
+def test_txnlog_schema_mismatch_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark, 10))
+    bad = spark.createDataFrame([(1, 2.0)], ["k", "val"])
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        T.append_rows(spark, path, bad)
