@@ -99,7 +99,7 @@ def _write_data(spark: SparkSession, path: str, df: DataFrame, version: int) -> 
 
 
 def _commit(path: str, version: int, op: str, add: list[str], remove: list[str],
-            columns: list[str]) -> None:
+            columns: list[str], txn: dict | None = None) -> None:
     """Atomic create-exclusive publish of one log entry. os.link fails
     with EEXIST if another writer claimed the version — the CAS."""
     d = _log_path(path)
@@ -112,6 +112,8 @@ def _commit(path: str, version: int, op: str, add: list[str], remove: list[str],
         "remove": remove,
         "columns": columns,
     }
+    if txn is not None:
+        entry["txn"] = txn
     staged = os.path.join(d, f".{version}.{uuid.uuid4().hex[:8]}.tmp")
     with open(staged, "w") as fh:
         json.dump(entry, fh)
@@ -148,13 +150,64 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     return 0
 
 
-def append_rows(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """S8 insert/append: new files only, nothing rewritten."""
+def append_rows(
+    spark: SparkSession, path: str, df: DataFrame, txn: dict | None = None
+) -> int:
+    """S8 insert/append: new files only, nothing rewritten. ``txn``
+    (optional) rides the commit entry — the idempotence marker
+    :func:`idempotent_append` keys on (Delta's ``txn`` action)."""
     _check_columns(path, df)
     v = _next_version(path)
     files = _write_data(spark, path, df, v)
-    _commit(path, v, "append", files, [], df.columns)
+    _commit(path, v, "append", files, [], df.columns, txn=txn)
     return v
+
+
+def last_committed_batch(path: str, app_id: str) -> int | None:
+    """Highest ``batch_id`` committed by ``app_id``, or None. One log
+    replay — O(commits), no data files touched."""
+    best = None
+    for e in _read_log(path):
+        t = e.get("txn")
+        if t and t.get("app_id") == app_id:
+            best = t["batch_id"] if best is None else max(best, t["batch_id"])
+    return best
+
+
+def idempotent_append(
+    spark: SparkSession, path: str, df: DataFrame, app_id: str, batch_id: int
+) -> int | None:
+    """Append exactly once per (app_id, batch_id): if this batch id is
+    already in the log the call is a no-op returning None — a REPLAYED
+    micro-batch cannot double-write. This is Delta's streaming-sink
+    transactional marker (the ``txn`` log action) on our log.
+
+    Failure windows: crash after data-file write but before the commit
+    link leaves unreferenced files (never visible to readers; reclaimed
+    by vacuum) and the replay re-appends cleanly. Crash after the link
+    means the replay sees the marker and skips. Either way the snapshot
+    holds each batch exactly once."""
+    last = last_committed_batch(path, app_id)
+    if last is not None and batch_id <= last:
+        return None
+    return append_rows(
+        spark, path, df, txn={"app_id": app_id, "batch_id": batch_id}
+    )
+
+
+def exactly_once_sink(spark: SparkSession, path: str, app_id: str):
+    """``foreachBatch`` body: writeStream.foreachBatch(
+    exactly_once_sink(spark, table_path, query_name)). Spark replays
+    micro-batches after restarts with THE SAME batch id; the
+    (app_id, batch_id) marker makes the replay a no-op, upgrading
+    foreachBatch's at-least-once contract to exactly-once on the table
+    (the reference's ingestion loop has no such guard — a consumer
+    restart double-inserts into Mongo, ingestion_service.py:86-94)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(spark, path, batch_df, app_id, int(batch_id))
+
+    return _sink
 
 
 def read_table(

@@ -1618,6 +1618,8 @@ ORDER BY doc_id
     "Third quality axis beside the heuristic score and the trained "
     "classifier.",
     tags=("quality", "text", "lm", "scale-path"),
+    bench=True,  # promoted to the headline set in round 7 (envelope
+    # adopted from its clean post-addition run, BASELINE_BENCH.json)
     oracle=_PPL_ORACLE,
 )
 def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -796,3 +796,63 @@ def test_streaming_perplexity_scoring_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_txnlog_exactly_once_streaming_sink(spark, tmp_path):
+    """A readStream -> foreachBatch(exactly_once_sink) pipeline lands
+    each micro-batch once; re-running idempotent_append with an
+    already-committed batch id (the crash-replay case foreachBatch's
+    at-least-once contract allows) is a no-op, and a genuinely new
+    batch still appends."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "table")
+    seed = spark.createDataFrame([(0, "seed")], ["k", "tag"])
+    T.create_table(spark, path, seed)
+
+    rows = [(i, f"r{i}") for i in range(1, 41)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        chunk = rows[i * 20 : (i + 1) * 20]
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(chunk, columns=["k", "tag"]), preserve_index=False
+            ),
+            src / f"f{i}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema("k long, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(T.exactly_once_sink(spark, path, "ingest"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert T.read_table(spark, path).count() == 41
+    assert T.last_committed_batch(path, "ingest") == 1
+
+    # crash-replay: batch 1 redelivered -> no-op, nothing double-lands
+    replay = spark.createDataFrame(rows[20:], ["k", "tag"])
+    assert T.idempotent_append(spark, path, replay, "ingest", 1) is None
+    assert T.read_table(spark, path).count() == 41
+
+    # a new batch id still lands, and another app's ids are independent
+    assert T.idempotent_append(
+        spark, path, spark.createDataFrame([(99, "x")], ["k", "tag"]),
+        "ingest", 2,
+    ) is not None
+    assert T.idempotent_append(
+        spark, path, spark.createDataFrame([(100, "y")], ["k", "tag"]),
+        "backfill", 0,
+    ) is not None
+    assert T.read_table(spark, path).count() == 43
