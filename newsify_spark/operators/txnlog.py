@@ -132,13 +132,21 @@ def _next_version(path: str) -> int:
     return (vs[-1] + 1) if vs else 0
 
 
-def _check_columns(path: str, df: DataFrame) -> None:
+def _check_columns(path: str, df: DataFrame) -> list[str]:
+    """Additive schema evolution (Delta mergeSchema semantics): a write
+    may ADD columns — old files backfill null at read — but dropping an
+    existing column is rejected (it would silently truncate history).
+    Returns the evolved column list the commit should record."""
     entries = _read_log(path)
-    if entries and sorted(entries[-1]["columns"]) != sorted(df.columns):
+    if not entries:
+        return list(df.columns)
+    have = entries[-1]["columns"]
+    missing = set(have) - set(df.columns)
+    if missing:
         raise ValueError(
-            f"schema mismatch: table has {entries[-1]['columns']}, "
-            f"write has {df.columns}"
+            f"schema mismatch: table has {have}, write drops {sorted(missing)}"
         )
+    return have + [c for c in df.columns if c not in have]
 
 
 def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -156,10 +164,10 @@ def append_rows(
     """S8 insert/append: new files only, nothing rewritten. ``txn``
     (optional) rides the commit entry — the idempotence marker
     :func:`idempotent_append` keys on (Delta's ``txn`` action)."""
-    _check_columns(path, df)
+    cols = _check_columns(path, df)
     v = _next_version(path)
     files = _write_data(spark, path, df, v)
-    _commit(path, v, "append", files, [], df.columns, txn=txn)
+    _commit(path, v, "append", files, [], cols, txn=txn)
     return v
 
 
@@ -220,7 +228,19 @@ def read_table(
     root = path.rstrip("/")
     if not files:
         raise ValueError(f"no snapshot at version={version} in {path}")
-    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+    # mergeSchema: files written before an additive evolution lack the
+    # newer columns — union their schemas and backfill null, projecting
+    # the snapshot's recorded column order
+    cols = _read_log(path, version)[-1]["columns"]
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+    return df.select(
+        *[
+            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            for c in cols
+        ]
+    )
 
 
 def _affected_files(
@@ -232,7 +252,8 @@ def _affected_files(
     root = path.rstrip("/")
     live = _live_files(path)
     df = (
-        spark.read.parquet(*[os.path.join(root, f) for f in live])
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(root, f) for f in live])
         .withColumn("_file", F.input_file_name())
         .join(F.broadcast(keys_df.select(keys).distinct()), keys, "left_semi")
         .select("_file")
@@ -253,19 +274,28 @@ def upsert_rows(
     """S9 MERGE INTO, file-granular copy-on-write: rewrite ONLY the
     files holding a matched key, merged with the new rows; untouched
     files stay byte-identical and stay in the snapshot. New keys land
-    with the rewrite."""
-    _check_columns(path, new)
+    with the rewrite. Additive schema evolution applies: new columns in
+    ``new`` backfill null on the rewritten victims' old rows (files the
+    upsert never touches backfill at read via mergeSchema)."""
+    cols = _check_columns(path, new)
     new = new.localCheckpoint(eager=True)  # sever lineage from any self-read
     victims = _affected_files(spark, path, new, keys)
     root = path.rstrip("/")
     v = _next_version(path)
     if victims:
-        old_slice = spark.read.parquet(*[os.path.join(root, f) for f in victims])
-        merged = upsert_by_key(old_slice, new, keys)
+        old_slice = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, f) for f in victims]
+        )
+        for fld in new.schema.fields:
+            if fld.name not in old_slice.columns:
+                old_slice = old_slice.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
+        merged = upsert_by_key(old_slice.select(*new.columns), new, keys)
     else:
         merged = new
     files = _write_data(spark, path, merged, v)
-    _commit(path, v, "upsert", files, victims, new.columns)
+    _commit(path, v, "upsert", files, victims, cols)
     return v
 
 
@@ -278,15 +308,16 @@ def delete_rows(
     doomed = doomed.localCheckpoint(eager=True)
     victims = _affected_files(spark, path, doomed, keys)
     v = _next_version(path)
+    cols = _read_log(path)[-1]["columns"]  # deletes never change schema
     if not victims:
-        _commit(path, v, "delete", [], [], _read_log(path)[-1]["columns"])
+        _commit(path, v, "delete", [], [], cols)
         return v
     root = path.rstrip("/")
-    survivors = spark.read.parquet(
+    survivors = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(root, f) for f in victims]
     ).join(F.broadcast(doomed.select(keys).distinct()), keys, "left_anti")
     files = _write_data(spark, path, survivors, v)
-    _commit(path, v, "delete", files, victims, survivors.columns)
+    _commit(path, v, "delete", files, victims, cols)
     return v
 
 

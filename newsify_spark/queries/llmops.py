@@ -1633,3 +1633,103 @@ def doc_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_perplexity(docs.filter(F.col("_side") == 1), model).orderBy(
         "doc_id"
     )
+
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql()} AS tk,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+           AS side
+  FROM documents
+),
+train_bi AS (
+  SELECT p.ctx, p.tok, CAST(count(*) AS BIGINT) AS c_bi
+  FROM (
+    SELECT unnest(list_transform(generate_series(2, len(tk)),
+                                 i -> {{'ctx': tk[i-1], 'tok': tk[i]}})) AS p
+    FROM t WHERE side = 0 AND len(tk) >= 2
+  )
+  GROUP BY p.ctx, p.tok
+),
+train_ctx AS (SELECT ctx, sum(c_bi) AS c_ctx FROM train_bi GROUP BY ctx),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS n_vocab
+  FROM (SELECT unnest(tk) AS tok FROM t WHERE side = 0)
+),
+eval_bi AS (
+  SELECT doc_id, p.ctx AS ctx, p.tok AS tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(2, len(tk)),
+                                 i -> {{'ctx': tk[i-1], 'tok': tk[i]}})) AS p
+    FROM t WHERE side = 1 AND len(tk) >= 2
+  )
+),
+ppl AS (
+  SELECT doc_id, round(exp(-avg(logp)), 4) AS ppl
+  FROM (
+    SELECT e.doc_id,
+           ln((COALESCE(b.c_bi, 0) + 0.5)
+              / (COALESCE(c.c_ctx, 0) + 0.5 * v.n_vocab)) AS logp
+    FROM eval_bi e
+    LEFT JOIN train_bi b ON e.ctx = b.ctx AND e.tok = b.tok
+    LEFT JOIN train_ctx c ON e.ctx = c.ctx
+    CROSS JOIN vocab v
+  ) GROUP BY doc_id
+),
+bucketed AS (
+  SELECT doc_id, ppl, ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS b
+  FROM ppl
+)
+SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(ppl), 4) AS ppl_min,
+       round(max(ppl), 4) AS ppl_max
+FROM bucketed GROUP BY b ORDER BY ppl_min
+"""
+
+
+@register(
+    "doc_ppl_buckets",
+    doc="CCNet head/middle/tail corpus bucketing (Wenzek et al. LREC "
+    "2020 §4.3): held-out documents ranked by bigram-LM perplexity and "
+    "ntile(3)-split — 'head' (most fluent) is what CCNet feeds the "
+    "trainer first, 'tail' is the cut candidate. Composes the "
+    "doc_ngram_perplexity model end-to-end and reduces to a |buckets| "
+    "summary (n_docs + ppl range per bucket) so the output is 3 rows "
+    "at any corpus size; the only global stage is the rank window over "
+    "|eval docs| ppl scalars (ids+doubles, never text).",
+    tags=("quality", "lm", "corpus"),
+    oracle=_PPL_BUCKETS_ORACLE,
+)
+def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from newsify_spark.operators.ngram_lm import score_perplexity, train_bigram_lm
+    from newsify_spark.operators.shards import shard_id
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_side", shard_id(F.col("doc_id"), 2)
+    )
+    model = train_bigram_lm(docs.filter(F.col("_side") == 0), add_k=0.5)
+    ppl = score_perplexity(docs.filter(F.col("_side") == 1), model)
+    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+    bucketed = ppl.withColumn("b", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy("b")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("ppl"), 4).alias("ppl_min"),
+            F.round(F.max("ppl"), 4).alias("ppl_max"),
+        )
+        .select(
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "ppl_min",
+            "ppl_max",
+        )
+        .orderBy("ppl_min")
+    )

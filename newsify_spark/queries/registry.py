@@ -76,6 +76,7 @@ DEMOTED: frozenset[str] = frozenset(
         # (promote next round with tpch_q19-q22)
         "doc_hybrid_rrf",
         "doc_ngram_perplexity",
+        "doc_ppl_buckets",
         "doc_weighted_sample",
         "rec_ranking_metrics",
         "rel_funnel_steps",

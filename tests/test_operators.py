@@ -2216,3 +2216,39 @@ def test_txnlog_schema_mismatch_rejected(spark, tmp_path):
     bad = spark.createDataFrame([(1, 2.0)], ["k", "val"])
     with _pytest.raises(ValueError, match="schema mismatch"):
         T.append_rows(spark, path, bad)
+
+
+def test_txnlog_additive_schema_evolution(spark, tmp_path):
+    """Appending with a NEW column evolves the table schema (Delta
+    mergeSchema semantics): old rows read back null for the new column,
+    upserts across the schema boundary backfill typed nulls on
+    rewritten old rows, and dropping an existing column is rejected."""
+    import pytest as _pytest
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark, 20))
+    evolved = spark.createDataFrame(
+        [(100, 1.0, "n", "extra")], ["k", "val", "tag", "note"]
+    )
+    T.append_rows(spark, path, evolved)
+    got = T.read_table(spark, path)
+    assert set(got.columns) == {"k", "val", "tag", "note"}
+    rows = {r.k: r.note for r in got.collect()}
+    assert rows[100] == "extra" and rows[5] is None and len(rows) == 21
+
+    # upsert across the boundary rewrites an OLD file with the new col
+    T.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(5, 5.5, "edited", None)],
+                              "k long, val double, tag string, note string"),
+        ["k"],
+    )
+    rows = {r.k: (r.val, r.note) for r in T.read_table(spark, path).collect()}
+    assert rows[5] == (5.5, None) and rows[100] == (1.0, "extra")
+    assert len(rows) == 21
+    # history records the evolved schema; dropping a column is rejected
+    assert T.history(path)[-1]["columns"] == ["k", "val", "tag", "note"]
+    with _pytest.raises(ValueError, match="drops"):
+        T.append_rows(spark, path, spark.createDataFrame([(1, 1.0)], ["k", "val"]))

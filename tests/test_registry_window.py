@@ -125,8 +125,10 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # with timing evidence now and MUST be promoted at the next rotation —
 # remove from this set when that happens.
 # (doc_semdedup, added r4, was promoted in r5; doc_bloom_dedup and
-# vec_knn_int8, added r5, were promoted in r6 — queue currently empty)
-BENCH_PROMOTION_QUEUE: set[str] = set()
+# vec_knn_int8, added r5, were promoted in r6; doc_ngram_perplexity,
+# added r7 with its envelope adopted in BASELINE_BENCH.json, rides
+# here until rotation #6 promotes it)
+BENCH_PROMOTION_QUEUE: set[str] = {"doc_ngram_perplexity"}
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the
