@@ -614,7 +614,7 @@ def duplicate_spans(
         .agg(F.sum("_c").alias("n_dup"))
     )
     frac = F.coalesce("n_dup", F.lit(0)) / F.col("n_spans").cast("double")
-    return (
+    out = (
         total.join(dupc, id_col, "left")
         .select(
             id_col,
@@ -624,6 +624,14 @@ def duplicate_spans(
             (frac >= flag_frac).alias("flagged"),
         )
     )
+    # Materialize the per-doc result (|docs| rows of scalars — far
+    # smaller than the span table), then drop the cached rollup: the
+    # three consumers above have been computed, so keeping `per` pinned
+    # would leak a token-count-sized cache for the session lifetime
+    # (same class as the PageRank leak fixed in operators/pagerank.py).
+    out = out.localCheckpoint(eager=True)
+    per.unpersist()
+    return out
 
 
 def semantic_dedup(

