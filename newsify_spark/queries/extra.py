@@ -915,6 +915,7 @@ def rel_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window makes conversion discriminate on the fixture (~54h mean "
     "inter-arrival per event type).",
     tags=("A-extra", "J-extra"),
+    bench=True,  # event-analytics headliner, timed every round (VERDICT r7 #8)
     oracle="""
 WITH e AS (
   SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
@@ -1000,6 +1001,7 @@ def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_id-keyed aggregates (one exchange reused) plus a tiny "
     "cohort-week join; output is |weeks|^2/2 rows regardless of scale.",
     tags=("A-extra", "W-extra"),
+    bench=True,  # event-analytics headliner, timed every round (VERDICT r7 #8)
     oracle="""
 WITH e AS (
   SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events

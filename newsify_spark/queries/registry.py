@@ -71,17 +71,12 @@ DEMOTED: frozenset[str] = frozenset(
         # (round-4 additions all promoted in rotation #3 below; round-5
         # additions all promoted in rotation #4 below; round-6 additions
         # — doc_dup_spans, doc_bm25_search, ml_ann_ivfpq_topk — all
-        # promoted in rotation #5 below)
-        # round-7 additions; never-driver-checked — rotation-#6 queue
-        # (promote next round with tpch_q19-q22)
-        "doc_hybrid_rrf",
-        "doc_ngram_perplexity",
-        "doc_ppl_buckets",
-        "doc_weighted_sample",
-        "rec_ranking_metrics",
-        "rel_funnel_steps",
-        "rel_retention_cohorts",
-        "rel_txnlog_snapshot",
+        # promoted in rotation #5 below; round-7 additions — doc_hybrid_rrf,
+        # doc_ngram_perplexity, doc_ppl_buckets, doc_weighted_sample,
+        # rec_ranking_metrics, rel_funnel_steps, rel_retention_cohorts,
+        # rel_txnlog_snapshot — all promoted in rotation #6 below, which
+        # pays off the rotation debt: every registered query family now
+        # has direct driver evidence)
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
@@ -131,13 +126,8 @@ DEMOTED: frozenset[str] = frozenset(
         # relational coverage, oracle-verified locally. Driver-evidence
         # rotation schedule (VERDICT r6 #2): rotation #4 (round 6)
         # promoted q02, q05, q18; rotation #5 (round 7) promoted q07,
-        # q08, q09, q11, q15, q16, q17; rotation #6 (round 8) promotes
-        # the final four below — after that every tpch_q* has a driver
-        # row.
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_promotion_suppliers",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q22_global_sales_opportunity",
+        # q08, q09, q11, q15, q16, q17; rotation #6 (round 8) promoted
+        # the final four (q19-q22) — every tpch_q* now has a driver row.
         # --- round-4 rotation OUT (VERDICT r3 item 1, rotation #2): every
         # name below is driver-green (hash_match) in >=2 rounds, freeing
         # window slots for the never-driver-checked queries promoted this
@@ -216,6 +206,24 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_scalar_bundle",  # green r3+r5+r6
         "rel_sessionize",  # green r3+r5+r6
         "rel_top_revenue_orders",  # green r3+r5+r6
+        # --- round-8 rotation OUT (rotation #6): every name below is
+        # driver hash-green in 3 rounds (r5+r6+r7 — the rotation-#3
+        # cohort), freeing window slots for the 8 round-7 additions plus
+        # the final 4 deep-TPC-H queries (q19-q22) — all first-ever
+        # driver rows. All remain oracle-verified locally every round
+        # via tests/test_oracle.py and scripts/green_gate.py --all.
+        "doc_heavy_terms",  # green r5+r6+r7
+        "doc_curation_pipeline",  # green r5+r6+r7
+        "doc_semdedup",  # bench; green r5+r6+r7
+        "doc_shard_manifest",  # green r5+r6+r7
+        "doc_curation_report",  # green r5+r6+r7
+        "doc_semantic_contamination",  # green r5+r6+r7
+        "doc_line_dedup",  # green r5+r6+r7
+        "doc_split_manifest",  # green r5+r6+r7
+        "vec_knn_ivf",  # green r5+r6+r7
+        "doc_quality_checks",  # green r5+r6+r7
+        "doc_corpus_build",  # green r5+r6+r7
+        "vec_knn_lsh",  # green r5+r6+r7
     }
 )
 

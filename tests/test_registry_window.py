@@ -40,21 +40,13 @@ MUST_BE_CHECKED = {
     "doc_top_terms",  # corpus top-terms
     "doc_tfidf_topk",  # TF-IDF top-k
     "doc_length_outliers",  # length outlier filter
-    # round-5 rotation IN (rotation #3): first-ever driver rows.
-    # (rel_upsert_profiles S9 / rel_latest_n O3 rotated out after >=2
-    # driver-green rounds, per the standing rotation directive.)
-    "doc_heavy_terms",  # Misra-Gries heavy hitters
-    "doc_curation_pipeline",  # composed corpus-cleaning gates
-    "doc_semdedup",  # clustered semantic dedup (bench headliner)
-    "doc_shard_manifest",  # deterministic training shards + checksums
-    "doc_curation_report",  # per-gate drop-reason report
-    "doc_semantic_contamination",  # embedding-space contamination
-    "doc_line_dedup",  # per-line boilerplate dedup
-    "doc_split_manifest",  # train/val/test hash split
-    "vec_knn_ivf",  # IVF ANN (hash-checked index)
-    "doc_quality_checks",  # declarative data-quality gates
-    "doc_corpus_build",  # end-to-end corpus-build capstone
-    "vec_knn_lsh",  # LSH ANN (hash-checked index)
+    # (rotation #6 trimmed the round-5 rotation-IN cohort after each
+    # accumulated 3 driver-green rounds (r5+r6+r7): doc_heavy_terms,
+    # doc_curation_pipeline, doc_semdedup, doc_shard_manifest,
+    # doc_curation_report, doc_semantic_contamination, doc_line_dedup,
+    # doc_split_manifest, vec_knn_ivf, doc_quality_checks,
+    # doc_corpus_build, vec_knn_lsh — all still oracle-verified locally
+    # every round.)
     # round-6 rotation IN (rotation #4): first-ever driver rows — the 11
     # round-5 additions plus the first 3 deep-TPC-H queries
     "doc_bloom_dedup",  # bloom-prefiltered exact dedup (bench headliner)
@@ -84,6 +76,22 @@ MUST_BE_CHECKED = {
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_qty_revenue",
+    # round-8 rotation IN (rotation #6): first-ever driver rows — the 8
+    # round-7 additions plus the final 4 deep-TPC-H queries; this pays
+    # off the rotation debt (every registered family now has direct
+    # driver evidence)
+    "doc_hybrid_rrf",  # RRF hybrid retrieval (BM25 + semantic legs)
+    "doc_ngram_perplexity",  # bigram-LM CCNet filter (bench headliner)
+    "doc_ppl_buckets",  # CCNet head/middle/tail threshold bucketing
+    "doc_weighted_sample",  # deterministic A-ES weighted sampling
+    "rec_ranking_metrics",  # offline MRR / recall@10 / nDCG@10
+    "rel_funnel_steps",  # funnel analytics (bench headliner)
+    "rel_retention_cohorts",  # weekly cohort retention (bench headliner)
+    "rel_txnlog_snapshot",  # COW transaction-log snapshot read
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
 }
 
 
@@ -126,9 +134,8 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # remove from this set when that happens.
 # (doc_semdedup, added r4, was promoted in r5; doc_bloom_dedup and
 # vec_knn_int8, added r5, were promoted in r6; doc_ngram_perplexity,
-# added r7 with its envelope adopted in BASELINE_BENCH.json, rides
-# here until rotation #6 promotes it)
-BENCH_PROMOTION_QUEUE: set[str] = {"doc_ngram_perplexity"}
+# added r7, was promoted in r8's rotation #6 — the queue is empty.)
+BENCH_PROMOTION_QUEUE: set[str] = set()
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the
@@ -151,6 +158,8 @@ BENCH_ROTATED_OUT = {
     "vec_knn_bruteforce",  # green r2+r3+r5
     "vec_knn_matmul",  # green r2+r3+r5
     "vec_nearest_centroid",  # green r2+r3+r5
+    # rotation #6 (round 8): >=3 driver-green rounds
+    "doc_semdedup",  # green r5+r6+r7
 }
 
 
