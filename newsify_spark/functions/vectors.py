@@ -42,20 +42,25 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance — the ADC/assignment metric (sqrt is
+    rank-preserving and skipped). Sequential left fold, bit-identical
+    to sqlkit.l2_sq_sql."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def l2_dist(a: Column | str, b: Column | str) -> Column:
     """Euclidean distance (FAISS IndexFlatL2 metric)."""
-    return F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                _c(a),
-                _c(b),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    return F.sqrt(l2_sq(a, b))
 
 
 def l2_normalize(a: Column | str) -> Column:

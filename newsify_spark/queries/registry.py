@@ -77,6 +77,8 @@ DEMOTED: frozenset[str] = frozenset(
         # rel_txnlog_snapshot — all promoted in rotation #6 below, which
         # pays off the rotation debt: every registered query family now
         # has direct driver evidence)
+        # round-8 additions; never-driver-checked — rotation-#7 queue
+        "vec_knn_ivfpq",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

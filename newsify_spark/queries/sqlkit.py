@@ -30,11 +30,16 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
-def l2_dist_sql(a: str, b: str) -> str:
+def l2_sq_sql(a: str, b: str) -> str:
+    """Matches functions.vectors.l2_sq (squared L2, sequential fold)."""
     return (
-        f"sqrt(list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
-        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y))"
+        f"list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
     )
+
+
+def l2_dist_sql(a: str, b: str) -> str:
+    return f"sqrt({l2_sq_sql(a, b)})"
 
 
 def tokens_sql(text: str = "text") -> str:

@@ -12,7 +12,13 @@ from pyspark.sql import functions as F
 from newsify_spark.functions.vectors import cosine, l2_dist, l2_norm, l2_normalize
 from newsify_spark.operators.similarity import nearest_centroid_assign
 from newsify_spark.queries.registry import register
-from newsify_spark.queries.sqlkit import cosine_sql, dot_sql, l2_dist_sql, norm_sql
+from newsify_spark.queries.sqlkit import (
+    cosine_sql,
+    dot_sql,
+    l2_dist_sql,
+    l2_sq_sql,
+    norm_sql,
+)
 from newsify_spark.tables import load
 
 
@@ -566,3 +572,193 @@ def vec_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
     top = knn_join_sq(q, items, k=5, candidate_k=25)
     return top.select("query_id", "item_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "vec_knn_ivfpq",
+    doc="J5/X5 composed IVF-PQ ANN, hash-checked end to end (VERDICT r7 "
+    "#7 — closes the last rows-only ANN gap): the same index semantics "
+    "as operators.similarity.knn_join_ivfpq (FAISS IndexIVFPQ: coarse "
+    "cells -> PQ codes -> ADC shortlist -> exact rerank) but with every "
+    "stage a deterministic JVM expression both engines reproduce "
+    "bit-identically. Cells are the 6dp-rounded label centroids (as "
+    "vec_knn_ivf — IVF semantics are independent of how cells were "
+    "trained); the m=4 x k=16 codebook is the raw subvectors of the 16 "
+    "lowest-id embeddings (sampling init without Lloyd refinement — a "
+    "legitimate PQ build whose entries are exact fixture values, so no "
+    "training arithmetic to mirror); encoding is argmin squared-L2 per "
+    "subspace (l2_sq fold, code tiebreak); the ADC estimate folds the "
+    "per-subspace distance-table lookups in j order; items probe their "
+    "top-1 cell, queries their top-3; the 4k-deep ADC shortlist is "
+    "reranked by exact cosine. Scale shape: codebook + distance tables "
+    "broadcast (m*k rows), per-item work is m code rows, candidates "
+    "move as ids through one cell equi-join, rankings are "
+    "top_k_per_group partial aggregates — no global window, no "
+    "driver-side vectors beyond the 16-row codebook pull. The numpy "
+    "production route stays timed as ml_ann_ivfpq_topk (recall-floor "
+    "pinned); this entry proves the INDEX MATH is reproducible, like "
+    "vec_knn_ivf/vec_knn_lsh/vec_knn_int8.",
+    tags=("J5", "X5", "ivfpq", "scale-path"),
+    oracle=f"""
+WITH cm AS (
+  SELECT label, CAST(pos - 1 AS INTEGER) AS pos, round(avg(v), 6) AS m
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS cell, list(m ORDER BY pos) AS cell_vec
+  FROM cm GROUP BY label
+),
+icell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cosine_sql('e.embedding', 'c.cell_vec')} DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+qcell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cosine_sql('e.embedding', 'c.cell_vec')} DESC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE rn <= 3
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+donors AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+book AS (
+  SELECT js.j, d.code, list_slice(d.e, js.j * 16 + 1, js.j * 16 + 16) AS entry
+  FROM donors d CROSS JOIN js
+),
+isub AS (
+  SELECT e.vec_id AS item_id, js.j,
+         list_slice(CAST(e.embedding AS DOUBLE[]), js.j * 16 + 1, js.j * 16 + 16) AS sub
+  FROM embeddings e CROSS JOIN js
+),
+icode AS (
+  SELECT item_id, j, code FROM (
+    SELECT s.item_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.item_id, s.j
+             ORDER BY {l2_sq_sql('s.sub', 'b.entry')} ASC, b.code ASC) AS rn
+    FROM isub s JOIN book b ON s.j = b.j) WHERE rn = 1
+),
+qd AS (
+  SELECT e.vec_id AS query_id, b.j, b.code,
+         {l2_sq_sql("list_slice(CAST(e.embedding AS DOUBLE[]), b.j * 16 + 1, b.j * 16 + 16)", 'b.entry')} AS d
+  FROM embeddings e CROSS JOIN book b WHERE e.vec_id < 20
+),
+cand AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id
+  FROM qcell q JOIN icell i ON q.cell = i.cell
+),
+est AS (
+  SELECT c.query_id, c.item_id,
+         list_reduce(list(qd.d ORDER BY qd.j), (x, y) -> x + y) AS est
+  FROM cand c
+  JOIN icode ic ON ic.item_id = c.item_id
+  JOIN qd ON qd.query_id = c.query_id AND qd.j = ic.j AND qd.code = ic.code
+  GROUP BY c.query_id, c.item_id
+),
+short AS (
+  SELECT query_id, item_id FROM (
+    SELECT query_id, item_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY est ASC, item_id ASC) AS rn
+    FROM est) WHERE rn <= 20
+)
+SELECT query_id, item_id, round(score, 6) AS score FROM (
+  SELECT s.query_id, s.item_id,
+         {cosine_sql('qe.embedding', 'ie.embedding')} AS score,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY {cosine_sql('qe.embedding', 'ie.embedding')} DESC, s.item_id ASC) AS rn
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ie ON ie.vec_id = s.item_id
+) WHERE rn <= 5
+""",
+)
+def vec_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.functions.vectors import l2_sq
+    from newsify_spark.operators.topk import top_k_per_group
+
+    DS, M, K, NPROBE, NCAND, TOPK = 16, 4, 16, 3, 20, 5
+    emb = load(spark, sf_dir, "embeddings")
+    cells = label_centroids(spark, sf_dir).select(
+        F.col("label").cast("int").alias("cell"),
+        F.transform("centroid", lambda v: F.round(v, 6)).alias("cell_vec"),
+    )
+    # codebook: raw subvectors of the K lowest-id embeddings — a
+    # K-row driver pull (the sanctioned fail-fast-capped small side)
+    donors = emb.select("vec_id", "embedding").orderBy("vec_id").limit(K).collect()
+    entries = [
+        (j, c, [float(x) for x in r.embedding[j * DS:(j + 1) * DS]])
+        for c, r in enumerate(donors)
+        for j in range(M)
+    ]
+    book = spark.createDataFrame(entries, "j int, code int, entry array<double>")
+
+    # IVF layer: item -> top-1 cell, query -> top-NPROBE cells
+    paired = emb.crossJoin(F.broadcast(cells)).withColumn(
+        "s", cosine("embedding", "cell_vec")
+    )
+    rank_cells = [F.col("s").desc(), F.col("cell").asc()]
+    icell = top_k_per_group(paired, ["vec_id"], rank_cells, 1).select(
+        F.col("vec_id").alias("item_id"), "cell"
+    )
+    qcell = top_k_per_group(
+        paired.filter(F.col("vec_id") < 20), ["vec_id"], rank_cells, NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    # PQ layer: encode every item (argmin squared-L2 per subspace)
+    jdf = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("j")
+    isub = emb.select(F.col("vec_id").alias("item_id"), jdf, "embedding").withColumn(
+        "sub", F.expr(f"slice(embedding, j * {DS} + 1, {DS})")
+    )
+    icode = top_k_per_group(
+        isub.join(F.broadcast(book), "j").withColumn("d", l2_sq("sub", "entry")),
+        ["item_id", "j"],
+        [F.col("d").asc(), F.col("code").asc()],
+        1,
+    ).select("item_id", "j", "code")
+
+    # ADC distance tables: |Q| x m x k scalars — broadcast-sized
+    qd = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), jdf, "embedding")
+        .withColumn("sub", F.expr(f"slice(embedding, j * {DS} + 1, {DS})"))
+        .join(F.broadcast(book), "j")
+        .select("query_id", "j", "code", l2_sq("sub", "entry").alias("d"))
+    )
+
+    cand = qcell.join(icell, "cell").select("query_id", "item_id")
+    est = (
+        cand.join(icode, "item_id")
+        .join(F.broadcast(qd), ["query_id", "j", "code"])
+        .groupBy("query_id", "item_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "d"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["d"],
+            ).alias("est")
+        )
+    )
+    short = top_k_per_group(
+        est, ["query_id"], [F.col("est").asc(), F.col("item_id").asc()], NCAND
+    ).select("query_id", "item_id")
+
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ie = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("iv"))
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ie, "item_id")
+        .withColumn("score", cosine("qv", "iv"))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("score").desc(), F.col("item_id").asc()], TOPK
+    ).select("query_id", "item_id", F.round("score", 6).alias("score"))
