@@ -1137,3 +1137,98 @@ def rel_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return snap.orderBy("o_orderkey")
+
+
+_TXNLOG_CHANGES_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderstatus
+  FROM orders
+),
+adj AS (
+  SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice,
+         'ADJ' AS o_orderstatus
+  FROM base WHERE o_orderkey % 97 = 0
+),
+ins AS (
+  SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(p AS DOUBLE) AS o_totalprice,
+         s AS o_orderstatus
+  FROM (VALUES (900000001, 111.5, 'NEW'), (900000002, 222.25, 'NEW')) t(k, p, s)
+),
+v1_changes AS (
+  SELECT 'insert' AS _change_type, 1 AS _commit_version, * FROM adj
+  UNION ALL SELECT 'insert', 1, * FROM ins
+  UNION ALL SELECT 'delete', 1, * FROM base WHERE o_orderkey % 97 = 0
+),
+state1 AS (
+  SELECT * FROM base WHERE o_orderkey % 97 <> 0
+  UNION ALL SELECT * FROM adj
+  UNION ALL SELECT * FROM ins
+),
+v2_changes AS (
+  SELECT 'delete' AS _change_type, 2 AS _commit_version, *
+  FROM state1 WHERE o_orderkey % 101 = 0
+)
+SELECT _change_type, CAST(_commit_version AS INTEGER) AS _commit_version,
+       o_orderkey, round(o_totalprice, 4) AS o_totalprice, o_orderstatus
+FROM (SELECT * FROM v1_changes UNION ALL SELECT * FROM v2_changes)
+ORDER BY _commit_version, o_orderkey, _change_type
+"""
+
+
+@register(
+    "rel_txnlog_changes",
+    doc="Change-data feed off the copy-on-write transaction log "
+    "(operators.txnlog.read_changes — Delta's table_changes/CDF): the "
+    "same ACID cycle rel_txnlog_snapshot runs (create, MERGE upsert, "
+    "delete-by-keys), then the NET row changes of commits 1-2 read "
+    "back as (_change_type, _commit_version, row): an update surfaces "
+    "as its delete(preimage)+insert(postimage) pair, carried-over COW "
+    "neighbor rows cancel via multiset exceptAll. The feed is derived "
+    "purely from each commit's add/remove file lists, so its cost is "
+    "the commits' blast radius, never table size — the downstream-sync "
+    "primitive (CDC to a search index, cache invalidation) the "
+    "reference's Mongo polling loop cannot express. Oracle replays the "
+    "mutation cycle relationally.",
+    tags=("S8", "S9", "S12", "txn", "cdc"),
+    oracle=_TXNLOG_CHANGES_ORACLE,
+)
+def rel_txnlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from newsify_spark.operators import txnlog as T
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="newsify_txnlog_cdc_")
+    try:
+        path = f"{base}/orders_t"
+        T.create_table(spark, path, orders.repartitionByRange(8, "o_orderkey"))
+        adj = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+            F.lit("ADJ").alias("o_orderstatus"),
+        )
+        ins = spark.createDataFrame(
+            [(900000001, 111.5, "NEW"), (900000002, 222.25, "NEW")],
+            "o_orderkey bigint, o_totalprice double, o_orderstatus string",
+        )
+        T.upsert_rows(spark, path, adj.unionByName(ins), ["o_orderkey"])
+        T.delete_rows(
+            spark,
+            path,
+            orders.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        feed = T.read_changes(spark, path, 1, 2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return feed.select(
+        "_change_type",
+        "_commit_version",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "o_orderstatus",
+    ).orderBy("_commit_version", "o_orderkey", "_change_type")

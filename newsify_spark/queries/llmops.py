@@ -1777,3 +1777,285 @@ def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ppl_min")
     )
+
+
+# ------------------------------------------------- DSIR (importance resampling)
+_DSIR_GRAMS_SQL = f"""
+t AS (
+  SELECT doc_id, {tokens_sql()} AS tk,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5
+           AS shard
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, shard,
+         CAST(CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS INTEGER)
+           AS bucket
+  FROM (
+    SELECT doc_id, shard,
+           unnest(list_concat(tk,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(generate_series(2, len(tk)),
+                                      i -> tk[i-1] || ' ' || tk[i])
+                  ELSE CAST([] AS VARCHAR[]) END)) AS g
+    FROM t
+  )
+),
+tc AS (SELECT bucket, count(*) AS c_t FROM grams WHERE shard = 0 GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS c_r FROM grams WHERE shard <> 0 GROUP BY bucket),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_t FROM grams WHERE shard = 0),
+nr AS (SELECT CAST(count(*) AS DOUBLE) AS n_r FROM grams WHERE shard <> 0),
+ratio AS (
+  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+         ln((COALESCE(c_t, 0) + 0.5) / (n_t + 0.5 * 1024.0))
+       - ln((COALESCE(c_r, 0) + 0.5) / (n_r + 0.5 * 1024.0)) AS lr
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+  CROSS JOIN nt CROSS JOIN nr
+),
+per AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM grams WHERE shard <> 0 GROUP BY doc_id, bucket
+),
+w AS (
+  SELECT p.doc_id,
+         CAST(sum(p.c) AS BIGINT) AS n_feats,
+         round(list_reduce(list(p.c * r.lr ORDER BY p.bucket),
+                           (x, y) -> x + y) + 0.0, 6) AS logw
+  FROM per p JOIN ratio r ON p.bucket = r.bucket
+  GROUP BY p.doc_id
+)"""
+
+
+def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring pipeline: hash-shard 0 is the target domain
+    (the md5 device every split here uses), shards 1-4 are the raw pool."""
+    from newsify_spark.operators.dsir import (
+        dsir_log_weights,
+        fit_log_ratio,
+        hashed_ngram_features,
+    )
+    from newsify_spark.operators.shards import shard_id
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_shard", shard_id(F.col("doc_id"), 5)
+    )
+    # the shard predicate pushes below the tokenize, so the two feature
+    # extractions together cost ONE disjoint pass over the corpus
+    target = hashed_ngram_features(docs.filter(F.col("_shard") == 0), buckets=1024)
+    pool = hashed_ngram_features(docs.filter(F.col("_shard") != 0), buckets=1024)
+    ratio = fit_log_ratio(target, pool, buckets=1024, add_k=0.5)
+    return dsir_log_weights(pool, ratio)
+
+
+@register(
+    "doc_dsir_weights",
+    doc="DSIR importance weights (Xie et al. NeurIPS 2023, "
+    "operators.dsir): every raw-pool document scored by its "
+    "bag-of-hashed-n-grams log importance weight against a target "
+    "domain (hash-shard 0 of the corpus stands in for the trusted "
+    "in-domain set, the same md5 split device the CCNet scorer uses). "
+    "The fitted model is ONE (bucket, log_ratio) table bounded at 1024 "
+    "rows — broadcast however big the corpora are; the pool pays one "
+    "tokenize + one (doc, bucket) keyed shuffle. Per-doc sums fold in "
+    "bucket order so the floats are engine-portable (the ADC-fold "
+    "device from vec_knn_ivfpq). The missing rung between the "
+    "heuristic quality score and the trained classifier: DOMAIN MATCH, "
+    "not fluency.",
+    tags=("quality", "sampling", "corpus-mix", "scale-path"),
+    bench=True,  # added r8 mid-round: rides BENCH_PROMOTION_QUEUE until
+    # rotation #7 promotes it (envelope adopted in BASELINE_BENCH.json)
+    oracle=f"""
+WITH {_DSIR_GRAMS_SQL}
+SELECT doc_id, n_feats, logw FROM w ORDER BY doc_id
+""",
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights_df(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "doc_dsir_sample",
+    doc="DSIR resampling step (Xie et al. NeurIPS 2023 §3): "
+    "Gumbel-top-k over the log importance weights — g = -ln(-ln(u)) "
+    "with u minted from md5(doc_id) (the A-ES device from "
+    "doc_weighted_sample: portable, reproducible, no rand()) — selects "
+    "the 100 pool documents whose distribution matches the target "
+    "domain. Global top-k routes to TakeOrderedAndProject; no full "
+    "sort, no single-partition window.",
+    tags=("sampling", "corpus-mix", "scale-path"),
+    oracle=f"""
+WITH {_DSIR_GRAMS_SQL},
+keyed AS (
+  SELECT doc_id, logw,
+         round(logw + (-ln(-ln(
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             + 1) / 4294967296.0))), 6) AS samp_key
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, logw, samp_key,
+         row_number() OVER (ORDER BY samp_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, logw, samp_key, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 100 ORDER BY rank
+""",
+)
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.dsir import gumbel_top_k
+
+    return gumbel_top_k(
+        _dsir_weights_df(spark, sf_dir).select("doc_id", "logw"), k=100
+    )
+
+
+# ------------------------------------------------------- BPE tokenizer training
+def _bpe_oracle(n_merges: int) -> str:
+    """Unroll the BPE training loop into CTE stages: each step re-derives
+    the argmax pair and applies the same boundary-safe leftmost replace
+    the Spark trainer uses, so every merge DECISION is hash-checked."""
+    parts = [
+        f"""v0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s, freq
+  FROM (SELECT g AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({tokens_sql()}) AS g FROM documents)
+        GROUP BY g)
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq,
+               unnest(list_transform(generate_series(2, len(sy)),
+                                     j -> sy[j-1] || ' ' || sy[j])) AS pr
+        FROM (SELECT freq, string_split(trim(s), ' ') AS sy FROM v{i - 1}))
+  GROUP BY pr
+),
+m{i} AS (
+  SELECT CAST({i} AS INTEGER) AS step, pair,
+         replace(pair, ' ', '') AS merged, pair_count
+  FROM p{i} ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+v{i} AS (
+  SELECT replace(v.s, ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS s, v.freq
+  FROM v{i - 1} v CROSS JOIN m{i} m
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n_merges + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT step, pair, merged, pair_count FROM ({union}) ORDER BY step"
+    )
+
+
+@register(
+    "doc_bpe_merges",
+    doc="BPE tokenizer training (Sennrich et al. ACL 2016, "
+    "operators.bpe): learn the first 5 merges of a byte-pair-encoding "
+    "vocabulary over the corpus — the actual tokenizer-training "
+    "computation, not a token-count proxy. One corpus pass builds the "
+    "(word, freq) table; each merge is then a vocab-BOUNDED pairs "
+    "aggregation, a 1-row TakeOrderedAndProject argmax (pair-string "
+    "tiebreak), and a map-side boundary-safe replace — production "
+    "tokenizers run ~30k of these iterations at exactly this "
+    "per-iteration cost, corpus untouched after pass one. The oracle "
+    "unrolls the loop into CTE stages and reproduces every merge "
+    "decision bit-for-bit.",
+    tags=("text", "tokenizer", "scale-path"),
+    oracle=_bpe_oracle(5),
+)
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.bpe import bpe_train, word_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_train(word_vocab(docs), n_merges=5)
+
+
+# --------------------------------------------------------- Zipf diagnostics
+@register(
+    "doc_zipf_fit",
+    doc="Zipf's-law fit over the corpus token distribution — the "
+    "standard corpus-health diagnostic (natural text fits "
+    "ln(freq) = a + b*ln(rank) with b near -1; templated/synthetic "
+    "corpora bend the tail): OLS slope/intercept over the top-1000 "
+    "token ranks, computed closed-form from four sums. Ranks come from "
+    "a k-bounded TakeOrderedAndProject (no global sort); the four OLS "
+    "sums fold the k-row list in RANK ORDER (the engine-portable "
+    "summation device from vec_knn_ivfpq/doc_dsir_weights), so the "
+    "regression is bit-identical cross-engine without trusting either "
+    "engine's regr_slope summation order. Output is one row at any "
+    "corpus size.",
+    tags=("text", "diagnostics"),
+    oracle=f"""
+WITH counts AS (
+  SELECT g AS token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({tokens_sql()}) AS g FROM documents) GROUP BY g
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM counts
+),
+top AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y, rank
+  FROM ranked WHERE rank <= 1000
+),
+sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+         list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy,
+         list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx
+  FROM top
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM sums
+""",
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.bpe import word_vocab
+    from newsify_spark.operators.topk import top_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    counts = word_vocab(docs).withColumnRenamed("word", "token")
+    top = top_k_per_group(
+        counts,
+        [],
+        [F.col("freq").desc(), F.col("token").asc()],
+        1000,
+        rank_col="rank",
+        keep_rank=True,
+    ).select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", expr.alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    sums = top.agg(
+        F.count("*").cast("double").alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

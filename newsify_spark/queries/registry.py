@@ -79,6 +79,11 @@ DEMOTED: frozenset[str] = frozenset(
         # has direct driver evidence)
         # round-8 additions; never-driver-checked — rotation-#7 queue
         "vec_knn_ivfpq",
+        "doc_dsir_weights",
+        "doc_dsir_sample",
+        "doc_bpe_merges",
+        "rel_txnlog_changes",
+        "doc_zipf_fit",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test

@@ -2341,3 +2341,179 @@ def test_txnlog_additive_schema_evolution(spark, tmp_path):
     assert T.history(path)[-1]["columns"] == ["k", "val", "tag", "note"]
     with _pytest.raises(ValueError, match="drops"):
         T.append_rows(spark, path, spark.createDataFrame([(1, 1.0)], ["k", "val"]))
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def test_dsir_weights_rank_domain_match(spark):
+    """The DSIR estimator's defining property (Xie et al. 2023): pool
+    docs written in the target domain's vocabulary score HIGHER log
+    importance weights than out-of-domain docs; the fitted model is
+    bounded by the bucket count."""
+    from newsify_spark.operators.dsir import (
+        dsir_log_weights,
+        fit_log_ratio,
+        hashed_ngram_features,
+    )
+
+    in_dom = "spark shuffle partition executor broadcast join agg scan"
+    out_dom = "violin sonata allegro crescendo orchestra tempo maestro coda"
+    target = spark.createDataFrame(
+        [(i, in_dom) for i in range(10)], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(100, in_dom), (101, in_dom), (200, out_dom), (201, out_dom)],
+        "doc_id long, text string",
+    )
+    tf = hashed_ngram_features(target, buckets=256)
+    pf = hashed_ngram_features(pool, buckets=256)
+    ratio = fit_log_ratio(tf, pf, buckets=256)
+    assert ratio.count() <= 256  # model bounded by bucket count
+    w = {r.doc_id: r.logw for r in dsir_log_weights(pf, ratio).collect()}
+    assert min(w[100], w[101]) > max(w[200], w[201])
+    # unigrams + interior bigrams: 8 tokens -> 8 + 7 feature occurrences
+    n = {r.doc_id: r.n_feats for r in dsir_log_weights(pf, ratio).collect()}
+    assert n[100] == 15
+
+
+def test_dsir_gumbel_top_k_deterministic_and_weight_monotone(spark):
+    """Gumbel keys are minted from md5(doc_id) — two runs return the
+    identical sample — and raising a doc's weight can only improve its
+    rank (the Gumbel noise is fixed per id)."""
+    from newsify_spark.operators.dsir import gumbel_top_k
+
+    w1 = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "doc_id long, logw double"
+    )
+    a = [(r.doc_id, r.rank) for r in gumbel_top_k(w1, k=10).collect()]
+    b = [(r.doc_id, r.rank) for r in gumbel_top_k(w1, k=10).collect()]
+    assert a == b and len(a) == 10
+    # bump one doc's weight far above everything -> it must take rank 1
+    w2 = w1.withColumn(
+        "logw", F.when(F.col("doc_id") == 42, 1e6).otherwise(F.col("logw"))
+    )
+    top = gumbel_top_k(w2, k=10).collect()[0]
+    assert top.doc_id == 42 and top.rank == 1
+
+
+# ------------------------------------------------------------------- BPE
+
+
+def _ref_bpe(vocab: dict, n_merges: int):
+    """Pure-Python Sennrich et al. reference: greedy most-frequent pair,
+    leftmost non-overlapping application, pair-string tiebreak."""
+    words = {tuple(w) + ("</w>",): f for w, f in vocab.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for sy, f in words.items():
+            for a, b in zip(sy, sy[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
+        merges.append((step, f"{pair[0]} {pair[1]}", "".join(pair), counts[pair]))
+        new = {}
+        for sy, f in words.items():
+            out, i = [], 0
+            while i < len(sy):
+                if i + 1 < len(sy) and (sy[i], sy[i + 1]) == pair:
+                    out.append(sy[i] + sy[i + 1])
+                    i += 2
+                else:
+                    out.append(sy[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """The distributed trainer reproduces the pure-Python Sennrich BPE
+    step for step — argmax pair, tiebreak, and greedy leftmost
+    application (incl. the overlapping-run case 'aaaa' -> 'aa aa')."""
+    from newsify_spark.operators.bpe import bpe_train
+
+    vocab = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "aaaa": 4,  # overlapping-run stress: (a,a) merges pairwise
+    }
+    ref = _ref_bpe(vocab, 6)
+    vdf = spark.createDataFrame(
+        [(w, f) for w, f in vocab.items()], "word string, freq long"
+    )
+    got = [
+        (r.step, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(vdf, n_merges=6).collect()
+    ]
+    assert got == ref
+
+
+def test_bpe_apply_merges_reconstructs_words(spark):
+    """Applying the learned merges never loses characters: the pieces
+    concatenate back to word + '</w>', and high-frequency words compress
+    into fewer pieces than their character count."""
+    from newsify_spark.operators.bpe import apply_merges, bpe_train, word_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "newest newest newest lowest widest") for i in range(4)],
+        "doc_id long, text string",
+    )
+    vocab = word_vocab(docs)
+    merges = [
+        (r.pair, r.merged) for r in bpe_train(vocab, n_merges=4).collect()
+    ]
+    assert len(merges) == 4
+    out = apply_merges(vocab, merges).collect()
+    for r in out:
+        assert "".join(r.pieces) == r.word + "</w>"
+    pieces = {r.word: r.pieces for r in out}
+    assert len(pieces["newest"]) < len("newest") + 1  # actually compressed
+
+
+def test_txnlog_read_changes_cdc_feed(spark, tmp_path):
+    """Delta-CDF semantics from the COW log: version 0 is all inserts;
+    an upsert emits delete(preimage)+insert(postimage) for CHANGED rows
+    only (carried-over neighbors cancel); a delete emits its victims;
+    additive schema evolution null-backfills the feed."""
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark, 20))
+    T.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(7, 777.0, "edited")], ["k", "val", "tag"]),
+        ["k"],
+    )
+    T.delete_rows(spark, path, spark.createDataFrame([(3,)], ["k"]), ["k"])
+    # evolution: add a column, then read the whole feed
+    T.append_rows(
+        spark, path,
+        spark.createDataFrame([(100, 1.0, "x", "extra")],
+                              ["k", "val", "tag", "note"]),
+    )
+
+    full = T.read_changes(spark, path, 0).collect()
+    v0 = [r for r in full if r._commit_version == 0]
+    assert len(v0) == 20 and all(r._change_type == "insert" for r in v0)
+    assert all(r.note is None for r in v0)  # evolved column backfills null
+
+    v1 = sorted(
+        ((r._change_type, r.k, r.val) for r in full if r._commit_version == 1)
+    )
+    assert v1 == [("delete", 7, 70.0), ("insert", 7, 777.0)]  # only the change
+
+    v2 = [(r._change_type, r.k) for r in full if r._commit_version == 2]
+    assert v2 == [("delete", 3)]
+
+    v3 = [(r._change_type, r.k, r.note) for r in full if r._commit_version == 3]
+    assert v3 == [("insert", 100, "extra")]
+
+    # bounded range + empty-range error
+    mid = T.read_changes(spark, path, 1, 2).collect()
+    assert {r._commit_version for r in mid} == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        T.read_changes(spark, path, 99)

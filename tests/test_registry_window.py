@@ -134,8 +134,10 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # remove from this set when that happens.
 # (doc_semdedup, added r4, was promoted in r5; doc_bloom_dedup and
 # vec_knn_int8, added r5, were promoted in r6; doc_ngram_perplexity,
-# added r7, was promoted in r8's rotation #6 — the queue is empty.)
-BENCH_PROMOTION_QUEUE: set[str] = set()
+# added r7, was promoted in r8's rotation #6; doc_dsir_weights, added
+# r8 with its envelope in BASELINE_BENCH.json, rides here until
+# rotation #7 promotes it.)
+BENCH_PROMOTION_QUEUE: set[str] = {"doc_dsir_weights"}
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the
