@@ -90,6 +90,12 @@ QUERIES = [
     "doc_ppl_buckets",
     "rel_funnel_steps",
     "rel_retention_cohorts",
+    # round 8: DSIR scoring (one tokenize + one (doc,bucket) shuffle,
+    # 1024-row broadcast model) and BPE training (corpus touched once,
+    # then vocab-bounded iterations — ratio should sit WELL under the
+    # data ratio because the loop cost scales with vocab, not corpus)
+    "doc_dsir_weights",
+    "doc_bpe_merges",
 ]
 
 
