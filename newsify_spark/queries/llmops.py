@@ -2059,3 +2059,49 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --------------------------------------------------------- blocklist gate
+@register(
+    "doc_blocklist_filter",
+    doc="Blocklist (bad-words) gate — the C4 cleaning rule (Raffel et "
+    "al. JMLR 2020 §2.2 drop documents containing List-of-Dirty-Words "
+    "terms; fixture blocklist stands in): per doc, count tokens hitting "
+    "the list and flag when the hit fraction crosses the threshold "
+    "(fraction, not any-hit, so a single incidental term doesn't kill "
+    "a long document — the RefinedWeb refinement). The list rides the "
+    "plan as an array literal, membership is a codegen'd "
+    "filter+array_contains — a pure SHUFFLE-FREE map over the corpus "
+    "(same class as the PII scrub), embarrassingly parallel at 100 TB; "
+    "a production list swaps in as a broadcast join without changing "
+    "the contract.",
+    tags=("quality", "text", "gates"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {tokens_sql()} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> list_contains(['slow', 'big', 'stale'], x)))
+            AS BIGINT) AS n_hits,
+       round(CAST(len(list_filter(tk, x -> list_contains(['slow', 'big', 'stale'], x)))
+                  AS DOUBLE) / len(tk), 6) AS hit_frac,
+       (CAST(len(list_filter(tk, x -> list_contains(['slow', 'big', 'stale'], x)))
+             AS DOUBLE) / len(tk)) >= 0.07 AS flagged
+FROM t ORDER BY doc_id
+""",
+)
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.functions.text import tokens
+
+    blocklist = F.array(F.lit("slow"), F.lit("big"), F.lit("stale"))
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens("text")
+    hits = F.size(F.filter(tk, lambda x: F.array_contains(blocklist, x)))
+    n = F.size(tk)
+    frac = hits.cast("double") / n
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("n_hits"),
+        F.round(frac, 6).alias("hit_frac"),
+        (frac >= F.lit(0.07)).alias("flagged"),
+    ).orderBy("doc_id")

@@ -364,3 +364,28 @@ def test_ppl_buckets_has_no_global_rank_window(spark):
     model = train_bigram_lm(docs.filter(F.col("_side") == 0), add_k=0.5)
     ppl = score_perplexity(docs.filter(F.col("_side") == 1), model)
     assert "Window" not in _plan(ppl)
+
+
+def test_dsir_weights_is_jvm_side_with_broadcast_model(spark):
+    """doc_dsir_weights: the (bucket, log_ratio) model must join as a
+    broadcast (it is bounded by the bucket count) and no stage may drop
+    to row-at-a-time Python."""
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["doc_dsir_weights"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_blocklist_filter_is_shuffle_free_map(spark):
+    """doc_blocklist_filter is a pure map over the corpus (the PII-scrub
+    class): no Exchange below the final ordered output, no Python."""
+    from newsify_spark.queries import REGISTRY
+
+    # the query's orderBy exists only for oracle determinism; at scale
+    # callers consume the projection unordered
+    df = REGISTRY["doc_blocklist_filter"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    # exactly the one Exchange a global orderBy needs — nothing else
+    assert plan.count("Exchange") <= 2  # rangepartitioning exchange only
