@@ -2105,3 +2105,99 @@ def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("hit_frac"),
         (frac >= F.lit(0.07)).alias("flagged"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------- PMI collocations
+@register(
+    "doc_pmi_collocations",
+    doc="Collocation mining by pointwise mutual information (Church & "
+    "Hanks CL 1990 — the standard phrase-detection pass a tokenizer/"
+    "quality pipeline runs before merging multi-word units): "
+    "PMI(x,y) = ln(p(x,y) / (p(x)p(y))) over corpus bigrams with a "
+    "min-count floor (20) against noise, top-50 by (6dp PMI, bigram) "
+    "— on natural text this surfaces fixed phrases; on this synthetic "
+    "fixture PMI hugs 0, which is itself the diagnostic (no real "
+    "collocations = no learnable phrases). One tokenize pass feeds "
+    "both count tables; the unigram side joins back twice "
+    "vocab-bounded (broadcast), totals ride as 1-row crossJoins, and "
+    "the ranking is a k-bounded TakeOrderedAndProject. PMI is a single "
+    "per-row expression over exact integer counts — no float "
+    "summation anywhere, so cross-engine determinism is free.",
+    tags=("text", "diagnostics", "collocations"),
+    oracle=f"""
+WITH t AS (SELECT {tokens_sql()} AS tk FROM documents),
+uni AS (
+  SELECT g AS w, CAST(count(*) AS BIGINT) AS c FROM
+    (SELECT unnest(tk) AS g FROM t) GROUP BY g
+),
+bi AS (
+  SELECT p.l AS l, p.r AS r, CAST(count(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(generate_series(2, len(tk)),
+                                 i -> {{'l': tk[i-1], 'r': tk[i]}})) AS p
+    FROM t WHERE len(tk) >= 2
+  ) GROUP BY p.l, p.r
+),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+nb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n_bi FROM bi),
+scored AS (
+  SELECT b.l, b.r, b.c_xy,
+         round(ln((CAST(b.c_xy AS DOUBLE) * nu.n_uni * nu.n_uni)
+                  / (CAST(ul.c AS DOUBLE) * ur.c * nb.n_bi)), 6) AS pmi
+  FROM bi b
+  JOIN uni ul ON b.l = ul.w
+  JOIN uni ur ON b.r = ur.w
+  CROSS JOIN nu CROSS JOIN nb
+  WHERE b.c_xy >= 20
+),
+ranked AS (
+  SELECT l, r, c_xy, pmi,
+         row_number() OVER (ORDER BY pmi DESC, l ASC, r ASC) AS rank
+  FROM scored
+)
+SELECT l, r, c_xy, pmi, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 50 ORDER BY rank
+""",
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.ngram_lm import doc_bigrams
+    from newsify_spark.operators.topk import top_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        doc_bigrams(docs)
+        .groupBy(F.col("ctx").alias("l"), F.col("tok").alias("r"))
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 20)
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    nb = (
+        doc_bigrams(docs)
+        .agg(F.count("*").cast("double").alias("n_bi"))
+    )
+    ul = uni.select(F.col("w").alias("l"), F.col("c").alias("c_l"))
+    ur = uni.select(F.col("w").alias("r"), F.col("c").alias("c_r"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("c_l").cast("double") * F.col("c_r") * F.col("n_bi"))
+    )
+    scored = (
+        bi.join(F.broadcast(ul), "l")
+        .join(F.broadcast(ur), "r")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("l", "r", "c_xy", F.round(pmi, 6).alias("pmi"))
+    )
+    return top_k_per_group(
+        scored,
+        [],
+        [F.col("pmi").desc(), F.col("l").asc(), F.col("r").asc()],
+        50,
+        rank_col="rank",
+        keep_rank=True,
+    ).orderBy("rank")
