@@ -705,3 +705,99 @@ def rec_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("recall"), 6).alias("recall_at_10"),
         F.round(F.avg("ndcg"), 6).alias("ndcg_at_10"),
     )
+
+
+# ------------------------------------------------- item co-occurrence / lift
+@register(
+    "rec_item_cooccurrence",
+    doc="Frequently-bought-together mining by association lift (Agrawal "
+    "et al. SIGMOD 1993 support/confidence/lift, the market-basket "
+    "classic): top-50 item pairs by lift(x,y) = p(x,y)/(p(x)p(y)) over "
+    "per-user interaction baskets, with a min co-count floor (5). Each "
+    "user's basket is CAPPED at their top-20 items (interaction-count "
+    "rank, item tiebreak) before pairing — the standard bound that "
+    "keeps the per-user quadratic term at choose(20,2)=190 pairs at "
+    "any scale, so the self-join shuffles user-keyed and never "
+    "explodes on a power user. Marginals join back vocab-bounded "
+    "(broadcast), totals ride as a 1-row crossJoin, ranking is a "
+    "k-bounded TakeOrderedAndProject. Lift is one per-row expression "
+    "over exact integer counts — engine-portable without float-sum "
+    "tricks. The item-item similarity leg the reference's trainer "
+    "lacks (its ALS is user-item only); feeds the same serving shape "
+    "as rec_mmr_rerank.",
+    tags=("rec", "basket", "scale-path"),
+    oracle="""
+WITH inter AS (
+  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, item ASC) AS rn
+    FROM inter) WHERE rn <= 20
+),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM capped),
+marg AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM capped GROUP BY item),
+pairs AS (
+  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.i1, p.i2, p.c_xy,
+         round((CAST(p.c_xy AS DOUBLE) * nu.n_users)
+               / (CAST(m1.c AS DOUBLE) * m2.c), 6) AS lift
+  FROM pairs p
+  JOIN marg m1 ON p.i1 = m1.item
+  JOIN marg m2 ON p.i2 = m2.item
+  CROSS JOIN nu
+  WHERE p.c_xy >= 5
+),
+ranked AS (
+  SELECT i1, i2, c_xy, lift,
+         row_number() OVER (ORDER BY lift DESC, i1 ASC, i2 ASC) AS rank
+  FROM scored
+)
+SELECT i1, i2, c_xy, lift, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 50 ORDER BY rank
+""",
+)
+def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.from_json("props", "k bigint")["k"].alias("item")
+    )
+    inter = ev.groupBy("user_id", "item").agg(F.count("*").alias("cnt"))
+    capped = top_k_per_group(
+        inter, ["user_id"], [F.col("cnt").desc(), F.col("item").asc()], 20
+    ).select("user_id", "item")
+    nu = capped.agg(F.countDistinct("user_id").cast("double").alias("n_users"))
+    marg = capped.groupBy("item").agg(F.count("*").alias("c"))
+    a = capped.select("user_id", F.col("item").alias("i1"))
+    b = capped.select("user_id", F.col("item").alias("i2"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    lift = (F.col("c_xy").cast("double") * F.col("n_users")) / (
+        F.col("c1").cast("double") * F.col("c2")
+    )
+    scored = (
+        pairs.join(F.broadcast(marg.select(F.col("item").alias("i1"), F.col("c").alias("c1"))), "i1")
+        .join(F.broadcast(marg.select(F.col("item").alias("i2"), F.col("c").alias("c2"))), "i2")
+        .crossJoin(F.broadcast(nu))
+        .select("i1", "i2", "c_xy", F.round(lift, 6).alias("lift"))
+    )
+    return top_k_per_group(
+        scored,
+        [],
+        [F.col("lift").desc(), F.col("i1").asc(), F.col("i2").asc()],
+        50,
+        rank_col="rank",
+        keep_rank=True,
+    ).orderBy("rank")
