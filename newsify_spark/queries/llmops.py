@@ -1910,10 +1910,11 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- BPE tokenizer training
-def _bpe_oracle(n_merges: int) -> str:
-    """Unroll the BPE training loop into CTE stages: each step re-derives
-    the argmax pair and applies the same boundary-safe leftmost replace
-    the Spark trainer uses, so every merge DECISION is hash-checked."""
+def _bpe_chain(n_merges: int) -> list[str]:
+    """The unrolled BPE training loop as CTE stages: each step
+    re-derives the argmax pair and applies the same boundary-safe
+    leftmost replace the Spark trainer uses, so every merge DECISION is
+    hash-checked. Shared by the train oracle and the tokenize oracle."""
     parts = [
         f"""v0 AS (
   SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s, freq
@@ -1942,11 +1943,55 @@ v{i} AS (
   FROM v{i - 1} v CROSS JOIN m{i} m
 )"""
         )
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, n_merges + 1))
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_bpe_chain(n_merges))
         + f"\nSELECT step, pair, merged, pair_count FROM ({union}) ORDER BY step"
+    )
+
+
+def _bpe_tokenize_oracle(n_merges: int) -> str:
+    """Apply the learned merges to every vocabulary word (a parallel
+    word-keyed CTE chain through the SAME m{i} decisions), then join the
+    piece counts back onto the corpus for per-doc tokenization stats."""
+    parts = list(_bpe_chain(n_merges))
+    parts.append(
+        f"""w0 AS (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+  FROM (SELECT DISTINCT g AS word
+        FROM (SELECT unnest({tokens_sql()}) AS g FROM documents))
+)"""
+    )
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""w{i} AS (
+  SELECT w.word,
+         replace(w.s, ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS s
+  FROM w{i - 1} w CROSS JOIN m{i} m
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pieces AS (
+  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_p
+  FROM w{n_merges}
+),
+tok AS (
+  SELECT doc_id, unnest({tokens_sql()}) AS word FROM documents
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(p.n_p) AS BIGINT) AS n_pieces,
+       round(CAST(sum(p.n_p) AS DOUBLE) / count(*), 6) AS pieces_per_word
+FROM tok t JOIN pieces p ON t.word = p.word
+GROUP BY t.doc_id ORDER BY t.doc_id"""
     )
 
 
@@ -2201,3 +2246,45 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rank",
         keep_rank=True,
     ).orderBy("rank")
+
+
+@register(
+    "doc_bpe_tokenize",
+    doc="BPE tokenizer END-TO-END (train -> apply, Sennrich et al. "
+    "2016): learn the 5-merge table (doc_bpe_merges' loop), tokenize "
+    "the VOCABULARY with operators.bpe.apply_merges (same boundary-"
+    "safe leftmost replaces — the inference side), then join the "
+    "word->piece-count map back onto the corpus for per-doc "
+    "tokenization stats (n_words, n_pieces, pieces_per_word — the "
+    "sequence-length planning numbers a packing/costing stage needs). "
+    "Scale shape: training per doc_bpe_merges (corpus touched once), "
+    "the piece map is vocab-bounded and broadcasts, the corpus pays "
+    "one tokenize + one doc-keyed aggregate; all counts are "
+    "exact integers so the oracle (a parallel word-keyed CTE chain "
+    "through the SAME unrolled merge decisions) hash-checks every "
+    "row.",
+    tags=("text", "tokenizer", "scale-path"),
+    oracle=_bpe_tokenize_oracle(5),
+)
+def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.bpe import apply_merges, bpe_train, word_vocab
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = word_vocab(docs)
+    merges = [(r.pair, r.merged) for r in bpe_train(vocab, n_merges=5).collect()]
+    pieces = apply_merges(vocab.select("word"), merges).select(
+        "word", F.size("pieces").cast("long").alias("n_p")
+    )
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("word"))
+    return (
+        tok.join(F.broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_p").alias("n_pieces"),
+            F.round(
+                F.sum("n_p").cast("double") / F.count("*"), 6
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("doc_id")
+    )

@@ -87,6 +87,7 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_blocklist_filter",
         "doc_pmi_collocations",
         "rec_item_cooccurrence",
+        "doc_bpe_tokenize",
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
