@@ -96,6 +96,11 @@ QUERIES = [
     # data ratio because the loop cost scales with vocab, not corpus)
     "doc_dsir_weights",
     "doc_bpe_merges",
+    # round 8 late additions: basket mining (per-user top-20 cap bounds
+    # the self-join quadratic) and the BPE apply side (vocab-bounded
+    # piece map broadcast over one corpus pass)
+    "rec_item_cooccurrence",
+    "doc_bpe_tokenize",
 ]
 
 
