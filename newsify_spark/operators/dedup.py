@@ -556,6 +556,54 @@ def incremental_dedup(
     )
 
 
+def _doc_spans(
+    docs: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, _h): one 64-bit hash per sliding ``window``-token span —
+    codegen'd transform+slice projection, no UDF. Short docs (< window
+    tokens) contribute their whole text as one span (the
+    ``word_shingles`` fallback), so verbatim tiny docs still collide.
+    xxhash64 (8-byte keys on the wire) — only span COUNTS leave the
+    operator, so the hash never needs to be oracle-portable."""
+    from newsify_spark.functions.text import word_shingles
+
+    return docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, window)).alias("_span"),
+    ).select(F.col(id_col), F.xxhash64("_span").alias("_h"))
+
+
+def _hot_span_filter(
+    spans: DataFrame, min_total: int, m_positions: int
+) -> DataFrame:
+    """Sketch prefilter for the span exchange: project every span hash
+    onto ``m_positions`` counter positions, keep only positions hit >=
+    ``min_total`` times, and semi-join spans back onto the hot set. A
+    span shared by >= min_docs DISTINCT docs has total count >= min_docs
+    too, so the filter is CONSERVATIVE — no false negatives; collisions
+    (two hashes on one position) only admit extra candidates that exact
+    downstream counting rejects. Result-identical to no filter.
+
+    Cost shape: the position rollup exchanges (long, long) rows with
+    map-side combine — a fraction of the (id, hash) exchange it guards —
+    and the hot set is ~|duplicated spans| + |collision positions| rows,
+    which AQE broadcast-joins while small. At extreme scale the hot set
+    saturates toward m and AQE falls back to a shuffled semi join — the
+    filter degrades to roughly the unfiltered exchange, never to a wrong
+    answer; size m ~ a few x expected span count to keep collision
+    admits low."""
+    hot = (
+        spans.select(F.pmod(F.col("_h"), F.lit(m_positions)).alias("_pos"))
+        .groupBy("_pos")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_total)
+        .select("_pos")
+    )
+    return spans.withColumn(
+        "_pos", F.pmod(F.col("_h"), F.lit(m_positions))
+    ).join(hot, "_pos", "left_semi").drop("_pos")
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -563,6 +611,8 @@ def duplicate_spans(
     window: int = 12,
     min_docs: int = 2,
     flag_frac: float = 0.5,
+    prefilter: bool = True,
+    m_positions: int = 1 << 26,
 ) -> DataFrame:
     """Windowed exact-substring duplicate-span detection — the
     token-span rung of the dedup ladder (Lee et al., "Deduplicating
@@ -575,63 +625,151 @@ def duplicate_spans(
     hashed; spans occurring in >= ``min_docs`` DISTINCT documents are
     duplicated, and each document reports its duplicated-span fraction:
     (id, n_spans, n_dup, dup_frac, flagged). Downstream either drops
-    flagged docs or cuts the spans (the reference paper's remove step).
+    flagged docs or cuts the spans (see :func:`remove_duplicate_spans`).
 
-    Spark shape: one codegen'd transform+slice projection (no UDF), one
-    (hash, id) shuffle for the cross-doc span count, one per-doc
-    aggregate. Span rows ≈ total corpus tokens — the same linear-pass
-    cost the suffix-array ExactSubstr pays, but as a plain hash groupBy
-    a 1000-executor cluster partitions trivially; no suffix array, no
-    global sort. Short docs (< window tokens) contribute their whole
-    text as one span (the ``word_shingles`` fallback), so verbatim tiny
-    docs still collide.
+    Spark shape (r9 rework — the r8 plan shuffled EVERY span hash and
+    fanned the cached rollup into three consumers):
+
+    - per-doc span totals come from a pure column expression
+      (max(n_tokens - window + 1, 1) == the shingle count), so the
+      corpus-sized exchange no longer carries unique spans just to count
+      them;
+    - the hot-position sketch (:func:`_hot_span_filter`) drops spans
+      whose hash cannot repeat before the (id, hash) exchange — at the
+      fixture's ~91% unique-span fraction that is ~10x less exchange
+      volume;
+    - distinct-doc counts ride a window over the exchange's own hash
+      partitioning, and ONE per-doc aggregate finishes — no persist, no
+      checkpoint, no multi-consumer fan-out.
+
+    Same linear-pass cost the suffix-array ExactSubstr pays, as hash
+    aggregations a 1000-executor cluster partitions trivially; no suffix
+    array, no global sort.
     """
-    from newsify_spark.functions.text import word_shingles
+    from pyspark.sql import Window
 
-    spans = docs.select(
+    toks_n = F.size(F.split(F.lower(F.col(text_col)), " "))
+    totals = docs.select(
         F.col(id_col),
-        F.explode(word_shingles(text_col, window)).alias("_span"),
-    ).select(F.col(id_col), F.md5(F.col("_span")).alias("_h"))
-    # ONE shuffle touches raw span rows: the (id, hash) rollup, with
-    # map-side combine collapsing within-doc repeats before the wire.
-    # Every downstream aggregate/join reads the reduced table instead of
-    # re-tokenizing the corpus (the previous shape scanned spans 3x) —
-    # at 100 TB that is one corpus-sized exchange, then token-count-
-    # sized work.
-    per = spans.groupBy(id_col, "_h").agg(F.count("*").alias("_c")).persist()
-    dup = (
-        # rows of `per` are distinct (id, hash) pairs, so distinct-doc
-        # count per hash is a plain row count
-        per.groupBy("_h")
-        .agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_h")
+        F.greatest(toks_n - F.lit(window - 1), F.lit(1))
+        .cast("long")
+        .alias("n_spans"),
     )
-    total = per.groupBy(id_col).agg(F.sum("_c").alias("n_spans"))
+    spans = _doc_spans(docs, id_col, text_col, window)
+    if prefilter:
+        spans = _hot_span_filter(spans, min_docs, m_positions)
+    per = spans.groupBy(id_col, "_h").agg(F.count("*").alias("_c"))
+    # rows of `per` are distinct (id, hash) pairs, so distinct-doc count
+    # per hash is a row count over the hash partition the groupBy
+    # already produced (no re-exchange)
+    nd = F.count("*").over(Window.partitionBy("_h"))
     dupc = (
-        per.join(dup, "_h", "left_semi")
+        per.withColumn("_nd", nd)
+        .filter(F.col("_nd") >= min_docs)
         .groupBy(id_col)
         .agg(F.sum("_c").alias("n_dup"))
     )
     frac = F.coalesce("n_dup", F.lit(0)) / F.col("n_spans").cast("double")
-    out = (
-        total.join(dupc, id_col, "left")
-        .select(
-            id_col,
-            "n_spans",
-            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
-            F.round(frac, 4).alias("dup_frac"),
-            (frac >= flag_frac).alias("flagged"),
-        )
+    return totals.join(dupc, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+        F.round(frac, 4).alias("dup_frac"),
+        (frac >= flag_frac).alias("flagged"),
     )
-    # Materialize the per-doc result (|docs| rows of scalars — far
-    # smaller than the span table), then drop the cached rollup: the
-    # three consumers above have been computed, so keeping `per` pinned
-    # would leak a token-count-sized cache for the session lifetime
-    # (same class as the PageRank leak fixed in operators/pagerank.py).
-    out = out.localCheckpoint(eager=True)
-    per.unpersist()
-    return out
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 12,
+    min_docs: int = 2,
+    prefilter: bool = True,
+    m_positions: int = 1 << 26,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL — the operator Lee et al. (ACL 2022 §4)
+    actually run on training data: :func:`duplicate_spans` is the
+    diagnostic (how much of each doc is duplicated text); this emits the
+    CLEANED corpus with every duplicated span cut from all but one
+    document. Deterministic survivor rule: for each duplicated span, the
+    lowest ``id_col`` containing it keeps its copy (all its occurrences);
+    every other document loses all tokens covered by any occurrence of
+    any duplicated span. Overlapping cut spans union their token ranges,
+    so text never tears mid-span. (The paper removes all-but-one
+    occurrence globally; the doc-granular min-id survivor is the
+    deterministic, engine-portable variant of that rule.)
+
+    Returns (id, n_tokens, n_removed, clean_text) — clean_text is the
+    lowercased surviving tokens in original order ('' when a document is
+    duplicated wall to wall).
+
+    Spark shape: span occurrences carry their token offset (posexplode
+    of the same codegen'd shingle projection), the duplicated-span set +
+    survivor come from one hash-keyed aggregate (prefiltered by the same
+    hot-position sketch duplicate_spans uses), covered token indices
+    explode only from CUT occurrences (dup-bounded, not corpus-bounded),
+    and one per-doc aggregate rebuilds the text. No UDFs."""
+    from pyspark.sql import Window
+
+    from newsify_spark.functions.text import word_shingles
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    spansi = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_nt"),
+        F.posexplode(word_shingles(text_col, window)).alias("_i", "_span"),
+    ).select(
+        F.col(id_col),
+        "_nt",
+        "_i",
+        F.xxhash64("_span").alias("_h"),
+    )
+    occ = (
+        _hot_span_filter(spansi, min_docs, m_positions) if prefilter else spansi
+    )
+    # duplicated-span set + min-id survivor, from the occurrence table's
+    # own hash partitioning (window over _h, no second aggregate-join)
+    w_h = Window.partitionBy("_h")
+    cut = (
+        occ.withColumn(
+            "_nd", F.size(F.collect_set(F.col(id_col)).over(w_h))
+        )
+        .withColumn("_surv", F.min(F.col(id_col)).over(w_h))
+        .filter((F.col("_nd") >= min_docs) & (F.col(id_col) != F.col("_surv")))
+    )
+    covered = cut.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("_i"),
+                F.least(F.col("_i") + F.lit(window - 1), F.col("_nt") - F.lit(1)),
+            )
+        ).alias("_t"),
+    ).distinct()
+    toked = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("_t", "_tok")
+    )
+    kept = toked.join(covered, [id_col, "_t"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_t", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
 
 
 def semantic_dedup(

@@ -156,14 +156,20 @@ def gumbel_top_k(
 ) -> DataFrame:
     """Gumbel-top-k resampling (the paper's sampling-without-replacement
     step): key = logw + g, g = -ln(-ln(u)), u minted from md5(doc_id)
-    exactly as doc_weighted_sample's A-ES draw. Global top-k is a
-    partial-aggregate TakeOrderedAndProject — no full sort."""
+    as in doc_weighted_sample's A-ES draw but midpoint-shifted so u
+    stays strictly inside (0, 1). Global top-k is a partial-aggregate
+    TakeOrderedAndProject — no full sort."""
     from newsify_spark.operators.topk import top_k_per_group
 
     hk = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    u = (hk + F.lit(1)) / F.lit(4294967296.0)
+    # +0.5 keeps u strictly inside (0, 1): hk spans [0, 2^32-1], and
+    # (hk+1)/2^32 would reach exactly 1.0 for the 1-in-2^32 doc whose
+    # first 8 md5 hex chars are ffffffff, minting -ln(-ln(1)) = +inf —
+    # an infinite sampling key that force-selects the doc regardless of
+    # weight (real at billions-of-docs scale)
+    u = (hk + F.lit(0.5)) / F.lit(4294967296.0)
     keyed = weights.select(
         id_col,
         logw_col,

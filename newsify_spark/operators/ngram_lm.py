@@ -43,6 +43,7 @@ contract (model-as-tables, score-as-join) is smoothing-agnostic.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame
@@ -132,3 +133,67 @@ def score_perplexity(
         F.count("*").alias("n_bigrams"),
         F.round(F.exp(-F.avg("_logp")), round_dp).alias("ppl"),
     )
+
+
+def quantile_cuts(
+    scores: DataFrame,
+    col: str = "ppl",
+    fracs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    route: str = "auto",
+    exact_max: int = 1_000_000,
+    accuracy: int = 10_000,
+    n: int | None = None,
+) -> list[float]:
+    """Discrete quantile cut VALUES — for each fraction p, the
+    ceil(p*n)-th smallest element of ``scores[col]`` (a real data
+    element, ties to the lower bucket), the CCNet head/middle/tail
+    device of doc_ppl_buckets.
+
+    Two routes (VERDICT r8 #1):
+
+    - ``exact``: Spark's ``percentile()`` at p=(r-1)/(n-1) positions on
+      the element, and a ``min_by`` distance snap recovers it exactly —
+      deterministic and DuckDB-portable, which is what the fixture
+      oracle checks. BUT the exact aggregate buffers a value->count map
+      merged in ONE final task: memory O(distinct values), effectively
+      O(n) for a continuous score — fine at fixture scale, wrong at
+      100 TB.
+    - ``approx``: ``percentile_approx()`` — the Greenwald-Khanna sketch,
+      FIXED size (~O(accuracy * log n)), partial-aggregable and merged
+      like any other sketch, returning a real data element within
+      rank error n/accuracy (accuracy=10000 -> the cut lands within
+      0.01% of the requested rank; buckets shift by at most that many
+      boundary docs).
+    - ``auto``: exact while the score count is at most ``exact_max``
+      (the family's standard size switch — same shape as
+      dedup/near-dup routing), approx beyond.
+
+    Pass ``n`` if the caller already counted the table (avoids a second
+    pass).
+    """
+    if n is None:
+        n = scores.count()
+    if n == 0:
+        return []
+    use_exact = route == "exact" or (route == "auto" and n <= exact_max)
+    denom = max(n - 1, 1)
+    ps = [(math.ceil(p * n) - 1) / denom for p in fracs]
+    if use_exact:
+        cuts = scores.agg(
+            F.expr(
+                f"percentile({col}, array({', '.join(repr(p) for p in ps)}))"
+            ).alias("c")
+        ).first()["c"]
+        snapped = scores.agg(
+            *[
+                F.min_by(col, F.abs(F.col(col) - F.lit(float(c)))).alias(f"t{i}")
+                for i, c in enumerate(cuts)
+            ]
+        ).first()
+        return [float(v) for v in snapped]
+    row = scores.agg(
+        F.percentile_approx(
+            col, [float(p) for p in ps], accuracy
+        ).alias("c")
+    ).first()["c"]
+    return [float(v) for v in row]

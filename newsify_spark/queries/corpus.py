@@ -676,3 +676,119 @@ def doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("split"),
         shard_id(F.col("doc_id"), 8).alias("shard"),
     )
+
+
+# ------------------------------------------------- CDC-driven incremental curation
+_CDC_SUFFIX = " the of and to in it is for on a"
+
+_CDC_INSERTS = [
+    (
+        900000001,
+        "synthetic",
+        "the quick brown fox jumps over the lazy dog and runs to the "
+        "mill by the river in the cold light of a new day for it is "
+        "good to run and to rest in the shade of the old oak",
+    ),
+    (
+        900000002,
+        "synthetic",
+        "buy buy buy buy buy buy buy now now now now now now now now",
+    ),
+]
+
+
+def _cdc_curation_oracle() -> str:
+    vals = ", ".join(f"({d}, '{s}', '{t}')" for d, s, t in _CDC_INSERTS)
+    ctes = _CURATION_CTES.replace("WITH stats", "stats", 1).replace(
+        "FROM documents", "FROM live"
+    )
+    return f"""
+WITH upd AS (
+  SELECT doc_id, source,
+         CAST(len(text || '{_CDC_SUFFIX}') AS BIGINT) AS n_chars,
+         text || '{_CDC_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 137 = 0
+),
+mutated AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, text
+  FROM documents WHERE doc_id % 137 <> 0
+  UNION ALL SELECT * FROM upd
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), source, CAST(len(text) AS BIGINT), text
+  FROM (VALUES {vals}) v(doc_id, source, text)
+),
+live AS (SELECT * FROM mutated WHERE doc_id % 149 <> 0),
+{ctes}
+SELECT doc_id, source, n_chars, round(quality, 6) AS quality
+FROM deduped ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_cdc_curation",
+    doc="CDC-DRIVEN INCREMENTAL CURATION (operators.curation + "
+    "operators.txnlog.read_changes): the curation cascade operating on "
+    "a LIVING corpus table — T7's recompute-what-changed pattern at "
+    "corpus scale. The documents table lives in the copy-on-write "
+    "transaction log; a MERGE upsert (text edits + two new docs) and a "
+    "key-set delete land as commits; the change feed (cost bounded by "
+    "the commits' COW blast radius, never table size) drives an upsert "
+    "of exactly the changed docs' per-doc gate verdicts (stop ratio, "
+    "quality, repetition, content hash — the text-touching half), and "
+    "the corpus-level gates (length band, exact-dup min-id survivor) "
+    "re-derive from the maintained SCALAR verdict table. Equals a full "
+    "recompute bit for bit (test-pinned, tests/test_operators.py) while "
+    "re-reading only the commit's files (inputFiles-pinned). The oracle "
+    "replays the mutations relationally and runs the full cascade on "
+    "the mutated corpus.",
+    tags=("corpus", "composed", "txn", "T7", "scale-path"),
+    oracle=_cdc_curation_oracle(),
+)
+def doc_cdc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.operators.curation import (
+        apply_changes_to_verdicts,
+        curated_from_verdicts,
+        curation_verdicts,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    base = tempfile.mkdtemp(prefix="newsify_cdc_cur_")
+    try:
+        path = f"{base}/docs_t"
+        T.create_table(spark, path, docs.repartitionByRange(8, "doc_id"))
+        # verdict table maintained from version 0 (materialized: the
+        # incremental path must not silently re-read post-mutation state)
+        store = curation_verdicts(T.read_table(spark, path)).localCheckpoint(
+            eager=True
+        )
+        new_text = F.concat(F.col("text"), F.lit(_CDC_SUFFIX))
+        upd = docs.filter(F.col("doc_id") % 137 == 0).select(
+            "doc_id",
+            "source",
+            F.length(new_text).cast("long").alias("n_chars"),
+            new_text.alias("text"),
+        )
+        ins = docs.sparkSession.createDataFrame(
+            [(d, s, len(t), t) for d, s, t in _CDC_INSERTS],
+            "doc_id bigint, source string, n_chars bigint, text string",
+        )
+        T.upsert_rows(spark, path, upd.unionByName(ins), ["doc_id"])
+        T.delete_rows(
+            spark,
+            path,
+            docs.filter(F.col("doc_id") % 149 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        changes = T.read_changes(spark, path, 1)
+        store2 = apply_changes_to_verdicts(store, changes).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return curated_from_verdicts(store2).orderBy("doc_id")

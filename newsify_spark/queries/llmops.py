@@ -1455,6 +1455,72 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+_DUP_SPANS_REMOVED_ORACLE = f"""
+WITH spansi AS (
+  SELECT doc_id, n_tok,
+         unnest(generate_series(1, len(arr))) - 1 AS i,
+         unnest(arr) AS span
+  FROM (SELECT doc_id, len({tokens_sql()}) AS n_tok,
+               {shingles_sql('text', 12)} AS arr
+        FROM documents)
+),
+dups AS (
+  SELECT span, min(doc_id) AS surv
+  FROM spansi GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT s.doc_id,
+         unnest(generate_series(s.i, least(s.i + 11, s.n_tok - 1))) AS t
+  FROM spansi s JOIN dups d USING (span)
+  WHERE s.doc_id <> d.surv
+),
+toked AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(arr))) - 1 AS t,
+         unnest(arr) AS tok
+  FROM (SELECT doc_id, {tokens_sql()} AS arr FROM documents)
+),
+kept AS (
+  SELECT k.doc_id, k.t, k.tok FROM toked k
+  ANTI JOIN covered c ON k.doc_id = c.doc_id AND k.t = c.t
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY t) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tokens,
+       CAST(b.n_tok - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM (SELECT doc_id, len({tokens_sql()}) AS n_tok FROM documents) b
+LEFT JOIN reb r USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "doc_dup_spans_removed",
+    doc="ExactSubstr span REMOVAL (operators.dedup.remove_duplicate_spans; "
+    "Lee et al. ACL 2022 §4 — the operator a training-data pipeline "
+    "actually runs; doc_dup_spans is its diagnostic): every 12-token "
+    "span shared by >=2 distinct docs is cut from all but one document "
+    "— deterministic min-doc_id survivor keeps all its copies — and the "
+    "cleaned corpus is emitted with overlapping cut ranges unioned at "
+    "token granularity. Spark shape: span occurrences carry their token "
+    "offset (posexplode of the codegen'd shingle projection, prefiltered "
+    "by the hot-position sketch), survivor + distinct-doc count ride ONE "
+    "window over the hash partitioning, covered-token explode is "
+    "dup-bounded (not corpus-bounded), one per-doc aggregate rebuilds "
+    "the text. The oracle mirrors the survivor rule exactly in DuckDB.",
+    tags=("dedup", "spans", "scale-path"),
+    oracle=_DUP_SPANS_REMOVED_ORACLE,
+)
+def doc_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = DD.remove_duplicate_spans(docs, window=12, min_docs=2)
+    return out.orderBy("doc_id")
+
+
 _NORM_DEDUP_ORACLE = """
 SELECT norm_hash,
        CAST(min(doc_id) AS BIGINT) AS doc_id,
@@ -1725,9 +1791,11 @@ FROM bucketed GROUP BY bucket ORDER BY ppl_min
     oracle=_PPL_BUCKETS_ORACLE,
 )
 def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
-    from newsify_spark.operators.ngram_lm import score_perplexity, train_bigram_lm
+    from newsify_spark.operators.ngram_lm import (
+        quantile_cuts,
+        score_perplexity,
+        train_bigram_lm,
+    )
     from newsify_spark.operators.shards import shard_id
 
     docs = load(spark, sf_dir, "documents").withColumn(
@@ -1749,20 +1817,14 @@ def doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(0)
     if n == 0:
         return empty
-    # Discrete quantile cuts: the r-th smallest ppl, r = ceil(p*n).
-    # percentile() at p=(r-1)/(n-1) positions ON the element (±1e-7 of
-    # interpolation drift), and min_by snaps to the nearest real value,
-    # so both engines select the identical data element deterministically.
-    denom = max(n - 1, 1)
-    p1 = (math.ceil(n / 3.0) - 1) / denom
-    p2 = (math.ceil(2.0 * n / 3.0) - 1) / denom
-    c1, c2 = ppl.agg(
-        F.expr(f"percentile(ppl, array({p1!r}, {p2!r}))").alias("c")
-    ).first()["c"]
-    t1, t2 = ppl.agg(
-        F.min_by("ppl", F.abs(F.col("ppl") - F.lit(float(c1)))).alias("t1"),
-        F.min_by("ppl", F.abs(F.col("ppl") - F.lit(float(c2)))).alias("t2"),
-    ).first()
+    # Discrete quantile cuts (operators.ngram_lm.quantile_cuts): 'auto'
+    # routes to the DuckDB-portable exact percentile+snap at fixture
+    # scale (what the oracle checks) and to the fixed-size
+    # percentile_approx sketch beyond exact_max — the production route
+    # VERDICT r8 #1 asked for (the exact aggregate merges a
+    # distinct-value map on one reducer; the GK sketch is mergeable and
+    # bounded). tests/test_operators.py pins approx==exact buckets here.
+    t1, t2 = quantile_cuts(ppl, "ppl", route="auto", n=n)
     bucket = (
         F.when(F.col("ppl") <= F.lit(float(t1)), "head")
         .when(F.col("ppl") <= F.lit(float(t2)), "middle")
@@ -1889,7 +1951,7 @@ keyed AS (
   SELECT doc_id, logw,
          round(logw + (-ln(-ln(
            (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-             + 1) / 4294967296.0))), 6) AS samp_key
+             + 0.5) / 4294967296.0))), 6) AS samp_key
   FROM w
 ),
 ranked AS (
@@ -1910,14 +1972,37 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- BPE tokenizer training
+# one BPE merge over a space-joined symbol string: fold symbols left to
+# right, splicing the merged symbol whenever (tail == left, next ==
+# right) — Sennrich's greedy leftmost non-overlapping scan, the exact
+# fold operators/bpe._apply_merge runs in Spark (handles
+# repeated-symbol runs 'a a a a' -> 'aa aa' that a naive replace
+# misses: adjacent occurrences share a delimiter space)
+_BPE_FOLD = """list_reduce(
+           string_split({src}.s, ' '),
+           (acc, x) -> CASE
+             WHEN (acc = m.l OR ends_with(acc, ' ' || m.l)) AND x = m.r
+             THEN CASE WHEN acc = m.l THEN m.merged
+                  ELSE substr(acc, 1, len(acc) - len(m.l)) || m.merged END
+             ELSE acc || ' ' || x END
+         )"""
+
+_BPE_PAIR_SPLIT = (
+    "(SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r,"
+    " merged FROM m{i}) m"
+)
+
+
 def _bpe_chain(n_merges: int) -> list[str]:
     """The unrolled BPE training loop as CTE stages: each step
-    re-derives the argmax pair and applies the same boundary-safe
-    leftmost replace the Spark trainer uses, so every merge DECISION is
-    hash-checked. Shared by the train oracle and the tokenize oracle."""
+    re-derives the argmax pair and applies the same greedy leftmost
+    fold the Spark trainer uses, so every merge DECISION is
+    hash-checked. Shared by the train oracle and the tokenize oracle.
+    generate_series(1, 0) is empty for fully-merged single-symbol words
+    (Spark side guards its size>=2 explode to match)."""
     parts = [
         f"""v0 AS (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s, freq
+  SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS s, freq
   FROM (SELECT g AS word, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest({tokens_sql()}) AS g FROM documents)
         GROUP BY g)
@@ -1928,9 +2013,9 @@ def _bpe_chain(n_merges: int) -> list[str]:
             f"""p{i} AS (
   SELECT pr AS pair, CAST(sum(freq) AS BIGINT) AS pair_count
   FROM (SELECT freq,
-               unnest(list_transform(generate_series(2, len(sy)),
-                                     j -> sy[j-1] || ' ' || sy[j])) AS pr
-        FROM (SELECT freq, string_split(trim(s), ' ') AS sy FROM v{i - 1}))
+               unnest(list_transform(generate_series(1, len(sy) - 1),
+                                     j -> sy[j] || ' ' || sy[j+1])) AS pr
+        FROM (SELECT freq, string_split(s, ' ') AS sy FROM v{i - 1}))
   GROUP BY pr
 ),
 m{i} AS (
@@ -1939,8 +2024,8 @@ m{i} AS (
   FROM p{i} ORDER BY pair_count DESC, pair ASC LIMIT 1
 ),
 v{i} AS (
-  SELECT replace(v.s, ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS s, v.freq
-  FROM v{i - 1} v CROSS JOIN m{i} m
+  SELECT {_BPE_FOLD.format(src='v')} AS s, v.freq
+  FROM v{i - 1} v CROSS JOIN {_BPE_PAIR_SPLIT.format(i=i)}
 )"""
         )
     return parts
@@ -1962,7 +2047,7 @@ def _bpe_tokenize_oracle(n_merges: int) -> str:
     parts = list(_bpe_chain(n_merges))
     parts.append(
         f"""w0 AS (
-  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ' AS s
+  SELECT word, regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS s
   FROM (SELECT DISTINCT g AS word
         FROM (SELECT unnest({tokens_sql()}) AS g FROM documents))
 )"""
@@ -1970,9 +2055,8 @@ def _bpe_tokenize_oracle(n_merges: int) -> str:
     for i in range(1, n_merges + 1):
         parts.append(
             f"""w{i} AS (
-  SELECT w.word,
-         replace(w.s, ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS s
-  FROM w{i - 1} w CROSS JOIN m{i} m
+  SELECT w.word, {_BPE_FOLD.format(src='w')} AS s
+  FROM w{i - 1} w CROSS JOIN {_BPE_PAIR_SPLIT.format(i=i)}
 )"""
         )
     return (
@@ -1980,7 +2064,7 @@ def _bpe_tokenize_oracle(n_merges: int) -> str:
         + ",\n".join(parts)
         + f""",
 pieces AS (
-  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_p
+  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_p
   FROM w{n_merges}
 ),
 tok AS (

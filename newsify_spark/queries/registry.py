@@ -77,17 +77,14 @@ DEMOTED: frozenset[str] = frozenset(
         # rel_txnlog_snapshot — all promoted in rotation #6 below, which
         # pays off the rotation debt: every registered query family now
         # has direct driver evidence)
-        # round-8 additions; never-driver-checked — rotation-#7 queue
-        "vec_knn_ivfpq",
-        "doc_dsir_weights",
-        "doc_dsir_sample",
-        "doc_bpe_merges",
-        "rel_txnlog_changes",
-        "doc_zipf_fit",
-        "doc_blocklist_filter",
-        "doc_pmi_collocations",
-        "rec_item_cooccurrence",
-        "doc_bpe_tokenize",
+        # round-9 additions; never-driver-checked — rotation-#8 queue
+        "doc_dup_spans_removed",
+        "doc_cdc_curation",
+        # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
+        # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
+        # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,
+        # doc_pmi_collocations, rec_item_cooccurrence — all promoted in
+        # rotation #7 below for their first driver rows)
         "ml_ann_ivf_topk",  # J5 hash evidence via vec_knn_bruteforce/matmul
         "ml_approx_distinct",  # A8 via rel_dedup_events (exact) — approx is rows-only
         "ml_greedy_story_assign",  # W4 pinned by reference-semantics unit test
@@ -235,6 +232,25 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_quality_checks",  # green r5+r6+r7
         "doc_corpus_build",  # green r5+r6+r7
         "vec_knn_lsh",  # green r5+r6+r7
+        # --- round-9 rotation OUT (rotation #7): every name below is
+        # driver hash-green in 3 rounds (r6+r7+r8 — the rotation-#4
+        # cohort), freeing window slots for the 10 round-8 additions —
+        # all first-ever driver rows. Kept in-window from the cohort:
+        # doc_bloom_dedup + vec_knn_int8 (bench headliners),
+        # ml_quality_classifier (rows-only by design: cannot accumulate
+        # hash evidence), tpch_q18. All demoted names remain
+        # oracle-verified locally every round via tests/test_oracle.py
+        # and scripts/green_gate.py --all.
+        "rel_snapshot_diff",  # green r6+r7+r8
+        "rec_mmr_rerank",  # green r6+r7+r8
+        "rec_negative_samples",  # green r6+r7+r8
+        "rec_item_pagerank",  # green r6+r7+r8
+        "doc_normalized_dedup",  # green r6+r7+r8
+        "rel_asof_forward",  # green r6+r7+r8
+        "doc_cms_token_counts",  # green r6+r7+r8
+        "vec_int8_quantize",  # green r6+r7+r8
+        "tpch_q02_min_acctbal_supplier",  # green r6+r7+r8
+        "tpch_q05_local_supplier_volume",  # green r6+r7+r8
     }
 )
 

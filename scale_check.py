@@ -101,7 +101,59 @@ QUERIES = [
     # piece map broadcast over one corpus pass)
     "rec_item_cooccurrence",
     "doc_bpe_tokenize",
+    # round 9: span-dedup rework (hot-position sketch prefilter ahead of
+    # the (id,hash) exchange), the span REMOVAL variant (covered-token
+    # explode is dup-bounded), and CDC-driven incremental curation (the
+    # txnlog mutation cycle + verdict upsert — blast-radius bounded)
+    "doc_dup_spans_removed",
+    "doc_cdc_curation",
 ]
+
+# Queries whose 8x ratio ran above ~3.5 in round 8 (VERDICT r8 #8):
+# measure them at 1/2/4/8x and fit t(N) = a + b*N so the ratio
+# decomposes into fixed overhead (a) vs data-proportional slope (b) —
+# a genuinely superlinear stage shows up as the 8x point escaping the
+# line, not as a big ratio with a big intercept.
+ATTRIBUTED = ["doc_neardup_lsh", "vec_knn_int8", "doc_dsir_weights"]
+
+ATTRIBUTION_NOTES = {
+    "doc_neardup_lsh": (
+        "the data term is the within-bucket candidate join: at the "
+        "fixture's tau=0.4 a recall-1.0 LSH banding degenerates toward "
+        "all-pairs inside buckets (documented at its BENCH entry), and "
+        "replication grows every near-dup bucket 8x, so the slope "
+        "carries the hot-bucket-capped pair enumeration while the 1x "
+        "run is mostly fixed plan/session cost"
+    ),
+    "vec_knn_int8": (
+        "decode+rank are per-row transform() expressions (linear) and "
+        "the exact-cosine rerank touches a fixed-k shortlist; the 1x "
+        "run is dominated by the fixed codebook build + two scalar "
+        "collects, which the 8x run amortizes"
+    ),
+    "doc_dsir_weights": (
+        "one corpus tokenize + the (doc, bucket) shuffle, where the "
+        "bigram explode doubles the gram count (linear in corpus); the "
+        "1024-row model fit and its broadcast are fixed-size, so the "
+        "slope is the explode+shuffle and the intercept the model side"
+    ),
+}
+
+
+def _fit_line(points: list[tuple[int, float]]) -> tuple[float, float, float]:
+    """Least-squares t = a + b*N over (N, seconds); returns (a, b,
+    worst relative residual) — residual near 0 means the growth is
+    linear in data volume, i.e. the big 8x/1x ratio is intercept
+    amortization, not a superlinear stage."""
+    n = len(points)
+    mx = sum(p[0] for p in points) / n
+    my = sum(p[1] for p in points) / n
+    var = sum((p[0] - mx) ** 2 for p in points)
+    cov = sum((p[0] - mx) * (p[1] - my) for p in points)
+    b = cov / var
+    a = my - b * mx
+    worst = max(abs(a + b * x - y) / y for x, y in points)
+    return a, b, worst
 
 
 def _semdedup_scaled_k(spark, sf_dir: str):
@@ -169,6 +221,31 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # multi-point attribution of the big ratios (VERDICT r8 #8):
+        # add 2x and 4x replicas, fit t = a + b*N per flagged query
+        mids = {}
+        for m in (2, 4):
+            mids[m] = os.path.join(tmp, f"sf0.1x{m}")
+            replicate(spark, src, mids[m], m)
+        base = {name: (t1x, tnx) for name, t1x, tnx, _ in rows}
+        fits = []
+        for name in ATTRIBUTED:
+            q = REGISTRY[name]
+            pts = [(1, base[name][0]), (n, base[name][1])]
+            for m in (2, 4):
+                t0 = time.perf_counter()
+                force(q.fn(spark, mids[m]))
+                pts.append((m, time.perf_counter() - t0))
+            pts.sort()
+            a, b, worst = _fit_line(pts)
+            fits.append((name, pts, a, b, worst))
+            print(
+                f"# attribution {name}: "
+                + " ".join(f"{x}x={y:.2f}s" for x, y in pts)
+                + f" fit a={a:.2f} b={b:.2f} worst_resid={worst:.0%}",
+                file=sys.stderr,
+            )
+
     with open("SCALING.md", "w") as f:
         f.write(
             f"# SCALING — {n}x data replication experiment (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], sf0.1 base)\n\n"
@@ -182,6 +259,28 @@ def main() -> None:
         )
         for name, t1, tn, r in rows:
             f.write(f"| {name} | {t1} | {tn} | {r} |\n")
+        f.write(
+            "\n## Attribution of the >3.5x ratios (VERDICT r8 #8)\n\n"
+            "For each flagged query, wall-clock at 1/2/4/8x with a least-"
+            "squares fit t(N) = a + b*N: `a` is fixed overhead (plan, "
+            "session, model-side constants), `b` the data-proportional "
+            "slope. A worst relative residual near zero means every "
+            "measured point sits on the line — the big 8x/1x ratio is the "
+            "intercept amortizing, NOT a superlinear stage (a quadratic "
+            "term would bend the 8x point far above the 1-2-4 trend).\n\n"
+            "| query | 1x | 2x | 4x | 8x | fixed a (s) | slope b (s/replica) | worst resid | ratio explained |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for name, pts, a, b, worst in fits:
+            t = {x: y for x, y in pts}
+            explained = (a + b * n) / (a + b) if (a + b) > 0 else float("nan")
+            f.write(
+                f"| {name} | {t[1]:.2f} | {t[2]:.2f} | {t[4]:.2f} | {t[n]:.2f} "
+                f"| {a:.2f} | {b:.2f} | {worst:.0%} | {explained:.1f} |\n"
+            )
+        f.write("\n")
+        for name, pts, a, b, worst in fits:
+            f.write(f"- **{name}** — {ATTRIBUTION_NOTES[name]}.\n")
         f.write(
             "\nThe `doc_semdedup (k∝√n, ivf-assign)` entry runs semantic_dedup "
             "at its documented production tuning with the round-6 scale "

@@ -1302,12 +1302,11 @@ def test_duplicate_spans_flags_shared_passages_only(spark):
     assert out[3].n_spans == 33 - 12 + 1
 
 
-def test_duplicate_spans_unpersists_its_rollup_cache(spark, monkeypatch):
-    """The (id, hash) rollup is cached for its three consumers but must
-    NOT leak past the call (VERDICT r7 #3 — same class as the PageRank
-    leak fixed in r6): every DataFrame duplicate_spans persists is
-    unpersisted before it returns, and the only storage the call leaves
-    behind is the lineage-severing checkpoint of the per-doc result."""
+def test_duplicate_spans_caches_nothing(spark, monkeypatch):
+    """The r7 leak (VERDICT r7 #3) was a persisted rollup escaping the
+    call; the r9 single-chain shape removes the multi-consumer fan-out
+    entirely, so duplicate_spans must neither persist nor checkpoint
+    ANYTHING — the strongest form of the no-leak guarantee."""
     from pyspark.sql.classic.dataframe import DataFrame
 
     from newsify_spark.operators.dedup import duplicate_spans
@@ -1328,16 +1327,87 @@ def test_duplicate_spans_unpersists_its_rollup_cache(spark, monkeypatch):
     )
     out = duplicate_spans(docs, window=4)
     assert out.count() == 5
-    assert recorded, "expected the span rollup to be cached during compute"
-    for df in recorded:
-        lvl = df.storageLevel
-        assert not (lvl.useMemory or lvl.useDisk), (
-            "duplicate_spans leaked a cached intermediate past the call"
-        )
-    # at most the checkpointed per-doc result remains pinned — never the
-    # token-count-sized rollup
+    assert not recorded, "duplicate_spans should no longer cache at all"
     new = set(jsc.getPersistentRDDs().keySet().toArray()) - before
-    assert len(new) <= 1
+    assert not new, "duplicate_spans left a pinned RDD behind"
+
+
+def test_duplicate_spans_prefilter_is_result_identical(spark):
+    """The hot-position sketch is conservative: with a tiny position
+    space (maximal collisions) and with the filter off entirely, the
+    output is bit-identical — the sketch only cuts exchange volume,
+    never changes the answer."""
+    from newsify_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the shared verbatim passage appears here word " * 3),
+            (2, "prefix text then the shared verbatim passage appears here word tail"),
+            (3, "completely different content with no overlap at all whatsoever"),
+            (4, "short"),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    base = sorted(map(tuple, duplicate_spans(docs, window=4, prefilter=False).collect()))
+    pre = sorted(map(tuple, duplicate_spans(docs, window=4, prefilter=True).collect()))
+    tiny = sorted(
+        map(
+            tuple,
+            duplicate_spans(docs, window=4, prefilter=True, m_positions=8).collect(),
+        )
+    )
+    assert pre == base
+    assert tiny == base
+
+
+def test_remove_duplicate_spans_survivor_keeps_one_copy(spark):
+    """Lee et al. §4 removal semantics: a passage planted in three docs
+    survives exactly once (in the min-id doc), is cut from the others
+    with overlapping ranges unioned, unique text is untouched, and a
+    wall-to-wall duplicate empties out."""
+    from newsify_spark.operators.dedup import remove_duplicate_spans
+
+    passage = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {passage} gamma delta"),
+            (2, f"epsilon {passage} zeta eta theta iota"),
+            (3, f"{passage} kappa lam mu nu xi omicron pi"),
+            (4, "totally unrelated text that shares nothing with anyone"),
+            (5, passage),  # wall-to-wall duplicate of the passage
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, window=4, min_docs=2).collect()
+    }
+    # survivor (min doc_id containing each dup span) keeps its copy
+    assert passage in out[1].clean_text and out[1].n_removed == 0
+    # later docs lose the passage but keep their unique surroundings
+    for d, keep in [(2, ["epsilon", "zeta", "eta"]), (3, ["kappa", "mu", "pi"])]:
+        assert passage not in out[d].clean_text
+        for w in keep:
+            assert w in out[d].clean_text
+    # the corpus-wide count: passage text survives exactly once
+    survivors = [d for d in out.values() if passage in d.clean_text]
+    assert len(survivors) == 1 and survivors[0].doc_id == 1
+    # untouched unique doc
+    assert out[4].n_removed == 0
+    assert out[4].clean_text == "totally unrelated text that shares nothing with anyone"
+    # doc 5 is nothing but the shared passage -> fully removed
+    assert out[5].clean_text == "" and out[5].n_removed == out[5].n_tokens
+    # prefilter result-identity holds here too
+    off = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in remove_duplicate_spans(
+            docs, window=4, min_docs=2, prefilter=False
+        ).collect()
+    }
+    assert off == {
+        d: (r.n_tokens, r.n_removed, r.clean_text) for d, r in out.items()
+    }
 
 
 # ------------------------------------------------------- semantic dedup
@@ -2397,6 +2467,33 @@ def test_dsir_gumbel_top_k_deterministic_and_weight_monotone(spark):
     assert top.doc_id == 42 and top.rank == 1
 
 
+def test_dsir_gumbel_key_finite_at_max_hash(spark):
+    """The uniform is minted as u = (hk + 0.5) / 2^32, strictly inside
+    (0, 1) even for the 1-in-2^32 doc whose first 8 md5 hex chars are
+    ffffffff (hk = 2^32 - 1): -ln(-ln(u)) stays finite, so no doc is
+    force-selected regardless of weight. The old +1 formula minted
+    u = 1.0 -> +inf there."""
+    import math
+
+    hk_max = 4294967295
+    row = spark.range(1).select(
+        (-F.log(-F.log((F.lit(hk_max) + F.lit(0.5)) / F.lit(4294967296.0))))
+        .alias("g_new"),
+        (-F.log(-F.log((F.lit(hk_max) + F.lit(1)) / F.lit(4294967296.0))))
+        .alias("g_old"),
+    ).collect()[0]
+    assert math.isfinite(row.g_new)
+    assert row.g_old is None or math.isinf(row.g_old)  # the bug being fixed
+    # and every fixture-minted key is finite end to end
+    from newsify_spark.operators.dsir import gumbel_top_k
+
+    w = spark.createDataFrame(
+        [(i, 0.0) for i in range(200)], "doc_id long, logw double"
+    )
+    keys = [r.samp_key for r in gumbel_top_k(w, k=200).collect()]
+    assert all(math.isfinite(k) for k in keys)
+
+
 # ------------------------------------------------------------------- BPE
 
 
@@ -2450,6 +2547,85 @@ def test_bpe_train_matches_reference_algorithm(spark):
     assert got == ref
 
 
+def test_bpe_overlapping_run_reaches_merge_table(spark):
+    """Regression for the repeated-symbol-run application bug: with
+    vocab {'aaaa': 10, 'bc': 3}, step 1 merges (a, a); Sennrich's
+    leftmost scan leaves every 'aaaa' as [aa, aa, </w>], so step 2's
+    candidates are (aa,aa):10 and (aa,</w>):10 and the tiebreak picks
+    ('aa', '</w>') — a naive string replace leaves [aa, a, a, </w>]
+    and emits ('a', '</w>') instead. Pins the per-word symbol sequences
+    after each merge, not just the table."""
+    from newsify_spark.operators.bpe import apply_merges, bpe_train
+
+    vocab = {"aaaa": 10, "bc": 3}
+    ref = _ref_bpe(vocab, 2)
+    assert ref[1][1] == "aa </w>"  # run divergence reaches the argmax
+    vdf = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    table = bpe_train(vdf, n_merges=2).collect()
+    got = [(r.step, r.pair, r.merged, r.pair_count) for r in table]
+    assert got == ref
+
+    pieces = {
+        r.word: list(r.pieces)
+        for r in apply_merges(
+            vdf, [(r.pair, r.merged) for r in table[:1]]
+        ).collect()
+    }
+    assert pieces["aaaa"] == ["aa", "aa", "</w>"]  # leftmost, both pairs
+    pieces2 = {
+        r.word: list(r.pieces)
+        for r in apply_merges(
+            vdf, [(r.pair, r.merged) for r in table]
+        ).collect()
+    }
+    assert pieces2["aaaa"] == ["aa", "aa</w>"]
+
+
+def test_bpe_train_survives_full_merge_and_empty_words(spark):
+    """Crash guards: (1) a single-letter vocab fully merges after one
+    step ('a </w>' -> 'a</w>', a 1-symbol word) — further iterations
+    must stop cleanly, not crash the pairs explode; (2) consecutive
+    spaces in doc text mint empty tokens whose symbol string is just
+    '</w>' from the FIRST iteration."""
+    from newsify_spark.operators.bpe import bpe_train, word_vocab
+
+    vdf = spark.createDataFrame([("a", 7)], "word string, freq long")
+    got = [(r.step, r.pair, r.merged) for r in bpe_train(vdf, n_merges=3).collect()]
+    assert got == [(1, "a </w>", "a</w>")]  # stopped after full merge
+
+    docs = spark.createDataFrame(
+        [(1, "ab  ab"), (2, "ab ab")], "doc_id long, text string"
+    )
+    table = bpe_train(word_vocab(docs), n_merges=2).collect()
+    assert [(r.step, r.pair) for r in table] == [(1, "a b"), (2, "ab </w>")]
+
+
+def test_bpe_local_loop_equals_distributed(spark):
+    """The driver-local merge loop (vocab <= local_threshold: 0 Spark
+    jobs per merge vs the distributed loop's 2) emits a bit-identical
+    merge table, run-for-run, on a vocab exercising ties, runs, and
+    full merges."""
+    from newsify_spark.operators.bpe import bpe_train
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 4, "bc": 3}
+    vdf = spark.createDataFrame(list(vocab.items()), "word string, freq long")
+    dist = [
+        (r.step, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(vdf, n_merges=8).collect()
+    ]
+    local = [
+        (r.step, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(vdf, n_merges=8, local_threshold=1000).collect()
+    ]
+    assert local == dist == _ref_bpe(vocab, 8)
+    # over-threshold falls back to the distributed loop
+    fallback = [
+        (r.step, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(vdf, n_merges=8, local_threshold=2).collect()
+    ]
+    assert fallback == dist
+
+
 def test_bpe_apply_merges_reconstructs_words(spark):
     """Applying the learned merges never loses characters: the pieces
     concatenate back to word + '</w>', and high-frequency words compress
@@ -2470,6 +2646,125 @@ def test_bpe_apply_merges_reconstructs_words(spark):
         assert "".join(r.pieces) == r.word + "</w>"
     pieces = {r.word: r.pieces for r in out}
     assert len(pieces["newest"]) < len("newest") + 1  # actually compressed
+
+
+def test_quantile_cuts_approx_route_matches_exact(spark):
+    """VERDICT r8 #1: the percentile_approx production route (fixed-size
+    mergeable GK sketch — no distinct-value map on one reducer) lands
+    the same head/middle/tail buckets as the exact oracle route on
+    fixture-scale data; 'auto' switches routes on exact_max."""
+    from newsify_spark.operators.ngram_lm import quantile_cuts
+
+    scores = spark.createDataFrame(
+        [(i, float(((i * 2654435761) % 9973)) / 7.0) for i in range(5000)],
+        "doc_id long, ppl double",
+    )
+    exact = quantile_cuts(scores, "ppl", route="exact")
+    approx = quantile_cuts(scores, "ppl", route="approx", accuracy=10_000)
+    assert len(exact) == len(approx) == 2
+    # both routes return REAL data elements; with accuracy >= n the GK
+    # sketch is rank-exact, so the cuts coincide
+    assert exact == approx
+
+    def buckets(cuts):
+        t1, t2 = cuts
+        return scores.groupBy(
+            F.when(F.col("ppl") <= t1, "head")
+            .when(F.col("ppl") <= t2, "middle")
+            .otherwise("tail")
+            .alias("bucket")
+        ).count().orderBy("bucket").collect()
+
+    assert [tuple(r) for r in buckets(exact)] == [tuple(r) for r in buckets(approx)]
+    # a coarser sketch still lands within its documented rank error
+    rough = quantile_cuts(scores, "ppl", route="approx", accuracy=100)
+    n_head_exact = scores.filter(F.col("ppl") <= exact[0]).count()
+    n_head_rough = scores.filter(F.col("ppl") <= rough[0]).count()
+    assert abs(n_head_rough - n_head_exact) <= 5000 / 100 + 1
+    # auto: exact under the cap, approx above it
+    assert quantile_cuts(scores, "ppl", route="auto", exact_max=10_000) == exact
+    assert (
+        quantile_cuts(scores, "ppl", route="auto", exact_max=100, accuracy=10_000)
+        == approx
+    )
+
+
+def test_cdc_incremental_curation_rescans_only_the_commit(spark, tmp_path):
+    """VERDICT r8 #7: a 1-doc commit re-runs the text gates on exactly
+    that doc — the change feed's scan is bounded by the commit's COW
+    blast radius (inputFiles ⊂ table files) — and the incrementally
+    maintained verdict table equals a full recompute bit for bit."""
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.operators.curation import (
+        apply_changes_to_verdicts,
+        curation_verdicts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "src", len(f"document number {i} with the usual words of it"),
+             f"document number {i} with the usual words of it")
+            for i in range(40)
+        ],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    path = str(tmp_path / "docs_t")
+    T.create_table(spark, path, docs.repartitionByRange(8, "doc_id"))
+    store0 = curation_verdicts(T.read_table(spark, path)).localCheckpoint(
+        eager=True
+    )
+    table_files = set(T.read_table(spark, path).inputFiles())
+    assert len(table_files) >= 4  # blast radius has something to be smaller than
+
+    new_text = "document number seven rewritten with a lot of the new words in it"
+    one = spark.createDataFrame(
+        [(7, "src", len(new_text), new_text)],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    T.upsert_rows(spark, path, one, ["doc_id"])
+
+    changes = T.read_changes(spark, path, 1)
+    # the feed reads only the commit's added+removed files, not the table
+    feed_files = set(changes.inputFiles())
+    assert feed_files and not table_files <= feed_files
+    assert len(feed_files) < len(table_files)
+    rows = changes.collect()
+    assert {(r._change_type, r.doc_id) for r in rows} == {
+        ("delete", 7), ("insert", 7),
+    }  # exactly one doc re-curated
+
+    store1 = apply_changes_to_verdicts(store0, changes)
+    full = curation_verdicts(T.read_table(spark, path))
+    got = sorted(map(tuple, store1.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+
+
+def test_curation_verdict_seam_matches_monolithic_pipeline(spark):
+    """curated_from_verdicts ∘ curation_verdicts == doc_curation_pipeline
+    on the fixture — the incremental seam changes nothing about the
+    cascade's semantics."""
+    from newsify_spark.operators.curation import (
+        curated_from_verdicts,
+        curation_verdicts,
+    )
+    from newsify_spark.queries import REGISTRY
+    from newsify_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    seam = sorted(
+        map(tuple, curated_from_verdicts(curation_verdicts(docs)).collect())
+    )
+    mono = sorted(
+        map(
+            tuple,
+            REGISTRY["doc_curation_pipeline"].fn(spark, SF_DIR).collect(),
+        )
+    )
+    assert seam == mono
 
 
 def test_txnlog_read_changes_cdc_feed(spark, tmp_path):

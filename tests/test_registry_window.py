@@ -48,20 +48,15 @@ MUST_BE_CHECKED = {
     # doc_corpus_build, vec_knn_lsh — all still oracle-verified locally
     # every round.)
     # round-6 rotation IN (rotation #4): first-ever driver rows — the 11
-    # round-5 additions plus the first 3 deep-TPC-H queries
+    # round-5 additions plus the first 3 deep-TPC-H queries. (rotation #7
+    # trimmed the cohort after each accumulated 3 driver-green rounds
+    # (r6+r7+r8): rel_snapshot_diff, rec_mmr_rerank, rec_negative_samples,
+    # rec_item_pagerank, doc_normalized_dedup, rel_asof_forward,
+    # doc_cms_token_counts, vec_int8_quantize, tpch_q02, tpch_q05 — all
+    # still oracle-verified locally every round.)
     "doc_bloom_dedup",  # bloom-prefiltered exact dedup (bench headliner)
-    "vec_int8_quantize",  # int8 vector quantization round-trip
     "vec_knn_int8",  # int8-quantized ANN (bench headliner)
-    "rel_snapshot_diff",  # CDC snapshot diff
-    "ml_quality_classifier",  # trained quality classifier
-    "rec_mmr_rerank",  # MMR diversity re-rank
-    "rec_negative_samples",  # deterministic negative sampling
-    "rec_item_pagerank",  # item-graph PageRank
-    "doc_normalized_dedup",  # normalization-robust exact dedup
-    "rel_asof_forward",  # forward as-of join
-    "doc_cms_token_counts",  # Count-Min sketch estimates
-    "tpch_q02_min_acctbal_supplier",  # deep TPC-H block starts rotating
-    "tpch_q05_local_supplier_volume",
+    "ml_quality_classifier",  # trained quality classifier (rows-only)
     "tpch_q18_large_volume_customers",
     # round-7 rotation IN (rotation #5): first-ever driver rows — the 3
     # round-6 additions plus 7 more deep-TPC-H queries (rotation #6
@@ -92,6 +87,18 @@ MUST_BE_CHECKED = {
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
+    # round-9 rotation IN (rotation #7): first-ever driver rows — the 10
+    # round-8 additions (all locally oracle-green at all 3 SFs since r8)
+    "vec_knn_ivfpq",  # hash-checked composed IVF-PQ index math
+    "doc_dsir_weights",  # DSIR importance weights (bench headliner)
+    "doc_dsir_sample",  # DSIR Gumbel-top-k resampling
+    "doc_bpe_merges",  # distributed BPE tokenizer training
+    "doc_bpe_tokenize",  # corpus tokenization with the learned merges
+    "rel_txnlog_changes",  # txnlog CDC change feed
+    "doc_zipf_fit",  # Zipf corpus-health diagnostic
+    "doc_blocklist_filter",  # C4 blocklist gate
+    "doc_pmi_collocations",  # PMI collocation mining
+    "rec_item_cooccurrence",  # association-lift co-occurrence mining
 }
 
 
@@ -135,9 +142,8 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # (doc_semdedup, added r4, was promoted in r5; doc_bloom_dedup and
 # vec_knn_int8, added r5, were promoted in r6; doc_ngram_perplexity,
 # added r7, was promoted in r8's rotation #6; doc_dsir_weights, added
-# r8 with its envelope in BASELINE_BENCH.json, rides here until
-# rotation #7 promotes it.)
-BENCH_PROMOTION_QUEUE: set[str] = {"doc_dsir_weights"}
+# r8, was promoted in r9's rotation #7.)
+BENCH_PROMOTION_QUEUE: set[str] = set()
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the
