@@ -556,6 +556,20 @@ def incremental_dedup(
     )
 
 
+def _fan_out_scan(df: DataFrame) -> DataFrame:
+    """Fan a small-file scan out to the session's parallelism before a
+    heavy per-row projection: a single-parquet-file corpus (the sf0.1
+    fixture) otherwise runs the whole tokenize+shingle+explode in ONE
+    task — the actual bottleneck behind doc_dup_spans' 4.4s r8 cost. At
+    real scale the scan already has >= defaultParallelism partitions and
+    this is a NO-OP — it never adds a corpus-sized shuffle; when it does
+    fire, it exchanges the (small) pre-explode doc rows, not the spans."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _doc_spans(
     docs: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
@@ -567,7 +581,7 @@ def _doc_spans(
     operator, so the hash never needs to be oracle-portable."""
     from newsify_spark.functions.text import word_shingles
 
-    return docs.select(
+    return _fan_out_scan(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, window)).alias("_span"),
     ).select(F.col(id_col), F.xxhash64("_span").alias("_h"))
@@ -611,8 +625,9 @@ def duplicate_spans(
     window: int = 12,
     min_docs: int = 2,
     flag_frac: float = 0.5,
-    prefilter: bool = True,
+    prefilter: bool | str = "auto",
     m_positions: int = 1 << 26,
+    prefilter_min_docs: int = 1_000_000,
 ) -> DataFrame:
     """Windowed exact-substring duplicate-span detection — the
     token-span rung of the dedup ladder (Lee et al., "Deduplicating
@@ -637,7 +652,11 @@ def duplicate_spans(
     - the hot-position sketch (:func:`_hot_span_filter`) drops spans
       whose hash cannot repeat before the (id, hash) exchange — at the
       fixture's ~91% unique-span fraction that is ~10x less exchange
-      volume;
+      volume. The sketch itself costs a second span projection, so it
+      pays off only where the exchange dominates: ``prefilter='auto'``
+      (the family's standard size switch) engages it at
+      ``prefilter_min_docs`` and runs the direct exchange below —
+      result-identical either way (test-pinned);
     - distinct-doc counts ride a window over the exchange's own hash
       partitioning, and ONE per-doc aggregate finishes — no persist, no
       checkpoint, no multi-consumer fan-out.
@@ -656,6 +675,8 @@ def duplicate_spans(
         .alias("n_spans"),
     )
     spans = _doc_spans(docs, id_col, text_col, window)
+    if prefilter == "auto":
+        prefilter = docs.count() >= prefilter_min_docs
     if prefilter:
         spans = _hot_span_filter(spans, min_docs, m_positions)
     per = spans.groupBy(id_col, "_h").agg(F.count("*").alias("_c"))
@@ -685,8 +706,9 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = 12,
     min_docs: int = 2,
-    prefilter: bool = True,
+    prefilter: bool | str = "auto",
     m_positions: int = 1 << 26,
+    prefilter_min_docs: int = 1_000_000,
 ) -> DataFrame:
     """ExactSubstr span REMOVAL — the operator Lee et al. (ACL 2022 §4)
     actually run on training data: :func:`duplicate_spans` is the
@@ -718,7 +740,8 @@ def remove_duplicate_spans(
     base = docs.select(
         F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
     )
-    spansi = docs.select(
+    docs_p = _fan_out_scan(docs.select(F.col(id_col), F.col(text_col)))
+    spansi = docs_p.select(
         F.col(id_col),
         F.size(toks).alias("_nt"),
         F.posexplode(word_shingles(text_col, window)).alias("_i", "_span"),
@@ -728,6 +751,8 @@ def remove_duplicate_spans(
         "_i",
         F.xxhash64("_span").alias("_h"),
     )
+    if prefilter == "auto":
+        prefilter = docs.count() >= prefilter_min_docs
     occ = (
         _hot_span_filter(spansi, min_docs, m_positions) if prefilter else spansi
     )
@@ -750,7 +775,7 @@ def remove_duplicate_spans(
             )
         ).alias("_t"),
     ).distinct()
-    toked = docs.select(
+    toked = docs_p.select(
         F.col(id_col), F.posexplode(toks).alias("_t", "_tok")
     )
     kept = toked.join(covered, [id_col, "_t"], "left_anti")
