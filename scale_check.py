@@ -118,24 +118,32 @@ ATTRIBUTED = ["doc_neardup_lsh", "vec_knn_int8", "doc_dsir_weights"]
 
 ATTRIBUTION_NOTES = {
     "doc_neardup_lsh": (
-        "the data term is the within-bucket candidate join: at the "
-        "fixture's tau=0.4 a recall-1.0 LSH banding degenerates toward "
-        "all-pairs inside buckets (documented at its BENCH entry), and "
-        "replication grows every near-dup bucket 8x, so the slope "
-        "carries the hot-bucket-capped pair enumeration while the 1x "
-        "run is mostly fixed plan/session cost"
+        "the one genuinely CONVEX entry, by construction: replication "
+        "duplicates vector CONTENT, so every LSH bucket's occupancy "
+        "grows Nx and the within-bucket candidate join grows ~N^2 per "
+        "bucket until the documented max_bucket hot-bucket cap binds "
+        "(operators/dedup.py — the cap is the fix; without it the 8x "
+        "point would be far worse than its measured ~40%-above-line "
+        "residual). On a real growing corpus new documents spread "
+        "across buckets instead of stacking into the same ones, so the "
+        "replication experiment is this operator's adversarial case; "
+        "the cap bounds per-bucket work regardless"
     ),
     "vec_knn_int8": (
-        "decode+rank are per-row transform() expressions (linear) and "
-        "the exact-cosine rerank touches a fixed-k shortlist; the 1x "
-        "run is dominated by the fixed codebook build + two scalar "
-        "collects, which the 8x run amortizes"
+        "cleanly linear (residual ~3%): decode+rank are per-row "
+        "transform() expressions and the exact-cosine rerank touches a "
+        "fixed-k shortlist; the 1x run is dominated by the fixed "
+        "codebook build + two scalar collects, which the 8x run "
+        "amortizes — the big ratio is intercept math, not a growing "
+        "stage"
     ),
     "doc_dsir_weights": (
-        "one corpus tokenize + the (doc, bucket) shuffle, where the "
-        "bigram explode doubles the gram count (linear in corpus); the "
-        "1024-row model fit and its broadcast are fixed-size, so the "
-        "slope is the explode+shuffle and the intercept the model side"
+        "linear at scale: the 2-4-8x points sit on the line (slope = "
+        "the tokenize+bigram-explode and the (doc,bucket) shuffle, "
+        "both proportional to corpus size); the worst residual is the "
+        "COLD 1x point sitting above the line, i.e. first-run warmup, "
+        "not growth. The 1024-row model fit and broadcast are "
+        "fixed-size"
     ),
 }
 
