@@ -346,3 +346,50 @@ def compact_bm25_index(spark, path: str, id_col: str = "doc_id") -> None:
     )
     idf.write.mode("overwrite").parquet(f"{base}/idf")
     shutil.rmtree(f"{base}/tombstones")
+
+
+def sync_bm25_from_changes(
+    spark,
+    path: str,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """CDC-driven index maintenance: apply a transaction-log change feed
+    (operators.txnlog.read_changes — ``_change_type`` 'insert'|'delete'
+    + ``_commit_version`` + row) to a persisted BM25 index, so a search
+    index over a LIVING table follows commits instead of rebuilding.
+    The feed collapses to its net effect per document first
+    (txnlog.net_changes).
+
+    Composition over the existing maintenance primitives, honoring the
+    tombstone contract (id-level liveDocs — a tombstoned id would also
+    kill re-added postings, and a re-appended doclen row would double
+    under the scoring join):
+
+    - DELETE-ONLY feeds tombstone and return — O(|ids|), no postings
+      touched (Lucene's defer-to-merge path).
+    - feeds with inserts/updates tombstone every touched id, COMPACT
+      (the segment merge updates amortize to in Lucene too), then
+      append the net-inserted docs' postings — after which the index
+      equals a fresh build over the mutated table exactly (compact==
+      fresh and add==fresh are each already test-pinned; the composed
+      sync==fresh equality is pinned in tests/test_operators.py).
+
+    Cost at 100 TB: tombstone append (tiny) + one compaction scan
+    (amortized over the batch) + O(net-inserted docs) tokenize — never
+    a corpus re-tokenize."""
+    from newsify_spark.operators.txnlog import net_changes
+
+    # checkpoint: the feed reads log files the compaction below must be
+    # free to supersede
+    last = net_changes(changes, id_col).localCheckpoint(eager=True)
+    ins = last.filter(F.col("_change_type") == "insert").select(
+        id_col, text_col
+    )
+    touched = last.select(id_col)
+    bm25_remove_docs(spark, path, touched)
+    if ins.isEmpty():
+        return  # pure delete: tombstones defer physical removal
+    compact_bm25_index(spark, path, id_col=id_col)
+    bm25_add_docs(spark, path, ins, id_col=id_col, text_col=text_col)

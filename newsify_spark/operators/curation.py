@@ -92,23 +92,13 @@ def apply_changes_to_verdicts(
 ) -> DataFrame:
     """Upsert a CDC change feed (txnlog.read_changes output:
     ``_change_type`` 'insert'|'delete' + ``_commit_version`` + row)
-    into the verdict table. Net effect per document: the LAST change by
-    commit version wins, with insert outranking delete within one
-    version (an in-commit update is delete(preimage)+insert(postimage)
-    — the postimage is the surviving state). Gates re-run ONLY on the
-    net-inserted rows; the verdict table is scalars, so the anti-join
-    half never touches text either."""
-    from pyspark.sql import Window
+    into the verdict table. The feed collapses to its net effect per
+    document (txnlog.net_changes); gates re-run ONLY on the
+    net-inserted rows, and the verdict table is scalars, so the
+    anti-join half never touches text either."""
+    from newsify_spark.operators.txnlog import net_changes
 
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_commit_version").desc(),
-        F.when(F.col("_change_type") == "insert", 0).otherwise(1),
-    )
-    last = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    last = net_changes(changes, id_col)
     changed_ids = last.select(id_col)
     survivors = verdicts.join(changed_ids, id_col, "left_anti")
     fresh = curation_verdicts(

@@ -1055,3 +1055,32 @@ def ivfpq_remove_items(
         remaining.write.mode("overwrite").parquet(staging)
         shutil.rmtree(target)
         os.rename(staging, target)
+
+
+def sync_ivfpq_from_changes(
+    spark,
+    path: str,
+    changes: DataFrame,
+    id_col: str = "item_id",
+    vec_col: str = "item_vec",
+) -> None:
+    """CDC-driven IVF-PQ maintenance — ``faiss index.remove_ids`` +
+    ``index.add`` driven by a transaction-log change feed, so the
+    vector index over a LIVING embeddings table follows commits instead
+    of re-encoding the corpus (the vector sibling of
+    bm25.sync_bm25_from_changes). The feed collapses to its net effect
+    per id (txnlog.net_changes); every touched id's cell partition is
+    rewritten without it (preimages and deletes physically leave —
+    no tombstones in this format), then net-inserted vectors encode
+    with the index's FROZEN codebooks/cells and append to only their
+    cells. After a sync the code table equals a fresh encode of the
+    mutated table under the same frozen index (test-pinned). Cost: the
+    touched cells' rewrites + O(net inserts) encode — never a corpus
+    re-encode."""
+    from newsify_spark.operators.txnlog import net_changes
+
+    last = net_changes(changes, id_col).localCheckpoint(eager=True)
+    ivfpq_remove_items(spark, path, last.select(id_col), item_id=id_col)
+    ins = last.filter(F.col("_change_type") == "insert").select(id_col, vec_col)
+    if not ins.isEmpty():
+        ivfpq_add_items(spark, path, ins, item_id=id_col, item_vec=vec_col)

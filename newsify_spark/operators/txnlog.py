@@ -432,3 +432,25 @@ def read_changes(
             f"commits in [{from_version}, {to_version}] touched no files"
         )
     return out
+
+
+def net_changes(changes: DataFrame, id_col: str) -> DataFrame:
+    """Collapse a change feed to its NET effect per key: the last change
+    by commit version wins, with insert outranking delete within one
+    version (an in-commit update is delete(preimage)+insert(postimage) —
+    the postimage is the surviving state; a doc inserted in one commit
+    and deleted in a later one nets to its delete). The one-row-per-key
+    contract every CDC consumer wants (verdict upserts, index syncs) —
+    Delta readers apply the same collapse when they materialize CDF into
+    a target MERGE."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "insert", 0).otherwise(1),
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

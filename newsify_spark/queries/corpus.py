@@ -697,13 +697,14 @@ _CDC_INSERTS = [
 ]
 
 
-def _cdc_curation_oracle() -> str:
+def cdc_mutated_live_ctes() -> str:
+    """The CDC mutation cycle as WITH-body CTEs ending in ``live`` (the
+    post-commit documents table): text-suffix update on doc_id % 137,
+    two synthetic inserts, delete of doc_id % 149. Shared by every
+    oracle that replays the txnlog mutations relationally
+    (doc_cdc_curation here, doc_bm25_cdc_search in llmops.py)."""
     vals = ", ".join(f"({d}, '{s}', '{t}')" for d, s, t in _CDC_INSERTS)
-    ctes = _CURATION_CTES.replace("WITH stats", "stats", 1).replace(
-        "FROM documents", "FROM live"
-    )
-    return f"""
-WITH upd AS (
+    return f"""upd AS (
   SELECT doc_id, source,
          CAST(len(text || '{_CDC_SUFFIX}') AS BIGINT) AS n_chars,
          text || '{_CDC_SUFFIX}' AS text
@@ -717,7 +718,42 @@ mutated AS (
   SELECT CAST(doc_id AS BIGINT), source, CAST(len(text) AS BIGINT), text
   FROM (VALUES {vals}) v(doc_id, source, text)
 ),
-live AS (SELECT * FROM mutated WHERE doc_id % 149 <> 0),
+live AS (SELECT * FROM mutated WHERE doc_id % 149 <> 0)"""
+
+
+def apply_cdc_mutations(spark: SparkSession, docs: DataFrame, path: str) -> None:
+    """Run the canonical mutation cycle against a txnlog documents
+    table (the Spark side of :func:`cdc_mutated_live_ctes`): MERGE
+    upsert of the %137 text edits + the two synthetic inserts, then a
+    key-set delete of %149."""
+    from newsify_spark.operators import txnlog as T
+
+    new_text = F.concat(F.col("text"), F.lit(_CDC_SUFFIX))
+    upd = docs.filter(F.col("doc_id") % 137 == 0).select(
+        "doc_id",
+        "source",
+        F.length(new_text).cast("long").alias("n_chars"),
+        new_text.alias("text"),
+    )
+    ins = spark.createDataFrame(
+        [(d, s, len(t), t) for d, s, t in _CDC_INSERTS],
+        "doc_id bigint, source string, n_chars bigint, text string",
+    )
+    T.upsert_rows(spark, path, upd.unionByName(ins), ["doc_id"])
+    T.delete_rows(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 149 == 0).select("doc_id"),
+        ["doc_id"],
+    )
+
+
+def _cdc_curation_oracle() -> str:
+    ctes = _CURATION_CTES.replace("WITH stats", "stats", 1).replace(
+        "FROM documents", "FROM live"
+    )
+    return f"""
+WITH {cdc_mutated_live_ctes()},
 {ctes}
 SELECT doc_id, source, n_chars, round(quality, 6) AS quality
 FROM deduped ORDER BY doc_id
@@ -767,24 +803,7 @@ def doc_cdc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = curation_verdicts(T.read_table(spark, path)).localCheckpoint(
             eager=True
         )
-        new_text = F.concat(F.col("text"), F.lit(_CDC_SUFFIX))
-        upd = docs.filter(F.col("doc_id") % 137 == 0).select(
-            "doc_id",
-            "source",
-            F.length(new_text).cast("long").alias("n_chars"),
-            new_text.alias("text"),
-        )
-        ins = docs.sparkSession.createDataFrame(
-            [(d, s, len(t), t) for d, s, t in _CDC_INSERTS],
-            "doc_id bigint, source string, n_chars bigint, text string",
-        )
-        T.upsert_rows(spark, path, upd.unionByName(ins), ["doc_id"])
-        T.delete_rows(
-            spark,
-            path,
-            docs.filter(F.col("doc_id") % 149 == 0).select("doc_id"),
-            ["doc_id"],
-        )
+        apply_cdc_mutations(spark, docs, path)
         changes = T.read_changes(spark, path, 1)
         store2 = apply_changes_to_verdicts(store, changes).localCheckpoint(
             eager=True

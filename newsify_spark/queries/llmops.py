@@ -1315,6 +1315,72 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+def _bm25_cdc_oracle() -> str:
+    from newsify_spark.queries.corpus import cdc_mutated_live_ctes
+
+    ctes = _bm25_ctes().replace("FROM documents", "FROM live")
+    return f"""
+WITH {cdc_mutated_live_ctes()},
+{ctes}
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "doc_bm25_cdc_search",
+    doc="CDC-MAINTAINED BM25 index (operators.bm25.sync_bm25_from_changes "
+    "+ operators.txnlog.read_changes): the documents table lives in the "
+    "copy-on-write transaction log; the index is built once at version "
+    "0, the canonical mutation cycle lands (MERGE text edits + two "
+    "inserts, then a key-set delete), and the CHANGE FEED drives the "
+    "index forward — tombstone the touched ids, one compaction (the "
+    "Lucene segment merge updates amortize to), append only the net-"
+    "inserted docs' postings; a delete-only feed stays O(|ids|). The "
+    "probe then runs doc_bm25_search's 4 keyword queries against the "
+    "synced index, and the oracle computes BM25 from scratch over the "
+    "mutated corpus — hash-equality proves the maintained index IS the "
+    "fresh index, the S13/S14 index-as-table contract on a living "
+    "table. Search-stack sibling of doc_cdc_curation.",
+    tags=("retrieval", "bm25", "txn", "S14", "scale-path"),
+    oracle=_bm25_cdc_oracle(),
+)
+def doc_bm25_cdc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        save_bm25_index,
+        sync_bm25_from_changes,
+    )
+    from newsify_spark.queries.corpus import apply_cdc_mutations
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    base = tempfile.mkdtemp(prefix="newsify_bm25_cdc_")
+    try:
+        table = f"{base}/docs_t"
+        index = f"{base}/bm25"
+        T.create_table(spark, table, docs.repartitionByRange(8, "doc_id"))
+        save_bm25_index(spark, index, T.read_table(spark, table))
+        apply_cdc_mutations(spark, docs, table)
+        sync_bm25_from_changes(spark, index, T.read_changes(spark, table, 1))
+        queries = spark.createDataFrame(
+            [(qid, terms) for qid, terms in _BM25_QUERIES],
+            "query_id int, terms array<string>",
+        )
+        out = bm25_topk_from_index(spark, index, queries, k=10).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.orderBy("query_id", "rank")
+
+
 def _hybrid_rrf_oracle() -> str:
     return f"""
 WITH {_bm25_ctes()},

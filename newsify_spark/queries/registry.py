@@ -80,6 +80,7 @@ DEMOTED: frozenset[str] = frozenset(
         # round-9 additions; never-driver-checked — rotation-#8 queue
         "doc_dup_spans_removed",
         "doc_cdc_curation",
+        "doc_bm25_cdc_search",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,

@@ -2648,6 +2648,149 @@ def test_bpe_apply_merges_reconstructs_words(spark):
     assert len(pieces["newest"]) < len("newest") + 1  # actually compressed
 
 
+def test_ivfpq_cdc_sync_equals_fresh_encode(spark, tmp_path):
+    """Driving IVF-PQ maintenance from a txnlog change feed (vector
+    update + inserts + delete, incl. update-then-delete) leaves the
+    code table — and therefore every probe — exactly equal to a fresh
+    encode of the mutated table under the same frozen codebooks/cells."""
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.operators.similarity import (
+        _assign_items_to_cells,
+        load_ivfpq_index,
+        pq_encode,
+        pq_train,
+        save_ivfpq_index,
+        sync_ivfpq_from_changes,
+    )
+    from newsify_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings").limit(300)
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    table = str(tmp_path / "vecs")
+    T.create_table(spark, table, items.repartitionByRange(4, "item_id"))
+    cb = pq_train(items, m=8, k=16, sample=200)
+    cells = spark.createDataFrame(
+        emb.orderBy("vec_id").limit(4).select(
+            F.monotonically_increasing_id().cast("int").alias("cell"),
+            F.col("embedding").alias("cell_vec"),
+        ).collect(),
+        "cell int, cell_vec array<double>",
+    )
+    idx = str(tmp_path / "idx")
+    save_ivfpq_index(
+        spark, idx, cb, cells,
+        pq_encode(items, cb).join(
+            _assign_items_to_cells(items, cells, "item_id", "item_vec"), "item_id"
+        ),
+    )
+
+    # commit 1: mirror every %17 vector (direction change), add two
+    # copies of vector 1's embedding, rewrite doc 34 (deleted next)
+    mirrored = T.read_table(spark, table).filter(F.col("item_id") % 17 == 0).select(
+        "item_id",
+        F.transform("item_vec", lambda x: F.round(F.lit(0.5) - x, 6)).alias("item_vec"),
+    )
+    v1 = items.filter(F.col("item_id") == 1).select("item_vec").first()["item_vec"]
+    ins = spark.createDataFrame(
+        [(900001, v1), (900002, list(v1))], "item_id bigint, item_vec array<double>"
+    )
+    T.upsert_rows(spark, table, mirrored.unionByName(ins), ["item_id"])
+    # commit 2: delete %13 (intersects the %17 update set at 0 if present)
+    T.delete_rows(
+        spark,
+        table,
+        items.filter(F.col("item_id") % 13 == 0).select("item_id"),
+        ["item_id"],
+    )
+    sync_ivfpq_from_changes(spark, idx, T.read_changes(spark, table, 1))
+
+    final = T.read_table(spark, table)
+    fresh = pq_encode(final, cb).join(
+        _assign_items_to_cells(final, cells, "item_id", "item_vec"), "item_id"
+    )
+    _cb, _cells, maintained = load_ivfpq_index(spark, idx)
+    rows = lambda df: sorted(map(tuple, df.select("item_id", "cell", "codes").collect()))
+    assert rows(maintained) == rows(fresh)
+
+
+def test_bm25_cdc_sync_equals_fresh_build(spark, tmp_path):
+    """Applying a change feed (update + insert + delete across two
+    commits, incl. an update-then-delete doc) to a persisted BM25 index
+    yields probe results identical to a fresh index built over the
+    mutated table; a delete-only feed takes the O(|ids|) tombstone path
+    (no compaction — tombstones table left in place)."""
+    import os
+
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        save_bm25_index,
+        sync_bm25_from_changes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join hash"),
+            (2, "hash join probe build"),
+            (3, "sort merge join spill"),
+            (4, "window rank dense partition"),
+            (5, "doomed text about joins and hash"),
+        ],
+        "doc_id long, text string",
+    )
+    table, index = str(tmp_path / "t"), str(tmp_path / "ix")
+    T.create_table(spark, table, docs.repartitionByRange(2, "doc_id"))
+    save_bm25_index(spark, index, T.read_table(spark, table))
+
+    # commit 1: update doc 2 (new text) + insert doc 6 + update doc 5
+    T.upsert_rows(
+        spark,
+        table,
+        spark.createDataFrame(
+            [
+                (2, "vector scan filter pushdown"),
+                (6, "hash aggregate combine exchange"),
+                (5, "rewritten before deletion"),
+            ],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+    )
+    # commit 2: delete docs 3 and 5 (5 = update-then-delete)
+    T.delete_rows(
+        spark,
+        table,
+        spark.createDataFrame([(3,), (5,)], "doc_id long"),
+        ["doc_id"],
+    )
+    sync_bm25_from_changes(spark, index, T.read_changes(spark, table, 1))
+
+    fresh = str(tmp_path / "fresh")
+    save_bm25_index(spark, fresh, T.read_table(spark, table))
+    queries = spark.createDataFrame(
+        [(1, ["hash", "join"]), (2, ["vector", "filter"]), (3, ["rank"])],
+        "query_id int, terms array<string>",
+    )
+    got = sorted(map(tuple, bm25_topk_from_index(spark, index, queries).collect()))
+    want = sorted(map(tuple, bm25_topk_from_index(spark, fresh, queries).collect()))
+    assert got == want and got  # non-vacuous
+
+    # delete-only feed: tombstone path, no compaction
+    T.delete_rows(
+        spark, table, spark.createDataFrame([(4,)], "doc_id long"), ["doc_id"]
+    )
+    v = len(T.history(table)) - 1
+    sync_bm25_from_changes(spark, index, T.read_changes(spark, table, v))
+    assert os.path.isdir(f"{index}/tombstones")  # deferred, Lucene-style
+    got2 = {
+        (r.query_id, r.doc_id)
+        for r in bm25_topk_from_index(spark, index, queries).collect()
+    }
+    assert (3, 4) not in got2  # the tombstoned doc never surfaces
+
+
 def test_quantile_cuts_approx_route_matches_exact(spark):
     """VERDICT r8 #1: the percentile_approx production route (fixed-size
     mergeable GK sketch — no distinct-value map on one reducer) lands
