@@ -572,6 +572,76 @@ def test_streaming_ingest_txn_bronze_replay_exactly_once(spark, tmp_path):
     assert [r.doc_id for r in T.read_table(spark, out, version=0).collect()] == [1]
 
 
+def test_streaming_ingest_to_cdc_curation_end_to_end(spark, tmp_path):
+    """The living-corpus loop with ZERO new glue: streaming ingest lands
+    deduped survivors on the bronze txnlog exactly once; each trigger's
+    commits surface in the change feed; the feed incrementally maintains
+    the curation verdict table (operators.curation), which stays
+    bit-equal to a full recompute over the bronze snapshot after every
+    batch — including a replayed batch, which produces NO new commit and
+    therefore no re-curation work at all."""
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.operators.curation import (
+        apply_changes_to_verdicts,
+        curated_from_verdicts,
+        curation_verdicts,
+    )
+    from newsify_spark.streaming.ingest import ingest_batch
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "bronze")
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog in the morning",
+        2: "a second document with the usual words of it and for the gate",
+        3: "the quick brown fox jumps over the lazy dog in the morning",  # dup of 1
+        4: "buy buy buy buy buy buy now now now now now now",
+    }
+    mk = lambda ids: spark.createDataFrame(
+        [(i, "stream", len(texts[i]), texts[i]) for i in ids],
+        "doc_id long, source string, n_chars long, text string",
+    )
+
+    verdicts = None
+    synced_upto = -1
+
+    def sync() -> None:
+        nonlocal verdicts, synced_upto
+        latest = len(T.history(out)) - 1
+        if latest <= synced_upto:
+            return  # replayed batch: no commit, no curation work
+        changes = T.read_changes(spark, out, synced_upto + 1, latest).select(
+            "_change_type", "_commit_version", "doc_id", "source", "n_chars", "text"
+        )
+        if verdicts is None:
+            verdicts = apply_changes_to_verdicts(
+                curation_verdicts(
+                    T.read_table(spark, out).select(
+                        "doc_id", "source", "n_chars", "text"
+                    )
+                ).limit(0),
+                changes,
+            )
+        else:
+            verdicts = apply_changes_to_verdicts(verdicts, changes)
+        verdicts = verdicts.localCheckpoint(eager=True)
+        synced_upto = latest
+
+    ingest_batch(mk([1, 2]), 0, store, out, txn_bronze=True)
+    sync()
+    ingest_batch(mk([3, 4]), 1, store, out, txn_bronze=True)  # 3 deduped away
+    sync()
+    before_replay = synced_upto
+    ingest_batch(mk([3, 4]), 1, store, out, txn_bronze=True)  # replay: no-op
+    sync()
+    assert synced_upto == before_replay  # the replay minted no commit
+
+    snapshot = T.read_table(spark, out).select("doc_id", "source", "n_chars", "text")
+    assert sorted(r.doc_id for r in snapshot.collect()) == [1, 2, 4]  # 3 deduped
+    full = curation_verdicts(snapshot)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(verdicts) == rows(full)
+    assert rows(curated_from_verdicts(verdicts)) == rows(curated_from_verdicts(full))
+
+
 def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
     """Real readStream -> foreachBatch -> store/corpus round trip."""
     from newsify_spark.streaming.ingest import dedup_ingest_stream
