@@ -1090,6 +1090,73 @@ def doc_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIMAX_CAP = 3.0  # max epochs any language may repeat
+_UNIMAX_BUDGET_X = 2.0  # training budget as a multiple of corpus chars
+
+
+@register(
+    "doc_mix_unimax",
+    doc="UniMax language-budget allocation (Chung et al., 'UniMax: "
+    "Fairer and More Effective Language Sampling for Large-Scale "
+    "Multilingual Pretraining', ICLR 2023, Algorithm 1): given a "
+    "training budget (2x corpus chars here) and an epoch cap (3), "
+    "languages are visited SMALLEST FIRST and each gets "
+    "min(cap * size, remaining_budget / remaining_languages) — small "
+    "languages saturate at the cap, the head languages absorb the "
+    "slack, and no language over-repeats. The sequential dependence "
+    "runs over the LANGUAGE table (bounded ~hundreds of rows at any "
+    "corpus size — the SURVEY-sanctioned driver-loop class, like the "
+    "greedy story assignment), after one corpus groupBy; the DuckDB "
+    "oracle replays the loop as a RECURSIVE CTE, so every allocation "
+    "decision is hash-checked. Completes the corpus-mix family beside "
+    "doc_mix_weights' uniform-target rebalance.",
+    tags=("text", "sampling", "corpus-mix"),
+    oracle=f"""
+WITH RECURSIVE shares AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS c FROM documents GROUP BY lang
+),
+ordered AS (
+  SELECT lang, c, CAST(row_number() OVER (ORDER BY c ASC, lang ASC) AS INTEGER) AS i
+  FROM shares
+),
+tot AS (SELECT CAST(count(*) AS INTEGER) AS n_langs, CAST(sum(c) AS DOUBLE) AS t FROM ordered),
+alloc AS (
+  SELECT 0 AS i, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS c,
+         CAST(0.0 AS DOUBLE) AS a,
+         (SELECT {_UNIMAX_BUDGET_X} * t FROM tot) AS b_rem
+  UNION ALL
+  SELECT o.i, o.lang, o.c,
+         least({_UNIMAX_CAP} * o.c, al.b_rem / ((SELECT n_langs FROM tot) - al.i)),
+         al.b_rem - least({_UNIMAX_CAP} * o.c,
+                          al.b_rem / ((SELECT n_langs FROM tot) - al.i))
+  FROM alloc al JOIN ordered o ON o.i = al.i + 1
+)
+SELECT lang, c AS lang_chars,
+       round(a, 4) AS alloc_chars,
+       round(a / c, 6) AS epochs
+FROM alloc WHERE i > 0 ORDER BY lang
+""",
+)
+def doc_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shares = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("c"))
+        .collect()  # |languages| rows — bounded at any corpus size
+    )
+    ordered = sorted(shares, key=lambda r: (r.c, r.lang))
+    b_rem = _UNIMAX_BUDGET_X * float(sum(r.c for r in ordered))
+    n = len(ordered)
+    rows = []
+    for i, r in enumerate(ordered):
+        a = min(_UNIMAX_CAP * r.c, b_rem / (n - i))
+        b_rem -= a
+        rows.append((r.lang, int(r.c), round(a, 4), round(a / r.c, 6)))
+    return spark.createDataFrame(
+        rows, "lang string, lang_chars long, alloc_chars double, epochs double"
+    ).orderBy("lang")
+
+
 def _sig_bands_sql(sig_cte: str) -> str:
     """Band-union SQL over a signature CTE — mirror of
     operators.dedup._sig_bands."""

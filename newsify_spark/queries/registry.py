@@ -81,6 +81,7 @@ DEMOTED: frozenset[str] = frozenset(
         "doc_dup_spans_removed",
         "doc_cdc_curation",
         "doc_bm25_cdc_search",
+        "doc_mix_unimax",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,

@@ -103,10 +103,12 @@ QUERIES = [
     "doc_bpe_tokenize",
     # round 9: span-dedup rework (hot-position sketch prefilter ahead of
     # the (id,hash) exchange), the span REMOVAL variant (covered-token
-    # explode is dup-bounded), and CDC-driven incremental curation (the
-    # txnlog mutation cycle + verdict upsert — blast-radius bounded)
+    # explode is dup-bounded), CDC-driven incremental curation (the
+    # txnlog mutation cycle + verdict upsert — blast-radius bounded),
+    # and the CDC-maintained BM25 index (build + sync + probe cycle)
     "doc_dup_spans_removed",
     "doc_cdc_curation",
+    "doc_bm25_cdc_search",
 ]
 
 # Queries whose 8x ratio ran above ~3.5 in round 8 (VERDICT r8 #8):

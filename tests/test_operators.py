@@ -2648,6 +2648,35 @@ def test_bpe_apply_merges_reconstructs_words(spark):
     assert len(pieces["newest"]) < len("newest") + 1  # actually compressed
 
 
+def test_unimax_allocation_invariants(spark):
+    """UniMax Algorithm 1 on a skewed synthetic mix: every language's
+    epochs <= cap, small languages saturate AT the cap, the head
+    language absorbs the slack, and allocations exactly exhaust the
+    budget (2x corpus chars here, which is under the cap's total)."""
+    from newsify_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 80 else ("de" if i < 95 else "mi"), 100, "x" * 100)
+         for i in range(100)],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {r.lang: r for r in REGISTRY["doc_mix_unimax"].fn(spark, d).collect()}
+    assert set(out) == {"en", "de", "mi"}
+    for r in out.values():
+        assert r.epochs <= 3.0 + 1e-9
+    # the tiny language (500 chars) caps at 3 epochs; the head absorbs
+    assert out["mi"].epochs == 3.0 and out["de"].epochs == 3.0
+    # head language: absorbs the slack, stays under cap
+    assert out["en"].alloc_chars > out["de"].alloc_chars
+    assert out["en"].epochs < 3.0
+    total = sum(r.alloc_chars for r in out.values())
+    assert abs(total - 2.0 * 100 * 100) < 1e-6  # budget exactly spent
+
+
 def test_ivfpq_cdc_sync_equals_fresh_encode(spark, tmp_path):
     """Driving IVF-PQ maintenance from a txnlog change feed (vector
     update + inserts + delete, incl. update-then-delete) leaves the
