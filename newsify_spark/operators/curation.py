@@ -88,22 +88,26 @@ def curated_from_verdicts(verdicts: DataFrame) -> DataFrame:
 
 
 def apply_changes_to_verdicts(
-    verdicts: DataFrame, changes: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
+    verdicts: DataFrame, changes: DataFrame) -> DataFrame:
     """Upsert a CDC change feed (txnlog.read_changes output:
     ``_change_type`` 'insert'|'delete' + ``_commit_version`` + row)
     into the verdict table. The feed collapses to its net effect per
     document (txnlog.net_changes); gates re-run ONLY on the
     net-inserted rows, and the verdict table is scalars, so the
-    anti-join half never touches text either."""
+    anti-join half never touches text either.
+
+    The verdict schema is FIXED (``VERDICT_COLS``, keyed on
+    ``doc_id``) — the r9 form advertised an ``id_col`` parameter while
+    selecting hardcoded document columns, so any non-default value
+    failed at analysis time (ADVICE r9); the parameter is gone."""
     from newsify_spark.operators.txnlog import net_changes
 
-    last = net_changes(changes, id_col)
-    changed_ids = last.select(id_col)
-    survivors = verdicts.join(changed_ids, id_col, "left_anti")
+    last = net_changes(changes, "doc_id")
+    changed_ids = last.select("doc_id")
+    survivors = verdicts.join(changed_ids, "doc_id", "left_anti")
     fresh = curation_verdicts(
         last.filter(F.col("_change_type") == "insert").select(
-            id_col, "source", "n_chars", "text"
+            "doc_id", "source", "n_chars", "text"
         )
     )
     return survivors.unionByName(fresh)

@@ -628,6 +628,7 @@ def duplicate_spans(
     prefilter: bool | str = "auto",
     m_positions: int = 1 << 26,
     prefilter_min_docs: int = 1_000_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Windowed exact-substring duplicate-span detection — the
     token-span rung of the dedup ladder (Lee et al., "Deduplicating
@@ -656,10 +657,21 @@ def duplicate_spans(
       pays off only where the exchange dominates: ``prefilter='auto'``
       (the family's standard size switch) engages it at
       ``prefilter_min_docs`` and runs the direct exchange below —
-      result-identical either way (test-pinned);
-    - distinct-doc counts ride a window over the exchange's own hash
-      partitioning, and ONE per-doc aggregate finishes — no persist, no
-      checkpoint, no multi-consumer fan-out.
+      result-identical either way (test-pinned); pass ``n_docs`` to
+      skip the route-probe ``.count()`` scan entirely (composed
+      pipelines share one count across the span family);
+    - the span rows are explicitly repartitioned on ``_h`` ONCE (r10):
+      ``HashPartitioning([_h])`` satisfies both the ``groupBy(id, _h)``
+      clustering AND the distinct-doc window's ``partitionBy(_h)``, so
+      the aggregate and the window share a single corpus-span exchange
+      (the r9 plan paid two back to back — ``(id,_h)`` then ``_h``).
+      Trade-off, documented: the single exchange carries raw occurrence
+      rows (no map-side combine — at the fixture's ~91% unique-span
+      fraction the combine saved ~9% of bytes, the dropped exchange
+      saves ~50%), and a globally hot span funnels its per-doc rows
+      into one window partition; that funnel is bounded at |docs with
+      the span| rows of 24 bytes — the skew-safe groupBy(_h)+semi-join
+      alternative pays a third exchange to avoid it.
 
     Same linear-pass cost the suffix-array ExactSubstr pays, as hash
     aggregations a 1000-executor cluster partitions trivially; no suffix
@@ -676,13 +688,20 @@ def duplicate_spans(
     )
     spans = _doc_spans(docs, id_col, text_col, window)
     if prefilter == "auto":
-        prefilter = docs.count() >= prefilter_min_docs
+        if n_docs is None:
+            n_docs = docs.count()
+        prefilter = n_docs >= prefilter_min_docs
     if prefilter:
         spans = _hot_span_filter(spans, min_docs, m_positions)
-    per = spans.groupBy(id_col, "_h").agg(F.count("*").alias("_c"))
-    # rows of `per` are distinct (id, hash) pairs, so distinct-doc count
-    # per hash is a row count over the hash partition the groupBy
-    # already produced (no re-exchange)
+    # one exchange for both consumers: HashPartitioning([_h]) satisfies
+    # the groupBy(id,_h) clustering (subset rule) and the window's
+    # partitionBy(_h), so Catalyst inserts no further exchange. Hot-key
+    # note: a span in k docs puts k `per` rows on one window partition.
+    per = (
+        spans.repartition("_h")
+        .groupBy(id_col, "_h")
+        .agg(F.count("*").alias("_c"))
+    )
     nd = F.count("*").over(Window.partitionBy("_h"))
     dupc = (
         per.withColumn("_nd", nd)
@@ -709,6 +728,7 @@ def remove_duplicate_spans(
     prefilter: bool | str = "auto",
     m_positions: int = 1 << 26,
     prefilter_min_docs: int = 1_000_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """ExactSubstr span REMOVAL — the operator Lee et al. (ACL 2022 §4)
     actually run on training data: :func:`duplicate_spans` is the
@@ -726,20 +746,43 @@ def remove_duplicate_spans(
     lowercased surviving tokens in original order ('' when a document is
     duplicated wall to wall).
 
-    Spark shape: span occurrences carry their token offset (posexplode
-    of the same codegen'd shingle projection), the duplicated-span set +
-    survivor come from one hash-keyed aggregate (prefiltered by the same
-    hot-position sketch duplicate_spans uses), covered token indices
-    explode only from CUT occurrences (dup-bounded, not corpus-bounded),
-    and one per-doc aggregate rebuilds the text. No UDFs."""
+    Spark shape (r10 rework — the r9 rebuild ``posexplode``d EVERY token
+    of every doc and ``collect_list``-shuffled them back, a ~1.5-2×
+    raw-corpus exchange regardless of dup fraction):
+
+    - span occurrences carry their token offset (posexplode of the
+      codegen'd shingle projection, prefiltered by the same hot-position
+      sketch ``duplicate_spans`` uses; pass ``n_docs`` to skip the
+      route-probe count);
+    - the duplicated-span set + min-id survivor ride ONE window over the
+      occurrence exchange's own hash partitioning;
+    - cut occurrences aggregate **per doc into a sorted array of span
+      start offsets** — rows and bytes bounded by the DUPLICATED text,
+      not the corpus — and that small side joins back to ``docs`` (AQE
+      broadcasts it while it fits; even the shuffle fallback is one row
+      per cut doc, never one row per token);
+    - the rebuild is MAP-SIDE on the joined row with higher-order
+      functions only: clamp each start to its interval end, derive the
+      complement (kept) ranges from the sorted starts via one
+      ``zip_with`` against the shifted end array — interval ends are
+      monotone in the sorted starts, so the running max IS the previous
+      end and no fold is needed — then ``flatten(transform(kept,
+      slice(tokens, …)))`` + ``array_join``. O(tokens + cuts) per doc,
+      zero corpus-sized exchange anywhere in the plan.
+
+    Span identity is 128-bit for this DESTRUCTIVE path: two
+    independently-seeded xxhash64 values ``(_h, _h2)`` key the window.
+    At ~10^13 spans (100 TB) a single 64-bit key has ~million-pair
+    birthday collisions — harmless noise for the ``duplicate_spans``
+    COUNTING diagnostic, but here a false collision silently cuts
+    legitimate text, and fixture-scale oracles can't surface it. The
+    hot-position sketch stays on ``_h`` alone (conservative: admitting
+    extra candidates is safe; 64 bits is plenty for positions)."""
     from pyspark.sql import Window
 
     from newsify_spark.functions.text import word_shingles
 
     toks = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select(
-        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
-    )
     docs_p = _fan_out_scan(docs.select(F.col(id_col), F.col(text_col)))
     spansi = docs_p.select(
         F.col(id_col),
@@ -750,15 +793,18 @@ def remove_duplicate_spans(
         "_nt",
         "_i",
         F.xxhash64("_span").alias("_h"),
+        F.xxhash64(F.lit(0x9E3779B9), "_span").alias("_h2"),
     )
     if prefilter == "auto":
-        prefilter = docs.count() >= prefilter_min_docs
+        if n_docs is None:
+            n_docs = docs.count()
+        prefilter = n_docs >= prefilter_min_docs
     occ = (
         _hot_span_filter(spansi, min_docs, m_positions) if prefilter else spansi
     )
     # duplicated-span set + min-id survivor, from the occurrence table's
-    # own hash partitioning (window over _h, no second aggregate-join)
-    w_h = Window.partitionBy("_h")
+    # own hash partitioning (one window over the 128-bit span key)
+    w_h = Window.partitionBy("_h", "_h2")
     cut = (
         occ.withColumn(
             "_nd", F.size(F.collect_set(F.col(id_col)).over(w_h))
@@ -766,34 +812,51 @@ def remove_duplicate_spans(
         .withColumn("_surv", F.min(F.col(id_col)).over(w_h))
         .filter((F.col("_nd") >= min_docs) & (F.col(id_col) != F.col("_surv")))
     )
-    covered = cut.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(
-                F.col("_i"),
-                F.least(F.col("_i") + F.lit(window - 1), F.col("_nt") - F.lit(1)),
-            )
-        ).alias("_t"),
-    ).distinct()
-    toked = docs_p.select(
-        F.col(id_col), F.posexplode(toks).alias("_t", "_tok")
+    # dup-bounded per-doc cut summary: sorted distinct span starts
+    cuts = cut.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("_i")).alias("_starts")
     )
-    kept = toked.join(covered, [id_col, "_t"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("_n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_t", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
+    nt = F.size(toks)
+    ends = F.transform(
+        F.col("_starts"), lambda s: F.least(s + F.lit(window - 1), nt - 1)
     )
-    return base.join(rebuilt, id_col, "left").select(
+    # previous-interval end per position (-1 before the first): ends are
+    # monotone in the sorted starts, so this IS the running max
+    prev_e = F.concat(
+        F.array(F.lit(-1)), F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0)))
+    )
+    gaps = F.zip_with(
+        prev_e,
+        F.col("_starts"),
+        lambda pe, s: F.struct((pe + 1).alias("s"), (s - 1).alias("e")),
+    )
+    tail = F.array(
+        F.struct(
+            (F.element_at(ends, -1) + 1).alias("s"), (nt - 1).alias("e")
+        )
+    )
+    kept_ranges = F.filter(
+        F.concat(gaps, tail), lambda g: g["s"] <= g["e"]
+    )
+    clean_toks = F.flatten(
+        F.transform(
+            kept_ranges,
+            lambda g: F.slice(toks, g["s"] + 1, g["e"] - g["s"] + 1),
+        )
+    )
+    rebuilt = F.when(
+        F.col("_starts").isNull(), F.array_join(toks, " ")
+    ).otherwise(F.array_join(clean_toks, " "))
+    n_kept = F.when(F.col("_starts").isNull(), nt).otherwise(
+        F.size(clean_toks)
+    )
+    return docs.select(F.col(id_col), F.col(text_col)).join(
+        cuts, id_col, "left"
+    ).select(
         id_col,
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        nt.cast("long").alias("n_tokens"),
+        (nt - n_kept).cast("long").alias("n_removed"),
+        rebuilt.alias("clean_text"),
     )
 
 

@@ -338,6 +338,50 @@ def history(path: str) -> list[dict]:
     return _read_log(path)
 
 
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> int | None:
+    """Bin-pack compaction as a COMMIT (Delta's OPTIMIZE): rewrite the
+    snapshot's small live files (< ``target_bytes``) into ~target-size
+    ones, published as one add/remove log entry. The streaming
+    ``exactly_once_sink`` otherwise accumulates one file set per
+    micro-batch forever — compaction keeps the live-file count O(table
+    bytes / target) instead of O(micro-batches).
+
+    Data-identical by construction: the new files hold exactly the
+    rows of the replaced ones (snapshot-hash pinned in tests), so the
+    CDF diff of an optimize commit nets to ZERO row changes
+    (:func:`read_changes`' per-commit add-exceptAll-remove cancels a
+    pure rewrite) and CDC consumers see nothing. Time travel stays
+    intact — prior versions still reference the old files until
+    :func:`vacuum`. OCC-safe like every mutation: the target version is
+    pinned BEFORE the snapshot read, so a concurrent append/upsert
+    landing first collides on the version link and raises
+    ConcurrentWriteError rather than losing either commit.
+
+    Returns the committed version, or None when fewer than
+    ``min_files`` live files are under the threshold (no-op — nothing
+    worth rewriting)."""
+    import math
+
+    v = _next_version(path)
+    root = path.rstrip("/")
+    live = _live_files(path, v - 1)
+    sizes = {f: os.path.getsize(os.path.join(root, f)) for f in live}
+    small = [f for f in live if sizes[f] < target_bytes]
+    if len(small) < min_files:
+        return None
+    cols = _read_log(path, upto=v - 1)[-1]["columns"]
+    df = _read_files_aligned(spark, path, small, cols)
+    n_out = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
+    files = _write_data(spark, path, df.coalesce(n_out), v)
+    _commit(path, v, "optimize", files, small, cols)
+    return v
+
+
 def vacuum(spark: SparkSession, path: str) -> list[str]:
     """Physically delete data files no LATEST-snapshot reader needs
     (breaks time travel to the versions that referenced them — Delta's
@@ -392,7 +436,18 @@ def read_changes(
     decomposition Delta's CDF reader emits when no explicit change files
     exist. Cost is bounded by the commits' COW blast radius (only files
     the commits touched are read), never by table size — a point update
-    to one key diffs one file, not the table."""
+    to one key diffs one file, not the table.
+
+    Plan shape (r10 rework — the r9 form unioned one sub-plan PER
+    COMMIT, so a months-long range built an O(commits) plan): all added
+    files across the range are read in ONE batched scan, all removed
+    files in a second, each row tagged with its commit version via an
+    ``input_file_name`` -> version broadcast join (the file->version map
+    is exactly the log's add/remove lists — blast-radius bounded).
+    Because the version rides the row, one global ``exceptAll`` cancels
+    COW carry-over rows only WITHIN their own commit — identical
+    semantics to the per-commit diffs, with a constant-size plan (two
+    scans, two exceptAlls, one union) at any range length."""
     entries = [
         e
         for e in _read_log(path, upto=to_version)
@@ -403,34 +458,82 @@ def read_changes(
             f"no commits in [{from_version}, {to_version}] at {path}"
         )
     cols = entries[-1]["columns"]  # align the feed to the newest schema
-    out: DataFrame | None = None
-    for e in entries:
-        add, rem = e["add"], e["remove"]
-        if not add and not rem:
-            continue
-        added = (
-            _read_files_aligned(spark, path, add, cols) if add else None
-        )
-        removed = (
-            _read_files_aligned(spark, path, rem, cols) if rem else None
-        )
-        if added is not None and removed is not None:
-            ins, dels = added.exceptAll(removed), removed.exceptAll(added)
-        else:
-            ins, dels = added, removed
-        for df, tag in ((ins, "insert"), (dels, "delete")):
-            if df is None:
-                continue
-            tagged = df.select(
-                F.lit(tag).alias("_change_type"),
-                F.lit(int(e["version"])).cast("int").alias("_commit_version"),
-                *cols,
-            )
-            out = tagged if out is None else out.unionByName(tagged)
-    if out is None:  # only no-op commits in range
+    add_fv = [(f, e["version"]) for e in entries for f in e["add"]]
+    rem_fv = [(f, e["version"]) for e in entries for f in e["remove"]]
+    if not add_fv and not rem_fv:  # only no-op commits in range
         raise ValueError(
             f"commits in [{from_version}, {to_version}] touched no files"
         )
+    added = _read_version_tagged(spark, path, add_fv, cols)
+    removed = _read_version_tagged(spark, path, rem_fv, cols)
+    if added is not None and removed is not None:
+        ins, dels = added.exceptAll(removed), removed.exceptAll(added)
+    else:
+        ins, dels = added, removed
+    out: DataFrame | None = None
+    for df, tag in ((ins, "insert"), (dels, "delete")):
+        if df is None:
+            continue
+        tagged = df.select(
+            F.lit(tag).alias("_change_type"),
+            F.col("_commit_version"),
+            *cols,
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def _read_version_tagged(
+    spark: SparkSession,
+    path: str,
+    file_versions: list[tuple[str, int]],
+    cols: list[str],
+) -> DataFrame | None:
+    """One batched read per PHYSICAL FILE SCHEMA of a commit range's
+    file list, each row tagged ``_commit_version`` by joining
+    ``input_file_name()`` against the log-derived file->version map
+    (broadcast; bounded by the range's blast-radius file count). A file
+    can appear at most once per side — adds live in unique per-commit
+    directories and a removed file leaves the live set — so the inner
+    join never duplicates rows.
+
+    The schema grouping (parquet footers, a driver-side metadata read)
+    exists because commits may drift PHYSICAL types the log's
+    name-based evolution check permits — e.g. a COW rewrite widening
+    array<float> to array<double> — and Spark's schema merge rejects
+    mixing those in one scan. Groups are bounded by the number of
+    schema-evolution events in the range, never by commit count, so the
+    plan stays effectively constant-size; the cross-group unionByName
+    applies the same widening coercion the per-commit form relied on."""
+    if not file_versions:
+        return None
+    import pyarrow.parquet as papq
+
+    root = path.rstrip("/")
+    groups: dict[str, list[tuple[str, int]]] = {}
+    for f, v in file_versions:
+        key = str(papq.read_schema(os.path.join(root, f)))
+        groups.setdefault(key, []).append((f, v))
+    out: DataFrame | None = None
+    for fv in groups.values():
+        df = spark.read.parquet(
+            *[os.path.join(root, f) for f, _ in fv]
+        ).withColumn("_file", F.input_file_name())
+        mapping = spark.createDataFrame(
+            [
+                ("file://" + os.path.abspath(os.path.join(root, f)), int(v))
+                for f, v in fv
+            ],
+            "_file string, _commit_version int",
+        )
+        part = df.join(F.broadcast(mapping), "_file").select(
+            F.col("_commit_version"),
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in cols
+            ],
+        )
+        out = part if out is None else out.unionByName(part)
     return out
 
 
