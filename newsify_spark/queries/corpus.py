@@ -799,7 +799,11 @@ def doc_cdc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = f"{base}/docs_t"
         T.create_table(spark, path, docs.repartitionByRange(8, "doc_id"))
         # verdict table maintained from version 0 (materialized: the
-        # incremental path must not silently re-read post-mutation state)
+        # incremental path must not silently re-read post-mutation state).
+        # localCheckpoint is query-harness plumbing for the in-process
+        # round trip; the production form persists the verdict table as
+        # its own table (operators/curation.py supports that directly —
+        # it is just a DataFrame of scalars) and upserts it per commit.
         store = curation_verdicts(T.read_table(spark, path)).localCheckpoint(
             eager=True
         )

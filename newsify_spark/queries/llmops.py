@@ -1012,6 +1012,72 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+_PACK_MANIFEST_ORACLE = f"""
+WITH RECURSIVE sized AS (
+  SELECT source, doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({tokens_sql()}) AS BIGINT) AS n_tok
+  FROM documents
+),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY source, shard ORDER BY doc_id) AS i
+  FROM sized
+),
+rec AS (
+  SELECT source, shard, doc_id, n_tok, i,
+         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+         n_tok AS fill
+  FROM ord WHERE i = 1
+  UNION ALL
+  SELECT o.source, o.shard, o.doc_id, o.n_tok, o.i,
+         CASE WHEN r.fill > 0 AND r.fill + o.n_tok > {_PACK_BUDGET}
+              THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.fill > 0 AND r.fill + o.n_tok > {_PACK_BUDGET}
+              THEN CAST(0 AS BIGINT) ELSE r.fill END,
+         CASE WHEN r.fill > 0 AND r.fill + o.n_tok > {_PACK_BUDGET}
+              THEN o.n_tok ELSE r.fill + o.n_tok END
+  FROM rec r JOIN ord o
+    ON o.source = r.source AND o.shard = r.shard AND o.i = r.i + 1
+)
+SELECT source, CAST(shard AS BIGINT) AS shard, doc_id, n_tok, bin, bin_offset
+FROM rec ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_pack_manifest",
+    doc="Training-sequence packing MANIFEST (operators.packing."
+    f"pack_next_fit): greedy sequential next-fit of whole documents "
+    f"into {_PACK_BUDGET}-token bins within (source x shard) pack "
+    "groups, emitting per document its bin id and token offset — the "
+    "actual packed layout a dataloader replays, where "
+    "doc_pack_sequences only estimates bin counts. Packing is "
+    "sequentially dependent within a group, so groups are the "
+    "parallelism unit (shards scale out with the corpus) and each "
+    "group runs one Arrow-batched applyInPandas pass with O(1) state. "
+    "The DuckDB oracle replays the next-fit recurrence as a RECURSIVE "
+    "CTE, so every placement decision is hash-checked.",
+    tags=("text", "packing", "scale-path"),
+    oracle=_PACK_MANIFEST_ORACLE,
+)
+def doc_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators.packing import pack_next_fit
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        TX.token_count("text").cast("long").alias("n_tok"),
+    )
+    out = pack_next_fit(sized, budget=_PACK_BUDGET)
+    return out.select(
+        "source", "shard", "doc_id", "n_tok", "bin", "bin_offset"
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------- unigram LM quality score
 @register(
     "doc_unigram_logprob",
@@ -1151,10 +1217,132 @@ def doc_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, r in enumerate(ordered):
         a = min(_UNIMAX_CAP * r.c, b_rem / (n - i))
         b_rem -= a
-        rows.append((r.lang, int(r.c), round(a, 4), round(a / r.c, 6)))
-    return spark.createDataFrame(
-        rows, "lang string, lang_chars long, alloc_chars double, epochs double"
-    ).orderBy("lang")
+        rows.append((r.lang, int(r.c), a))
+    # rounding happens Spark-side: Python round() is banker's
+    # (half-to-even) while the oracle's round() is half-away-from-zero —
+    # F.round matches the oracle, same as everywhere else in the repo
+    return (
+        spark.createDataFrame(rows, "lang string, lang_chars long, a double")
+        .select(
+            "lang",
+            "lang_chars",
+            F.round("a", 4).alias("alloc_chars"),
+            F.round(F.col("a") / F.col("lang_chars"), 6).alias("epochs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_UNIMAX_ALLOC_CTE = f"""
+shares AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS c FROM documents GROUP BY lang
+),
+ordered AS (
+  SELECT lang, c, CAST(row_number() OVER (ORDER BY c ASC, lang ASC) AS INTEGER) AS i
+  FROM shares
+),
+tot AS (SELECT CAST(count(*) AS INTEGER) AS n_langs, CAST(sum(c) AS DOUBLE) AS t FROM ordered),
+alloc AS (
+  SELECT 0 AS i, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS c,
+         CAST(0.0 AS DOUBLE) AS a,
+         (SELECT {_UNIMAX_BUDGET_X} * t FROM tot) AS b_rem
+  UNION ALL
+  SELECT o.i, o.lang, o.c,
+         least({_UNIMAX_CAP} * o.c, al.b_rem / ((SELECT n_langs FROM tot) - al.i)),
+         al.b_rem - least({_UNIMAX_CAP} * o.c,
+                          al.b_rem / ((SELECT n_langs FROM tot) - al.i))
+  FROM alloc al JOIN ordered o ON o.i = al.i + 1
+)"""
+
+
+@register(
+    "doc_mix_unimax_sample",
+    doc="UniMax allocation APPLIED (composes doc_mix_unimax with the "
+    "deterministic-sampling machinery of operators/dsir.py): each "
+    "language's char budget becomes per-document repeat counts — "
+    "floor(epochs) full passes over every document, plus one extra "
+    "copy for the deterministic hash-ordered prefix of documents whose "
+    "cumulative char mass covers the fractional remainder, so the "
+    "sampled char mass meets the allocation to within one document. "
+    "One corpus groupBy (the language table), one broadcast join of "
+    "the |languages|-row allocation, one per-language cumsum window "
+    "over a portable md5 order — no language's realization depends on "
+    "another's. The DuckDB oracle replays the budget recursion AND the "
+    "prefix rule, so every repeat count is hash-checked.",
+    tags=("text", "sampling", "corpus-mix"),
+    oracle=f"""
+WITH RECURSIVE {_UNIMAX_ALLOC_CTE},
+al AS (
+  SELECT lang, c, a, floor(a / c) AS k FROM alloc WHERE i > 0
+),
+keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+cum AS (
+  SELECT *, CAST(COALESCE(sum(n_chars) OVER (
+      PARTITION BY lang ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS prev
+  FROM keyed
+)
+SELECT k.doc_id, k.lang, k.n_chars,
+       CAST(al.k + CASE WHEN k.prev < (al.a - al.k * al.c) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_copies
+FROM cum k JOIN al USING (lang)
+ORDER BY k.doc_id
+""",
+)
+def doc_mix_unimax_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    shares = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("c"))
+        .collect()  # |languages| rows — bounded at any corpus size
+    )
+    ordered = sorted(shares, key=lambda r: (r.c, r.lang))
+    b_rem = _UNIMAX_BUDGET_X * float(sum(r.c for r in ordered))
+    n = len(ordered)
+    rows = []
+    for i, r in enumerate(ordered):
+        a = min(_UNIMAX_CAP * r.c, b_rem / (n - i))
+        b_rem -= a
+        k = int(a // r.c)
+        # frac char target for the +1-copy prefix; same IEEE ops as the
+        # oracle (floor, *, -) over the same a, so bit-identical
+        rows.append((r.lang, k, a - k * r.c))
+    alloc = spark.createDataFrame(
+        rows, "lang string, k_epochs long, frac_chars double"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = keyed.withColumn(
+        "prev", F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("double")
+    )
+    return (
+        cum.join(F.broadcast(alloc), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (
+                F.col("k_epochs")
+                + F.when(F.col("prev") < F.col("frac_chars"), 1).otherwise(0)
+            ).cast("long").alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _sig_bands_sql(sig_cte: str) -> str:
@@ -1639,12 +1827,15 @@ ORDER BY b.doc_id
     "span shared by >=2 distinct docs is cut from all but one document "
     "— deterministic min-doc_id survivor keeps all its copies — and the "
     "cleaned corpus is emitted with overlapping cut ranges unioned at "
-    "token granularity. Spark shape: span occurrences carry their token "
-    "offset (posexplode of the codegen'd shingle projection, prefiltered "
-    "by the hot-position sketch), survivor + distinct-doc count ride ONE "
-    "window over the hash partitioning, covered-token explode is "
-    "dup-bounded (not corpus-bounded), one per-doc aggregate rebuilds "
-    "the text. The oracle mirrors the survivor rule exactly in DuckDB.",
+    "token granularity. Spark shape (r10): span occurrences carry their "
+    "token offset (posexplode of the codegen'd shingle projection, "
+    "prefiltered by the hot-position sketch), survivor + distinct-doc "
+    "count ride ONE window over a 128-bit span identity, cut starts "
+    "aggregate per doc into a sorted array (dup-bounded rows) that "
+    "broadcast-joins back to docs, and the rebuild is MAP-SIDE via "
+    "interval-complement higher-order functions — the corpus is never "
+    "token-exploded into a shuffle. The oracle mirrors the survivor "
+    "rule exactly in DuckDB.",
     tags=("dedup", "spans", "scale-path"),
     oracle=_DUP_SPANS_REMOVED_ORACLE,
 )

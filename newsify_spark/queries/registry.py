@@ -77,11 +77,14 @@ DEMOTED: frozenset[str] = frozenset(
         # rel_txnlog_snapshot — all promoted in rotation #6 below, which
         # pays off the rotation debt: every registered query family now
         # has direct driver evidence)
-        # round-9 additions; never-driver-checked — rotation-#8 queue
-        "doc_dup_spans_removed",
-        "doc_cdc_curation",
-        "doc_bm25_cdc_search",
-        "doc_mix_unimax",
+        # (round-9 additions — doc_dup_spans_removed, doc_cdc_curation,
+        # doc_bm25_cdc_search, doc_mix_unimax — all promoted in rotation
+        # #8 below for their first driver rows; doc_dup_spans_removed
+        # promoted only after its r10 rebuild rework removed the
+        # corpus-token shuffle VERDICT r9 marked weak)
+        # round-10 additions; never-driver-checked — rotation-#9 queue
+        "doc_mix_unimax_sample",
+        "doc_pack_manifest",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,
@@ -253,6 +256,18 @@ DEMOTED: frozenset[str] = frozenset(
         "vec_int8_quantize",  # green r6+r7+r8
         "tpch_q02_min_acctbal_supplier",  # green r6+r7+r8
         "tpch_q05_local_supplier_volume",  # green r6+r7+r8
+        # --- round-10 rotation OUT (rotation #8): every name below is
+        # driver hash-green in 3 rounds (r7+r8+r9 — the rotation-#5
+        # cohort), freeing window slots for the 4 round-9 additions —
+        # all first-ever driver rows. Kept in-window from the cohort:
+        # doc_dup_spans + doc_bm25_search (bench headliners) and
+        # ml_ann_ivfpq_topk + the tpch_q15-q17 trio (only 4 slots were
+        # needed). All demoted names remain oracle-verified locally
+        # every round via tests/test_oracle.py and green_gate --all.
+        "tpch_q07_volume_shipping",  # green r7+r8+r9
+        "tpch_q08_market_share",  # green r7+r8+r9
+        "tpch_q09_product_profit",  # green r7+r8+r9
+        "tpch_q11_important_parts",  # green r7+r8+r9
     }
 )
 

@@ -6,6 +6,7 @@ semantics tests for the merge/dedup/cluster building blocks
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -1410,6 +1411,63 @@ def test_remove_duplicate_spans_survivor_keeps_one_copy(spark):
     }
 
 
+def test_remove_duplicate_spans_rebuild_never_shuffles_the_corpus(spark):
+    """The r10 rework's scale contract: the rebuild must be map-side —
+    exactly ONE Generate (the span posexplode; the r9 plan had a second
+    one that posexploded EVERY corpus token into a groupBy shuffle), the
+    cut-summary side joins back by broadcast, and the destructive span
+    identity is 128-bit (the window partitions on both xxhash64 seeds,
+    not just one — ~10^13 spans at 100 TB birthday-collide a single
+    64-bit key into silent cuts of legitimate text)."""
+    from newsify_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} shared passage text here w{i + 1}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    df = remove_duplicate_spans(docs, window=4, min_docs=2)
+    df.collect()  # let AQE finalize (the in-memory fixture has no stats)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert final.count("Generate posexplode") == 1, final
+    assert "BroadcastHashJoin" in final, final
+    assert "_h2" in final, "window no longer keyed on the 128-bit identity"
+
+
+def test_span_family_count_hint_skips_route_probe(spark, monkeypatch):
+    """prefilter='auto' routes off a corpus row count; composed pipelines
+    pass ``n_docs`` once so neither operator pays its own probe scan.
+    Pin it by making DataFrame.count explode: with the hint the plans
+    must still build, without it the probe must fire."""
+    from newsify_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z q r s")],
+        "doc_id long, text string",
+    )
+    expected = sorted(map(tuple, duplicate_spans(docs, window=4).collect()))
+    expected_rm = sorted(
+        map(tuple, remove_duplicate_spans(docs, window=4).collect())
+    )
+
+    def boom(self):
+        raise AssertionError("route probe ran a .count() despite n_docs hint")
+
+    # patch the concrete class (pyspark 4's classic DataFrame overrides
+    # the base-class count, so patching pyspark.sql.DataFrame is a no-op)
+    monkeypatch.setattr(type(docs), "count", boom)
+    flagged = duplicate_spans(docs, window=4, n_docs=3)
+    cleaned = remove_duplicate_spans(docs, window=4, n_docs=3)
+    with pytest.raises(AssertionError, match="route probe"):
+        duplicate_spans(docs, window=4)
+    monkeypatch.undo()
+    assert sorted(map(tuple, flagged.collect())) == expected
+    assert sorted(map(tuple, cleaned.collect())) == expected_rm
+
+
 # ------------------------------------------------------- semantic dedup
 
 
@@ -2365,6 +2423,99 @@ def test_txnlog_vacuum_drops_only_dead_files(spark, tmp_path):
     assert T.read_table(spark, path).count() == 100  # latest snapshot intact
 
 
+def test_txnlog_optimize_compacts_without_changing_data(spark, tmp_path):
+    """OPTIMIZE as a commit (VERDICT r9 #7): many tiny streaming appends
+    bin-pack into fewer files; the snapshot is row-identical before and
+    after, the CDF diff of the optimize commit nets to zero changes,
+    time travel to pre-optimize versions still works, and a concurrent
+    writer landing mid-optimize makes the optimize lose its CAS."""
+    import pytest as _pytest
+
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark, 5).coalesce(1))
+    for i in range(6):  # one tiny file-set per micro-batch, like the sink
+        T.append_rows(
+            spark, path, _txn_fixture(spark, 5).select(
+                (F.col("k") + 10 * (i + 1)).alias("k"), "val", "tag"
+            ).coalesce(1),
+        )
+    before = sorted(map(tuple, T.read_table(spark, path).collect()))
+    n_live_before = len(T._live_files(path))
+    v = T.optimize(spark, path, target_bytes=1 << 20)
+    assert v == 7
+    after = sorted(map(tuple, T.read_table(spark, path).collect()))
+    assert after == before  # data-identical
+    assert len(T._live_files(path)) < n_live_before  # file count drops
+    # pure rewrite: the optimize commit's CDF nets to zero row changes
+    assert T.read_changes(spark, path, v, v).count() == 0
+    # time travel to a pre-optimize version is intact
+    assert T.read_table(spark, path, version=3).count() == 20
+    # idempotent no-op when nothing is small enough
+    assert T.optimize(spark, path, target_bytes=1) is None
+    # OCC: an interloper claiming the pinned version beats the optimize
+    # (a fresh small file first, so the optimize has >= min_files work)
+    T.append_rows(
+        spark, path, _txn_fixture(spark, 3).coalesce(1)
+    )
+    orig_read = T._read_files_aligned
+
+    def ambush(spark_, path_, files, cols):
+        T.append_rows(spark_, path_, _txn_fixture(spark_, 1).coalesce(1))
+        return orig_read(spark_, path_, files, cols)
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(T, "_read_files_aligned", side_effect=ambush):
+        with _pytest.raises(T.ConcurrentWriteError):
+            T.optimize(spark, path, target_bytes=1 << 20)
+
+
+def test_txnlog_read_changes_plan_is_commit_count_invariant(spark, tmp_path):
+    """VERDICT r9 #8: a long commit range must NOT build an O(commits)
+    plan. 50 appends + an upsert + a delete: the feed still equals the
+    per-key net expectation, while the optimized plan holds a bounded
+    number of parquet relations (two batched scans duplicated by the
+    two exceptAll sides — not one pair per commit)."""
+    from newsify_spark.operators import txnlog as T
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _txn_fixture(spark, 4).coalesce(1))
+    for i in range(50):
+        T.append_rows(
+            spark, path,
+            spark.createDataFrame(
+                [(100 + i, float(i), f"b{i}")], ["k", "val", "tag"]
+            ),
+        )
+    T.upsert_rows(
+        spark, path,
+        spark.createDataFrame([(100, -1.0, "upd")], ["k", "val", "tag"]),
+        ["k"],
+    )
+    T.delete_rows(spark, path, spark.createDataFrame([(101,)], ["k"]), ["k"])
+    feed = T.read_changes(spark, path, 1)
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("Relation [")
+    assert n_scans <= 8, f"plan grew with commit count: {n_scans} scans"
+    net = {
+        r.k: (r._change_type, r.val, r.tag)
+        for r in T.net_changes(feed, "k").collect()
+    }
+    assert len(net) == 50  # 50 appended keys net to their final state
+    assert net[100] == ("insert", -1.0, "upd")
+    assert net[101][0] == "delete"
+    assert net[102] == ("insert", 2.0, "b2")
+    # the feed agrees with the snapshot: applying net inserts over the
+    # creation rows reproduces the live table
+    snapshot = {r.k for r in T.read_table(spark, path).collect()}
+    applied = {0, 1, 2, 3} | {
+        k for k, (t, *_r) in net.items() if t == "insert"
+    }
+    assert applied == snapshot
+
+
 def test_txnlog_schema_mismatch_rejected(spark, tmp_path):
     import pytest as _pytest
 
@@ -2675,6 +2826,90 @@ def test_unimax_allocation_invariants(spark):
     assert out["en"].epochs < 3.0
     total = sum(r.alloc_chars for r in out.values())
     assert abs(total - 2.0 * 100 * 100) < 1e-6  # budget exactly spent
+
+
+def test_unimax_sample_meets_allocation_within_one_doc(spark):
+    """The applied allocation (doc_mix_unimax_sample): per language, the
+    realized char mass sum(n_copies * n_chars) overshoots alloc_chars by
+    LESS THAN ONE DOCUMENT (the crossing doc of the hash-ordered prefix)
+    and never undershoots — the invariant VERDICT r9 #5 asked for."""
+    import tempfile
+
+    from newsify_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i < 80 else ("de" if i < 95 else "mi"),
+             50 + (i * 37) % 130, "x")
+            for i in range(100)
+        ],
+        "doc_id long, lang string, n_chars long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        alloc = {
+            r.lang: r for r in REGISTRY["doc_mix_unimax"].fn(spark, d).collect()
+        }
+        sample = REGISTRY["doc_mix_unimax_sample"].fn(spark, d).collect()
+    realized: dict[str, int] = {}
+    max_doc: dict[str, int] = {}
+    for r in sample:
+        realized[r.lang] = realized.get(r.lang, 0) + r.n_copies * r.n_chars
+        max_doc[r.lang] = max(max_doc.get(r.lang, 0), r.n_chars)
+    assert set(realized) == set(alloc)
+    for lang, a in alloc.items():
+        s = realized[lang]
+        # alloc_chars is rounded to 4dp in the diagnostic query; allow it
+        assert a.alloc_chars - 1e-3 <= s < a.alloc_chars + max_doc[lang] + 1e-3, (
+            lang, s, a.alloc_chars, max_doc[lang]
+        )
+    # every document appears once with a non-negative repeat count
+    assert len(sample) == 100
+    assert all(r.n_copies >= 0 for r in sample)
+
+
+def test_pack_manifest_reconstruction_properties(spark):
+    """Next-fit packing manifest: every doc packed exactly once, no
+    multi-doc bin over budget, offsets are the exact running fill (a
+    dataloader could replay the manifest byte-for-byte), bins are
+    contiguous from 0 per group, an oversized doc sits ALONE in its own
+    bin, and the manifest is deterministic across runs."""
+    from newsify_spark.operators.packing import pack_next_fit
+
+    budget = 100
+    rows = [
+        ("a", i, i % 2, 30 + (i * 17) % 45) for i in range(40)
+    ] + [("a", 100, 0, 250)]  # oversized doc
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, shard long, n_tok long"
+    )
+    out = pack_next_fit(docs, budget=budget).collect()
+    assert len(out) == len(rows)
+    assert len({r.doc_id for r in out}) == len(rows)  # exactly once
+    by_bin: dict[tuple, list] = {}
+    for r in out:
+        by_bin.setdefault((r.source, r.shard, r.bin), []).append(r)
+    groups: dict[tuple, set] = {}
+    for (src, shard, b), members in by_bin.items():
+        groups.setdefault((src, shard), set()).add(b)
+        members.sort(key=lambda r: r.doc_id)
+        fill = 0
+        for m in members:
+            assert m.bin_offset == fill, m  # replayable offsets
+            fill += m.n_tok
+        if len(members) > 1:
+            assert fill <= budget, (src, shard, b, fill)
+        else:
+            # single-doc bins may be oversized docs; never split, never lost
+            assert members[0].n_tok == fill
+    for g, bins in groups.items():
+        assert bins == set(range(len(bins))), (g, bins)  # contiguous from 0
+    oversized = [r for r in out if r.doc_id == 100]
+    assert len(oversized) == 1 and oversized[0].bin_offset == 0
+    assert len(by_bin[("a", 0, oversized[0].bin)]) == 1  # alone in its bin
+    # determinism
+    again = sorted(map(tuple, pack_next_fit(docs, budget=budget).collect()))
+    assert again == sorted(map(tuple, out))
 
 
 def test_ivfpq_cdc_sync_equals_fresh_encode(spark, tmp_path):

@@ -64,10 +64,9 @@ MUST_BE_CHECKED = {
     "doc_dup_spans",  # ExactSubstr-style span dedup
     "doc_bm25_search",  # BM25 lexical retrieval (bench headliner)
     "ml_ann_ivfpq_topk",  # composed IVF-PQ ANN index
-    "tpch_q07_volume_shipping",
-    "tpch_q08_market_share",
-    "tpch_q09_product_profit",
-    "tpch_q11_important_parts",
+    # (rotation #8 trimmed tpch_q07/q08/q09/q11 after each accumulated 3
+    # driver-green rounds (r7+r8+r9) — all still oracle-verified locally
+    # every round.)
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_qty_revenue",
@@ -99,6 +98,13 @@ MUST_BE_CHECKED = {
     "doc_blocklist_filter",  # C4 blocklist gate
     "doc_pmi_collocations",  # PMI collocation mining
     "rec_item_cooccurrence",  # association-lift co-occurrence mining
+    # round-10 rotation IN (rotation #8): first-ever driver rows — the 4
+    # round-9 additions (all locally oracle-green at all 3 SFs since r9;
+    # doc_dup_spans_removed promoted only after the r10 rebuild rework)
+    "doc_dup_spans_removed",  # ExactSubstr span REMOVAL (cleaned corpus)
+    "doc_cdc_curation",  # CDC-driven incremental curation
+    "doc_bm25_cdc_search",  # CDC-maintained BM25 index search
+    "doc_mix_unimax",  # UniMax language-budget allocation
 }
 
 
