@@ -116,7 +116,13 @@ QUERIES = [
 # decomposes into fixed overhead (a) vs data-proportional slope (b) —
 # a genuinely superlinear stage shows up as the 8x point escaping the
 # line, not as a big ratio with a big intercept.
-ATTRIBUTED = ["doc_neardup_lsh", "vec_knn_int8", "doc_dsir_weights"]
+ATTRIBUTED = [
+    "doc_neardup_lsh",
+    "vec_knn_int8",
+    "doc_dsir_weights",
+    # round 10 (VERDICT r9 #6): the one >3.5 entry that had no fit
+    "doc_cdc_curation",
+]
 
 ATTRIBUTION_NOTES = {
     "doc_neardup_lsh": (
@@ -147,7 +153,63 @@ ATTRIBUTION_NOTES = {
         "1024-row model fit and broadcast are fixed-size, so the "
         "intercept carries them plus first-run warmup"
     ),
+    "doc_cdc_curation": (
+        "the query STAGES its own world per run — create a COW table "
+        "from the corpus, materialize the initial verdict table, run "
+        "the mutation commits — before the part the operator actually "
+        "sells (change-feed consumption + scalar verdict upsert + "
+        "corpus-level re-aggregate). The stage split below separates "
+        "those: staging is data-proportional by design (it writes the "
+        "corpus), the COW mutation commits are blast-radius bounded, "
+        "and the incremental consumer path reads commit files only. In "
+        "production create/initial-verdict happen once, not per feed "
+        "cycle"
+    ),
 }
+
+
+def _cdc_split(spark, sf_dir: str) -> tuple[float, float, float]:
+    """doc_cdc_curation's stage decomposition (VERDICT r9 #6): returns
+    (t_stage, t_mutate, t_incr) seconds — one-time staging (COW table
+    create + initial verdict materialization), the writer-side COW
+    mutation commits, and the actual incremental consumer path
+    (commit-files-only change feed -> verdict upsert -> curated set)."""
+    import shutil
+
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.operators.curation import (
+        apply_changes_to_verdicts,
+        curated_from_verdicts,
+        curation_verdicts,
+    )
+    from newsify_spark.queries.corpus import apply_cdc_mutations
+    from newsify_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    base = tempfile.mkdtemp(prefix="newsify_cdc_split_")
+    try:
+        path = f"{base}/docs_t"
+        t0 = time.perf_counter()
+        T.create_table(spark, path, docs.repartitionByRange(8, "doc_id"))
+        store = curation_verdicts(T.read_table(spark, path)).localCheckpoint(
+            eager=True
+        )
+        t_stage = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        apply_cdc_mutations(spark, docs, path)
+        t_mutate = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        changes = T.read_changes(spark, path, 1)
+        store2 = apply_changes_to_verdicts(store, changes).localCheckpoint(
+            eager=True
+        )
+        force(curated_from_verdicts(store2))
+        t_incr = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return t_stage, t_mutate, t_incr
 
 
 def _fit_line(points: list[tuple[int, float]]) -> tuple[float, float, float]:
@@ -239,10 +301,15 @@ def main() -> None:
         # ambient noise masquerade as superlinearity or hide it.
         import statistics
 
+        # one factor list drives replica dirs AND the table columns — a
+        # dict literal keyed {1: src, n: dst} plus hardcoded 2/4 inserts
+        # collided when n ∈ {2, 4} and mislabeled the table (ADVICE r9)
+        factors = sorted({1, 2, 4, n})
         dirs = {1: src, n: dst}
-        for m in (2, 4):
-            dirs[m] = os.path.join(tmp, f"sf0.1x{m}")
-            replicate(spark, src, dirs[m], m)
+        for m in factors:
+            if m not in dirs:
+                dirs[m] = os.path.join(tmp, f"sf0.1x{m}")
+                replicate(spark, src, dirs[m], m)
         fits = []
         for name in ATTRIBUTED:
             q = REGISTRY[name]
@@ -260,6 +327,22 @@ def main() -> None:
                 f"# attribution {name}: "
                 + " ".join(f"{x}x={y:.2f}s" for x, y in pts)
                 + f" fit a={a:.2f} b={b:.2f} worst_resid={worst:.0%}",
+                file=sys.stderr,
+            )
+
+        # doc_cdc_curation stage decomposition (VERDICT r9 #6): staging
+        # vs writer-side COW commits vs the incremental consumer path,
+        # per factor (median of 3)
+        cdc_rows = []
+        for m in factors:
+            triples = [_cdc_split(spark, dirs[m]) for _ in range(3)]
+            med = tuple(
+                statistics.median(t[i] for t in triples) for i in range(3)
+            )
+            cdc_rows.append((m, *med))
+            print(
+                f"# cdc split {m}x: stage={med[0]:.2f}s "
+                f"mutate={med[1]:.2f}s incremental={med[2]:.2f}s",
                 file=sys.stderr,
             )
 
@@ -289,19 +372,37 @@ def main() -> None:
             "ratio is the intercept amortizing, NOT a superlinear stage "
             "(a quadratic term would bend the 8x point far above the "
             "1-2-4 trend).\n\n"
-            "| query | 1x | 2x | 4x | 8x | fixed a (s) | slope b (s/replica) | worst resid | ratio explained |\n"
-            "|---|---|---|---|---|---|---|---|---|\n"
+            "| query | " + " | ".join(f"{m}x" for m in factors)
+            + " | fixed a (s) | slope b (s/replica) | worst resid | ratio explained |\n"
+            "|---|" + "---|" * (len(factors) + 4) + "\n"
         )
         for name, pts, a, b, worst in fits:
             t = {x: y for x, y in pts}
             explained = (a + b * n) / (a + b) if (a + b) > 0 else float("nan")
             f.write(
-                f"| {name} | {t[1]:.2f} | {t[2]:.2f} | {t[4]:.2f} | {t[n]:.2f} "
-                f"| {a:.2f} | {b:.2f} | {worst:.0%} | {explained:.1f} |\n"
+                f"| {name} | " + " | ".join(f"{t[m]:.2f}" for m in factors)
+                + f" | {a:.2f} | {b:.2f} | {worst:.0%} | {explained:.1f} |\n"
             )
         f.write("\n")
         for name, pts, a, b, worst in fits:
             f.write(f"- **{name}** — {ATTRIBUTION_NOTES[name]}.\n")
+        f.write(
+            "\n### doc_cdc_curation stage split (VERDICT r9 #6)\n\n"
+            "Per factor (median of 3): `stage` = COW table create + "
+            "initial verdict materialization (once per table lifetime "
+            "in production, data-proportional by design — it writes the "
+            "corpus); `mutate` = the writer-side COW upsert/delete "
+            "commits (blast-radius bounded: rewrites only files holding "
+            "touched keys); `incremental` = the consumer path the "
+            "operator actually sells — change feed from commit files "
+            "only, scalar verdict upsert, corpus-level re-aggregate of "
+            "the scalars table. Only `incremental` recurs per feed "
+            "cycle.\n\n"
+            "| factor | stage s | mutate s | incremental s |\n"
+            "|---|---|---|---|\n"
+        )
+        for m, ts, tm, ti in cdc_rows:
+            f.write(f"| {m}x | {ts:.2f} | {tm:.2f} | {ti:.2f} |\n")
         f.write(
             "\nThe `doc_semdedup (k∝√n, ivf-assign)` entry runs semantic_dedup "
             "at its documented production tuning with the round-6 scale "
