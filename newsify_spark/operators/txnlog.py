@@ -32,6 +32,29 @@ rewrites one file, not the table. On a real object store the
 ``os.link`` CAS becomes the store's put-if-absent; everything else is
 unchanged. Swap in Delta/Iceberg and ``upsert`` is MERGE INTO with the
 same call shape.
+
+Round 10 adds the remaining three legs of the lakehouse design (all
+public: Delta's stats/OPTIMIZE ZORDER/checkpoints, Iceberg manifests):
+
+- **per-file column stats**: every commit records min/max/null-count
+  per added file, harvested from the parquet FOOTERS the write just
+  produced (a driver-side metadata read, O(new files) — on an object
+  store these are the same ranged GETs a manifest writer issues; no
+  Spark job, no data re-scan);
+- **data skipping**: :func:`read_table` takes ``where=`` simple
+  predicates and opens only files whose [min,max] interval can hold a
+  match (files lacking stats are read — pruning is only ever an
+  optimization, never a semantics change; the predicate is re-applied
+  row-level on the survivors);
+- **OPTIMIZE ZORDER**: :func:`optimize` with ``zorder_by=`` rewrites
+  the snapshot clustered on an interleaved-bit key of equi-depth
+  bucket codes, so files become selective on EVERY listed column and
+  the stats above start pruning multi-column predicates;
+- **log checkpoints**: every ``CHECKPOINT_EVERY`` commits the full
+  snapshot state (live files + stats + columns) lands in one
+  ``<v>.checkpoint.json``; readers replay O(CHECKPOINT_EVERY) tail
+  entries instead of O(commits) — the unbounded-replay cost Delta's
+  ``_last_checkpoint`` exists to kill.
 """
 
 from __future__ import annotations
@@ -47,6 +70,15 @@ from pyspark.sql import functions as F
 from newsify_spark.operators.merge import upsert_by_key
 
 _LOG_DIR = "_txnlog"
+
+# Leaf columns per file whose min/max/null-count ride the commit entry
+# (Delta's dataSkippingNumIndexedCols). Bounds entry size, not safety —
+# predicates on unindexed columns simply never prune.
+STATS_MAX_COLUMNS = 32
+
+# Snapshot-state checkpoint cadence: readers replay at most this many
+# raw log entries past the newest checkpoint.
+CHECKPOINT_EVERY = 10
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -67,9 +99,11 @@ def _versions(path: str) -> list[int]:
     )
 
 
-def _read_log(path: str, upto: int | None = None) -> list[dict]:
+def _read_log(path: str, upto: int | None = None, since: int = 0) -> list[dict]:
     entries = []
     for v in _versions(path):
+        if v < since:
+            continue
         if upto is not None and v > upto:
             break
         with open(os.path.join(_log_path(path), f"{v}.json")) as fh:
@@ -77,29 +111,170 @@ def _read_log(path: str, upto: int | None = None) -> list[dict]:
     return entries
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_path(path), f"{version}.checkpoint.json")
+
+
+def _checkpoints(path: str) -> list[int]:
+    d = _log_path(path)
+    if not os.path.isdir(d):
+        return []
+    suffix = ".checkpoint.json"
+    return sorted(
+        int(f[: -len(suffix)])
+        for f in os.listdir(d)
+        if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+    )
+
+
+def _snapshot_state(path: str, upto: int | None = None) -> dict | None:
+    """Resolve a snapshot — {live file -> stats-or-None, columns} — from
+    the newest checkpoint at or before ``upto`` plus the raw log tail
+    after it. Replay cost is O(CHECKPOINT_EVERY) entries regardless of
+    table age; without a checkpoint it degrades to the full replay the
+    pre-r10 code always paid. Returns None for a table with no commits."""
+    base = -1
+    files: dict[str, dict | None] = {}
+    columns: list[str] | None = None
+    cks = [v for v in _checkpoints(path) if upto is None or v <= upto]
+    if cks:
+        base = cks[-1]
+        with open(_checkpoint_path(path, base)) as fh:
+            ck = json.load(fh)
+        files = dict(ck["files"])
+        columns = list(ck["columns"])
+    for e in _read_log(path, upto=upto, since=base + 1):
+        for f in e["remove"]:
+            files.pop(f, None)
+        stats = e.get("stats") or {}
+        for f in e["add"]:
+            files[f] = stats.get(f)
+        columns = e["columns"]
+    if columns is None:
+        return None
+    return {"files": files, "columns": columns}
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    """Publish a snapshot-state checkpoint every CHECKPOINT_EVERY
+    commits. Purely an accelerator: losing the race (or crashing before
+    the link) leaves readers on raw-log replay, never wrong."""
+    if version <= 0 or version % CHECKPOINT_EVERY != 0:
+        return
+    state = _snapshot_state(path, upto=version)
+    body = {
+        "version": version,
+        "columns": state["columns"],
+        "files": state["files"],
+    }
+    d = _log_path(path)
+    staged = os.path.join(d, f".{version}.ckpt.{uuid.uuid4().hex[:8]}.tmp")
+    with open(staged, "w") as fh:
+        json.dump(body, fh)
+    try:
+        os.link(staged, _checkpoint_path(path, version))
+    except FileExistsError:
+        pass
+    finally:
+        os.unlink(staged)
+
+
 def _live_files(path: str, version: int | None = None) -> list[str]:
-    live: set[str] = set()
-    for e in _read_log(path, version):
-        live -= set(e["remove"])
-        live |= set(e["add"])
-    return sorted(live)
+    state = _snapshot_state(path, version)
+    return sorted(state["files"]) if state else []
 
 
-def _write_data(spark: SparkSession, path: str, df: DataFrame, version: int) -> list[str]:
+def _write_data(
+    spark: SparkSession, path: str, df: DataFrame, version: int
+) -> tuple[list[str], dict[str, dict | None]]:
     """Write df as immutable parquet under data/c<version>-<nonce>/ and
-    return the part-file paths relative to the table root."""
+    return (part-file paths relative to the table root, per-file stats
+    harvested from the freshly written footers)."""
     rel_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}"
-    out = os.path.join(path.rstrip("/"), rel_dir)
+    root = path.rstrip("/")
+    out = os.path.join(root, rel_dir)
     df.write.parquet(out)
-    return [
+    files = [
         f"{rel_dir}/{f}"
         for f in sorted(os.listdir(out))
         if f.endswith(".parquet") and not f.startswith(".")
     ]
+    return files, _collect_file_stats(root, files)
+
+
+def _stat_value(v):
+    """JSON-safe, ORDER-PRESERVING encoding of a footer stat value.
+    Dates/timestamps become ISO strings (lexicographic == chronological
+    within a column, which is all interval pruning needs). Returns None
+    for types skipping can't soundly compare (binary, decimals...)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max prunes nothing useful; never index
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(root: str, files: list[str]) -> dict[str, dict | None]:
+    """Per-file {rows, min{col}, max{col}, nulls{col}} from parquet
+    footers — driver-side metadata reads over the files THIS commit just
+    wrote (never the table), the same ranged-GET cost a manifest writer
+    pays. Row-group stats fold to file level; a column is indexed only
+    if EVERY row group gives it usable stats (missing min/max is fine
+    for an all-null group — the null count still rules rows out).
+    Parquet's truncated string min/max stay sound: the stored min is a
+    prefix <= the true min and the stored max is incremented past the
+    true max, so the interval only ever widens."""
+    import pyarrow.parquet as papq
+
+    out: dict[str, dict | None] = {}
+    for rel in files:
+        try:
+            md = papq.ParquetFile(os.path.join(root, rel)).metadata
+        except Exception:
+            out[rel] = None
+            continue
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        bad: set[str] = set()
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(min(md.num_columns, STATS_MAX_COLUMNS)):
+                col = rg.column(c_i)
+                name = col.path_in_schema
+                if "." in name or name in bad:  # nested leaves: skip
+                    continue
+                s = col.statistics
+                if s is None or not s.has_null_count:
+                    bad.add(name)
+                    continue
+                nulls[name] = nulls.get(name, 0) + s.null_count
+                if s.null_count == rg.num_rows:
+                    continue  # all-null group: no min/max to merge
+                if not s.has_min_max:
+                    bad.add(name)
+                    continue
+                mn, mx = _stat_value(s.min), _stat_value(s.max)
+                if mn is None or mx is None:
+                    bad.add(name)
+                    continue
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+        for name in bad:
+            mins.pop(name, None)
+            maxs.pop(name, None)
+            nulls.pop(name, None)
+        out[rel] = {"rows": md.num_rows, "min": mins, "max": maxs, "nulls": nulls}
+    return out
 
 
 def _commit(path: str, version: int, op: str, add: list[str], remove: list[str],
-            columns: list[str], txn: dict | None = None) -> None:
+            columns: list[str], txn: dict | None = None,
+            stats: dict[str, dict | None] | None = None) -> None:
     """Atomic create-exclusive publish of one log entry. os.link fails
     with EEXIST if another writer claimed the version — the CAS."""
     d = _log_path(path)
@@ -114,6 +289,8 @@ def _commit(path: str, version: int, op: str, add: list[str], remove: list[str],
     }
     if txn is not None:
         entry["txn"] = txn
+    if stats is not None:
+        entry["stats"] = stats
     staged = os.path.join(d, f".{version}.{uuid.uuid4().hex[:8]}.tmp")
     with open(staged, "w") as fh:
         json.dump(entry, fh)
@@ -125,6 +302,7 @@ def _commit(path: str, version: int, op: str, add: list[str], remove: list[str],
         ) from e
     finally:
         os.unlink(staged)
+    _maybe_checkpoint(path, version)
 
 
 def _next_version(path: str) -> int:
@@ -137,10 +315,10 @@ def _check_columns(path: str, df: DataFrame, upto: int | None = None) -> list[st
     may ADD columns — old files backfill null at read — but dropping an
     existing column is rejected (it would silently truncate history).
     Returns the evolved column list the commit should record."""
-    entries = _read_log(path, upto=upto)
-    if not entries:
+    state = _snapshot_state(path, upto=upto)
+    if state is None:
         return list(df.columns)
-    have = entries[-1]["columns"]
+    have = state["columns"]
     missing = set(have) - set(df.columns)
     if missing:
         raise ValueError(
@@ -153,8 +331,8 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     """Version 0: write initial data files, publish the first commit."""
     if _versions(path):
         raise ValueError(f"table already exists at {path}")
-    files = _write_data(spark, path, df, 0)
-    _commit(path, 0, "create", files, [], df.columns)
+    files, stats = _write_data(spark, path, df, 0)
+    _commit(path, 0, "create", files, [], df.columns, stats=stats)
     return 0
 
 
@@ -166,8 +344,8 @@ def append_rows(
     :func:`idempotent_append` keys on (Delta's ``txn`` action)."""
     cols = _check_columns(path, df)
     v = _next_version(path)
-    files = _write_data(spark, path, df, v)
-    _commit(path, v, "append", files, [], cols, txn=txn)
+    files, stats = _write_data(spark, path, df, v)
+    _commit(path, v, "append", files, [], cols, txn=txn, stats=stats)
     return v
 
 
@@ -218,29 +396,153 @@ def exactly_once_sink(spark: SparkSession, path: str, app_id: str):
     return _sink
 
 
+def _normalize_where(where) -> list[tuple[str, str, object, object]]:
+    """Validate/normalize ``where`` into (col, op, raw, stat-encoded)
+    tuples. ``between`` carries a (lo, hi) pair."""
+    ops = {"=", "<", "<=", ">", ">=", "between"}
+    out = []
+    for col, op, val in where:
+        if op not in ops:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        if op == "between":
+            lo, hi = val
+            out.append((col, op, (lo, hi), (_stat_value(lo), _stat_value(hi))))
+        else:
+            out.append((col, op, val, _stat_value(val)))
+    return out
+
+
+def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
+    """Interval test of one predicate against one file's footer stats.
+    True (= must read) whenever the stats can't PROVE emptiness."""
+    if not fstats:
+        return True
+    nulls = fstats.get("nulls", {})
+    rows = fstats.get("rows")
+    if col in nulls and rows is not None and nulls[col] == rows:
+        return False  # every value null: no comparison predicate matches
+    mn = fstats.get("min", {}).get(col)
+    mx = fstats.get("max", {}).get(col)
+    if mn is None or mx is None:
+        return True  # column not indexed in this file
+    try:
+        if op == "=":
+            return mn <= sval <= mx
+        if op == "<":
+            return mn < sval
+        if op == "<=":
+            return mn <= sval
+        if op == ">":
+            return mx > sval
+        if op == ">=":
+            return mx >= sval
+        lo, hi = sval  # between
+        return (lo is None or mx >= lo) and (hi is None or mn <= hi)
+    except TypeError:
+        return True  # incomparable literal/stat types: stay safe
+
+
+def _prune_files(
+    state: dict, where: list[tuple[str, str, object, object]]
+) -> list[str]:
+    """Live files a conjunctive predicate list might touch."""
+    kept = []
+    for f in sorted(state["files"]):
+        fstats = state["files"][f]
+        if all(_file_can_match(fstats, c, op, sv) for c, op, _, sv in where):
+            kept.append(f)
+    return kept
+
+
+def _where_condition(where: list[tuple[str, str, object, object]]):
+    cond = None
+    for col, op, raw, _ in where:
+        c = F.col(col)
+        if op == "=":
+            term = c == F.lit(raw)
+        elif op == "<":
+            term = c < F.lit(raw)
+        elif op == "<=":
+            term = c <= F.lit(raw)
+        elif op == ">":
+            term = c > F.lit(raw)
+        elif op == ">=":
+            term = c >= F.lit(raw)
+        else:
+            lo, hi = raw
+            term = c.between(F.lit(lo), F.lit(hi))
+        cond = term if cond is None else cond & term
+    return cond
+
+
+def scan_report(
+    path: str, where, version: int | None = None
+) -> dict[str, int]:
+    """Data-skipping effectiveness for a predicate list WITHOUT running
+    the query: how many live files a ``read_table(where=...)`` would
+    open. Log/footer metadata only — no data I/O."""
+    state = _snapshot_state(path, version)
+    if state is None:
+        raise ValueError(f"no snapshot at version={version} in {path}")
+    kept = _prune_files(state, _normalize_where(where))
+    return {
+        "files_live": len(state["files"]),
+        "files_read": len(kept),
+        "files_skipped": len(state["files"]) - len(kept),
+    }
+
+
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where=None,
 ) -> DataFrame:
     """Snapshot read — latest by default, any retained version via
     ``version`` (time travel). Returns an empty-plan error if the
-    version predates the log or the snapshot has no files."""
-    files = _live_files(path, version)
-    root = path.rstrip("/")
-    if not files:
+    version predates the log or the snapshot has no files.
+
+    ``where`` (optional) is a list of simple conjunctive predicates
+    ``(column, op, literal)`` with op in =/</<=/>/>=/between (between
+    takes a (lo, hi) literal). The scan then opens ONLY live files whose
+    footer min/max interval can hold a match — Delta/Iceberg data
+    skipping on the commit-recorded stats — and re-applies the predicate
+    row-level, so the result is exactly the unpruned read filtered:
+    files written before stats existed (or with unindexable columns)
+    are simply read rather than skipped."""
+    state = _snapshot_state(path, version)
+    if state is None or not state["files"]:
         raise ValueError(f"no snapshot at version={version} in {path}")
+    preds = _normalize_where(where) if where else []
+    files = _prune_files(state, preds) if preds else sorted(state["files"])
+    cols = state["columns"]
+    root = path.rstrip("/")
+    if not files:  # every file provably empty for the predicate
+        from pyspark.sql.types import StructType
+
+        sample = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, f) for f in sorted(state["files"])[:1]]
+        )
+        schema = StructType([sample.schema[c] for c in cols if c in sample.columns])
+        empty = spark.createDataFrame([], schema)
+        return empty.select(
+            *[F.col(c) if c in empty.columns else F.lit(None).alias(c) for c in cols]
+        )
     # mergeSchema: files written before an additive evolution lack the
     # newer columns — union their schemas and backfill null, projecting
     # the snapshot's recorded column order
-    cols = _read_log(path, version)[-1]["columns"]
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(root, f) for f in files]
     )
-    return df.select(
+    df = df.select(
         *[
             F.col(c) if c in df.columns else F.lit(None).alias(c)
             for c in cols
         ]
     )
+    if preds:
+        df = df.filter(_where_condition(preds))
+    return df
 
 
 def _affected_files(
@@ -305,8 +607,8 @@ def upsert_rows(
         merged = upsert_by_key(old_slice.select(*new.columns), new, keys)
     else:
         merged = new
-    files = _write_data(spark, path, merged, v)
-    _commit(path, v, "upsert", files, victims, cols)
+    files, stats = _write_data(spark, path, merged, v)
+    _commit(path, v, "upsert", files, victims, cols, stats=stats)
     return v
 
 
@@ -320,7 +622,8 @@ def delete_rows(
     v = _next_version(path)
     doomed = doomed.localCheckpoint(eager=True)
     victims = _affected_files(spark, path, doomed, keys, version=v - 1)
-    cols = _read_log(path, upto=v - 1)[-1]["columns"]  # deletes never change schema
+    # deletes never change schema
+    cols = _snapshot_state(path, upto=v - 1)["columns"]
     if not victims:
         _commit(path, v, "delete", [], [], cols)
         return v
@@ -328,8 +631,8 @@ def delete_rows(
     survivors = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(root, f) for f in victims]
     ).join(F.broadcast(doomed.select(keys).distinct()), keys, "left_anti")
-    files = _write_data(spark, path, survivors, v)
-    _commit(path, v, "delete", files, victims, cols)
+    files, stats = _write_data(spark, path, survivors, v)
+    _commit(path, v, "delete", files, victims, cols, stats=stats)
     return v
 
 
@@ -338,11 +641,53 @@ def history(path: str) -> list[dict]:
     return _read_log(path)
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 6):
+    """Interleaved-bit Z-order key over equi-depth bucket codes.
+
+    Each column maps to a code in [0, 2^bits) via its own approximate
+    quantile boundaries (one sampling pass per column on the driver,
+    then a literal array the executors fold over — equi-depth, so a
+    skewed column still spreads across all codes, where uniform
+    width_bucket ranges would collapse). Codes interleave bit-by-bit
+    into one long: sorting/range-partitioning by it clusters rows so
+    every listed column's min/max tightens per file — the multi-column
+    data-skipping layout Delta's OPTIMIZE ZORDER BY produces. Pure
+    column expressions; no UDF, no extra shuffle beyond the rewrite's
+    own range partitioning."""
+    from pyspark.sql.types import NumericType
+
+    n_buckets = 1 << bits
+    codes = []
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise ValueError(f"zorder_by column {c!r} must be numeric")
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(df.approxQuantile(c, qs, 0.001)))
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        code = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        )
+        codes.append(F.when(F.col(c).isNull(), F.lit(0)).otherwise(code))
+    key = F.lit(0).cast("long")
+    n = len(codes)
+    for i in range(bits):
+        for j, code in enumerate(codes):
+            key = key + F.shiftleft(
+                F.shiftright(code.cast("long"), i).bitwiseAND(F.lit(1)),
+                i * n + j,
+            )
+    return key
+
+
 def optimize(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 << 20,
     min_files: int = 2,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """Bin-pack compaction as a COMMIT (Delta's OPTIMIZE): rewrite the
     snapshot's small live files (< ``target_bytes``) into ~target-size
@@ -362,23 +707,44 @@ def optimize(
     landing first collides on the version link and raises
     ConcurrentWriteError rather than losing either commit.
 
+    With ``zorder_by`` the rewrite is a RE-CLUSTERING instead of a
+    bin-pack: ALL live files are rewritten range-partitioned on the
+    interleaved Z-order key of the listed (numeric) columns, so each
+    output file covers a narrow hyper-rectangle and the per-commit
+    footer stats start pruning predicates on EVERY listed column
+    (Delta's OPTIMIZE ... ZORDER BY). Still data-identical, still one
+    add/remove commit, same OCC/time-travel/CDF-nets-to-zero contract.
+
     Returns the committed version, or None when fewer than
     ``min_files`` live files are under the threshold (no-op — nothing
-    worth rewriting)."""
+    worth rewriting; the zorder form always rewrites)."""
     import math
 
     v = _next_version(path)
     root = path.rstrip("/")
     live = _live_files(path, v - 1)
     sizes = {f: os.path.getsize(os.path.join(root, f)) for f in live}
+    cols = _snapshot_state(path, upto=v - 1)["columns"]
+    if zorder_by:
+        if not live:
+            return None
+        df = _read_files_aligned(spark, path, live, cols)
+        n_out = max(1, math.ceil(sum(sizes.values()) / target_bytes))
+        out = (
+            df.withColumn("_zkey", _zorder_key(df, zorder_by))
+            .repartitionByRange(n_out, "_zkey")
+            .drop("_zkey")
+        )
+        files, stats = _write_data(spark, path, out, v)
+        _commit(path, v, "optimize", files, live, cols, stats=stats)
+        return v
     small = [f for f in live if sizes[f] < target_bytes]
     if len(small) < min_files:
         return None
-    cols = _read_log(path, upto=v - 1)[-1]["columns"]
     df = _read_files_aligned(spark, path, small, cols)
     n_out = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
-    files = _write_data(spark, path, df.coalesce(n_out), v)
-    _commit(path, v, "optimize", files, small, cols)
+    files, stats = _write_data(spark, path, df.coalesce(n_out), v)
+    _commit(path, v, "optimize", files, small, cols, stats=stats)
     return v
 
 

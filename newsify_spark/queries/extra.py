@@ -1232,3 +1232,131 @@ def rel_txnlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 4).alias("o_totalprice"),
         "o_orderstatus",
     ).orderBy("_commit_version", "o_orderkey", "_change_type")
+
+
+_TXNLOG_PRUNE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders
+WHERE o_orderkey <= (SELECT max(o_orderkey) // 10 FROM orders)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "rel_txnlog_prune",
+    doc="Stats-based data skipping on the copy-on-write transaction log "
+    "(operators.txnlog r10: every commit records per-file min/max/null "
+    "counts harvested from the parquet footers it just wrote — a "
+    "driver-side metadata read, no data re-scan — and "
+    "read_table(where=...) opens only files whose interval can hold a "
+    "match, re-applying the predicate row-level so pruning is never a "
+    "semantics change; Delta/Iceberg data skipping). The table is "
+    "key-range clustered at create, so the bottom-decile key predicate "
+    "provably touches ~1/10 of the files (tests/test_txnlog_skipping.py "
+    "pins the skip counts; this query pins the VALUES). Oracle: the "
+    "same predicate + rollup straight on the parquet.",
+    tags=("S6", "S7", "txn", "skipping"),
+    oracle=_TXNLOG_PRUNE_ORACLE,
+)
+def rel_txnlog_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from newsify_spark.operators import txnlog as T
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    # bounded 1-row collect: the pruning literal, same derivation as the
+    # oracle's scalar subquery
+    thr = orders.agg(F.max("o_orderkey")).first()[0] // 10
+    base = tempfile.mkdtemp(prefix="newsify_txnlog_prune_")
+    try:
+        path = f"{base}/orders_t"
+        T.create_table(
+            spark, path, orders.repartitionByRange(16, "o_orderkey")
+        )
+        snap = T.read_table(
+            spark, path, where=[("o_orderkey", "<=", thr)]
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_TXNLOG_ZORDER_ORACLE = """
+WITH thr AS (
+  SELECT max(l_orderkey) // 8 AS ko, max(l_partkey) // 8 AS kp
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total_price
+FROM lineitem, thr
+WHERE l_orderkey <= thr.ko AND l_partkey <= thr.kp
+"""
+
+
+@register(
+    "rel_txnlog_zorder",
+    doc="OPTIMIZE ZORDER as a transaction-log commit "
+    "(operators.txnlog.optimize(zorder_by=...): the snapshot rewrites "
+    "range-partitioned on an interleaved-bit key of equi-depth bucket "
+    "codes — approxQuantile boundaries folded as literal-array "
+    "expressions, no UDF — so per-file footer stats tighten on BOTH "
+    "listed columns and the two-sided predicate prunes files the "
+    "adversarial l_suppkey-ordered initial layout could not; Delta's "
+    "OPTIMIZE ... ZORDER BY). Data-identical by construction (the "
+    "optimize commit's CDF nets to zero; test-pinned), so the oracle is "
+    "the plain two-predicate rollup on the raw parquet.",
+    tags=("S6", "txn", "skipping", "layout"),
+    bench=True,
+    oracle=_TXNLOG_ZORDER_ORACLE,
+)
+def rel_txnlog_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from newsify_spark.operators import txnlog as T
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    mx = li.agg(
+        F.max("l_orderkey").alias("ko"), F.max("l_partkey").alias("kp")
+    ).first()
+    ko, kp = mx["ko"] // 8, mx["kp"] // 8
+    base = tempfile.mkdtemp(prefix="newsify_txnlog_z_")
+    try:
+        path = f"{base}/lineitem_t"
+        # adversarial create: files clustered on an UNRELATED column, so
+        # every file spans the full (l_orderkey, l_partkey) range
+        T.create_table(
+            spark, path, li.repartitionByRange(16, "l_suppkey")
+        )
+        T.optimize(
+            spark, path, target_bytes=512 << 10,
+            zorder_by=["l_orderkey", "l_partkey"],
+        )
+        snap = T.read_table(
+            spark,
+            path,
+            where=[("l_orderkey", "<=", ko), ("l_partkey", "<=", kp)],
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -85,6 +85,8 @@ DEMOTED: frozenset[str] = frozenset(
         # round-10 additions; never-driver-checked — rotation-#9 queue
         "doc_mix_unimax_sample",
         "doc_pack_manifest",
+        "rel_txnlog_prune",
+        "rel_txnlog_zorder",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,

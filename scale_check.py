@@ -109,6 +109,10 @@ QUERIES = [
     "doc_dup_spans_removed",
     "doc_cdc_curation",
     "doc_bm25_cdc_search",
+    # round 10: OPTIMIZE ZORDER cycle (create + re-cluster rewrite +
+    # pruned read — both writes are one pass each, the z-key is a pure
+    # expression, so the whole cycle should track the data ratio)
+    "rel_txnlog_zorder",
 ]
 
 # Queries whose 8x ratio ran above ~3.5 in round 8 (VERDICT r8 #8):
