@@ -545,6 +545,37 @@ def read_table(
     return df
 
 
+def _candidate_files(
+    state: dict, keys_df: DataFrame, keys: list[str]
+) -> list[str]:
+    """Stats-prune the blast-radius SEARCH space: a file whose footer
+    interval on any key column misses the key set's [min,max] envelope
+    cannot contain an affected row, so the semi-join never reads it. A
+    point mutation on a range-clustered table scans ~1 file instead of
+    the table; the envelope costs one tiny aggregate on the (small by
+    contract) key side. Null keys never equi-join, so dropping them
+    from the envelope is exact; files without stats always remain
+    candidates (conservative, like every pruning path here)."""
+    aggs = []
+    for k in keys:
+        aggs.append(F.min(k).alias(f"_mn_{k}"))
+        aggs.append(F.max(k).alias(f"_mx_{k}"))
+    row = keys_df.agg(*aggs).first()
+    env = {}
+    for k in keys:
+        lo, hi = _stat_value(row[f"_mn_{k}"]), _stat_value(row[f"_mx_{k}"])
+        if lo is not None and hi is not None:
+            env[k] = (lo, hi)
+    return [
+        f
+        for f in sorted(state["files"])
+        if all(
+            _file_can_match(state["files"][f], k, "between", env[k])
+            for k in env
+        )
+    ]
+
+
 def _affected_files(
     spark: SparkSession,
     path: str,
@@ -553,11 +584,16 @@ def _affected_files(
     version: int | None = None,
 ) -> list[str]:
     """The data files that CONTAIN any affected key — the copy-on-write
-    blast radius. One semi-join; the key set is broadcast (mutations
+    blast radius. Footer stats first narrow the candidate set (see
+    :func:`_candidate_files`), then one semi-join over the survivors
+    confirms actual containment; the key set is broadcast (mutations
     are small-side by contract, same as every MERGE). ``version`` pins
     the snapshot the writer read (see upsert_rows)."""
     root = path.rstrip("/")
-    live = _live_files(path, version)
+    state = _snapshot_state(path, version)
+    live = _candidate_files(state, keys_df, keys) if state else []
+    if not live:
+        return []
     df = (
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(root, f) for f in live])
@@ -748,12 +784,20 @@ def optimize(
     return v
 
 
-def vacuum(spark: SparkSession, path: str) -> list[str]:
-    """Physically delete data files no LATEST-snapshot reader needs
-    (breaks time travel to the versions that referenced them — Delta's
-    documented vacuum trade-off). Returns the deleted relative paths."""
+def vacuum(
+    spark: SparkSession, path: str, retain_versions: int = 1
+) -> list[str]:
+    """Physically delete data files none of the RETAINED snapshots need
+    (breaks time travel to older versions — Delta's documented vacuum
+    trade-off, with ``retain_versions`` standing in for its retention
+    window: 1 keeps only the latest snapshot readable, k keeps the last
+    k versions time-travelable). Returns the deleted relative paths."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
     root = path.rstrip("/")
-    live = set(_live_files(path))
+    live: set[str] = set()
+    for v in _versions(path)[-retain_versions:]:
+        live |= set(_live_files(path, v))
     removed = []
     data_root = os.path.join(root, "data")
     if not os.path.isdir(data_root):

@@ -233,3 +233,81 @@ def test_checkpoint_survives_mutations_and_occ(spark, tmp_path):
     got = {r["k"]: r for r in T.read_table(spark, path).collect()}
     assert got[0]["s"] == "patched" and 1 not in got
     assert len(got) == 200 + 50 - 1
+
+
+def test_blast_radius_candidates_pruned_by_stats(spark, tmp_path):
+    """A point upsert's victim SEARCH reads ~1 file of a range-clustered
+    table, not all of them: the stats envelope rules the rest out before
+    the containment semi-join. Stripping stats falls back to scanning
+    every live file with an identical final result."""
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path)  # 8 key-ranged files
+    keys = spark.createDataFrame([(1234,)], "k long")
+    state = T._snapshot_state(path)
+    assert len(T._candidate_files(state, keys, ["k"])) == 1
+    # a spread key set keeps only the overlapping range files
+    spread = spark.createDataFrame([(10,), (3990,)], "k long")
+    n_spread = len(T._candidate_files(state, spread, ["k"]))
+    assert n_spread == 8  # envelope [10, 3990] spans everything — honest cap
+    # end-to-end: the upsert rewrites exactly the one containing file
+    up = spark.createDataFrame([(1234, -1, "patched")], "k long, v long, s string")
+    T.upsert_rows(spark, path, up, ["k"])
+    entry = T.history(path)[-1]
+    assert entry["op"] == "upsert" and len(entry["remove"]) == 1
+    got = {
+        r["k"]: r["s"]
+        for r in T.read_table(
+            spark, path, where=[("k", "between", (1233, 1235))]
+        ).collect()
+    }
+    assert got[1234] == "patched" and got[1233] == "s001233"
+
+
+def test_blast_radius_stats_stripped_falls_back(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path, n=400, files=4)
+    log = os.path.join(path, "_txnlog", "0.json")
+    entry = json.load(open(log))
+    del entry["stats"]
+    os.unlink(log)
+    json.dump(entry, open(log, "w"))
+    keys = spark.createDataFrame([(7,)], "k long")
+    state = T._snapshot_state(path)
+    assert len(T._candidate_files(state, keys, ["k"])) == 4  # no pruning
+    T.delete_rows(spark, path, keys, ["k"])
+    assert T.read_table(spark, path).count() == 399
+    # only the file that actually held k=7 was rewritten
+    assert len(T.history(path)[-1]["remove"]) == 1
+
+
+def test_null_keys_never_match_and_never_break_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path, n=100, files=2)
+    keys = spark.createDataFrame(
+        [(None,), (5,)], "k long"
+    )
+    T.delete_rows(spark, path, keys, ["k"])
+    assert T.read_table(spark, path).count() == 99  # only k=5 deleted
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """retain_versions=2 keeps the last two snapshots time-travelable;
+    files only the older history referenced are reclaimed."""
+    path = str(tmp_path / "t")
+    _ranged_table(spark, path, n=400, files=4)  # v0
+    up = spark.createDataFrame([(0, -1, "x")], "k long, v long, s string")
+    T.upsert_rows(spark, path, up, ["k"])  # v1 rewrites 1 file
+    T.optimize(spark, path, target_bytes=1 << 30, min_files=2)  # v2 compacts
+    v0_only = set(T._live_files(path, 0)) - set(T._live_files(path, 1)) - set(
+        T._live_files(path, 2)
+    )
+    assert v0_only  # the upsert victim
+    removed = set(T.vacuum(spark, path, retain_versions=2))
+    assert removed == v0_only
+    assert T.read_table(spark, path).count() == 400
+    assert T.read_table(spark, path, version=1).count() == 400
+    # v0 is no longer readable: its file set is gone from disk
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        T.read_table(spark, path, version=0).count()
