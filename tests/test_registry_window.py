@@ -149,7 +149,7 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # vec_knn_int8, added r5, were promoted in r6; doc_ngram_perplexity,
 # added r7, was promoted in r8's rotation #6; doc_dsir_weights, added
 # r8, was promoted in r9's rotation #7.)
-BENCH_PROMOTION_QUEUE: set[str] = set()
+BENCH_PROMOTION_QUEUE: set[str] = {"rel_txnlog_zorder"}  # added r10, rotation-#9 queue
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the
