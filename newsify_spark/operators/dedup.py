@@ -816,7 +816,22 @@ def remove_duplicate_spans(
     cuts = cut.groupBy(id_col).agg(
         F.sort_array(F.collect_set("_i")).alias("_starts")
     )
-    nt = F.size(toks)
+    # Materialize the token array ONCE as a real column before the
+    # higher-order rebuild. An expression referenced from inside a
+    # lambda is re-evaluated per array ELEMENT — with split(lower(text))
+    # inlined, the `ends` clamp re-tokenized the whole document for
+    # every cut start, O(cuts x doc_len) per doc. Invisible at fixture
+    # dup rates, catastrophic when most of a corpus is duplicated (the
+    # 8x content-replication harness measured 42x at 8x data). As a
+    # projected column the lambdas read an attribute; the rebuild is
+    # O(tokens + cuts) again.
+    joined = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(cuts, id_col, "left")
+        .select(F.col(id_col), F.col("_starts"), toks.alias("_toks"))
+    )
+    tks = F.col("_toks")
+    nt = F.size(tks)
     ends = F.transform(
         F.col("_starts"), lambda s: F.least(s + F.lit(window - 1), nt - 1)
     )
@@ -841,19 +856,17 @@ def remove_duplicate_spans(
     clean_toks = F.flatten(
         F.transform(
             kept_ranges,
-            lambda g: F.slice(toks, g["s"] + 1, g["e"] - g["s"] + 1),
+            lambda g: F.slice(tks, g["s"] + 1, g["e"] - g["s"] + 1),
         )
     )
     rebuilt = F.when(
-        F.col("_starts").isNull(), F.array_join(toks, " ")
+        F.col("_starts").isNull(), F.array_join(tks, " ")
     ).otherwise(F.array_join(clean_toks, " "))
     n_kept = F.when(F.col("_starts").isNull(), nt).otherwise(
         F.size(clean_toks)
     )
-    return docs.select(F.col(id_col), F.col(text_col)).join(
-        cuts, id_col, "left"
-    ).select(
-        id_col,
+    return joined.select(
+        F.col(id_col),
         nt.cast("long").alias("n_tokens"),
         (nt - n_kept).cast("long").alias("n_removed"),
         rebuilt.alias("clean_text"),
