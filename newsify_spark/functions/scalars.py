@@ -59,3 +59,21 @@ def safe_div(num: Column, denom: Column, default: float = 0.0) -> Column:
     """num/denom with explicit 0-denominator handling (F9; the reference's
     drift formula divides by a possibly-zero historical mean)."""
     return F.when(denom != 0, num / denom).otherwise(F.lit(default))
+
+
+def let(value: Column, body) -> Column:
+    """Let-binding for SQL expressions: evaluate ``value`` ONCE per row
+    and hand it to ``body`` as a lambda variable. Spark re-evaluates any
+    non-trivial expression referenced from inside a higher-order-function
+    lambda once per array ELEMENT — a captured split()/aggregate turns a
+    linear rebuild quadratic (the 8x replication harness measured the
+    span-removal variant of this at 42x). Wrapping the expression in a
+    1-element transform makes it a bound lambda variable, which element
+    evaluation reads for free:
+
+        let(F.split(text, " "), lambda toks: F.transform(..., uses toks))
+
+    Pure expression plumbing (one 1-element array per row); values are
+    bit-identical to the inlined form.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)

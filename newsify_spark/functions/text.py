@@ -205,26 +205,34 @@ def kgram_hashes(text: Column | str, k: int = 8) -> Column:
     O(n) rolling update (no cross-element running state in SQL), same
     values, still one codegen'd expression.
     """
-    t = F.lower(_c(text))
-    n = F.length(t)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.aggregate(
-                F.transform(F.sequence(F.lit(0), F.lit(k - 1)), lambda j: F.ascii(t.substr(i + j, F.lit(1)))),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * BASE + x) % MOD,
-            ),
-        ),
-    ).otherwise(
-        F.array(
-            F.aggregate(
-                F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda j: F.ascii(t.substr(j, F.lit(1)))),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * BASE + x) % MOD,
-            )
+    from newsify_spark.functions.scalars import let
+
+    def fold(codes_slice: Column) -> Column:
+        return F.aggregate(
+            codes_slice,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * BASE + x) % MOD,
         )
+
+    # let-bind the lowered text, then its codepoint array, so neither is
+    # re-evaluated per element inside the lambdas (captured expressions
+    # re-run per array element — the inlined form re-lowered the whole
+    # document for every (start, offset) pair, O(n^2 k) per doc)
+    return let(
+        F.lower(_c(text)),
+        lambda t: let(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+                lambda j: F.ascii(t.substr(j, F.lit(1))),
+            ),
+            lambda codes: F.when(
+                F.length(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (k - 1)),
+                    lambda i: fold(F.slice(codes, i, F.lit(k))),
+                ),
+            ).otherwise(F.array(fold(codes))),
+        ),
     )
 
 
@@ -258,9 +266,22 @@ def word_segments(text: Column | str, seg_words: int = 6) -> Column:
     """Fixed-width word segmentation: consecutive ``seg_words``-word
     windows (the tail segment may be shorter). The separator-free
     segmentation used when a corpus has no line structure."""
-    t = F.split(_c(text), " ")
-    nseg = F.greatest(F.ceil(F.size(t) / F.lit(seg_words)).cast("int"), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), nseg),
-        lambda i: F.array_join(F.slice(t, (i - F.lit(1)) * seg_words + F.lit(1), F.lit(seg_words)), " "),
+    from newsify_spark.functions.scalars import let
+
+    # let-bound: the inlined split() re-tokenized the document once per
+    # SEGMENT inside the lambda (captured expressions re-run per element)
+    return let(
+        F.split(_c(text), " "),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.ceil(F.size(t) / F.lit(seg_words)).cast("int"), F.lit(1)
+                ),
+            ),
+            lambda i: F.array_join(
+                F.slice(t, (i - F.lit(1)) * seg_words + F.lit(1), F.lit(seg_words)),
+                " ",
+            ),
+        ),
     )

@@ -64,8 +64,15 @@ def l2_dist(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """Scale to unit L2 norm; zero vectors pass through unchanged."""
-    n = l2_norm(a)
-    return F.when(
-        n > 0, F.transform(_c(a), lambda x: x.cast("double") / n)
-    ).otherwise(F.transform(_c(a), lambda x: x.cast("double")))
+    """Scale to unit L2 norm; zero vectors pass through unchanged.
+
+    The norm is let-bound: referenced from inside the transform lambda it
+    would re-run the O(d) norm fold per ELEMENT — O(d^2) per vector."""
+    from newsify_spark.functions.scalars import let
+
+    return let(
+        l2_norm(a),
+        lambda n: F.when(
+            n > 0, F.transform(_c(a), lambda x: x.cast("double") / n)
+        ).otherwise(F.transform(_c(a), lambda x: x.cast("double"))),
+    )

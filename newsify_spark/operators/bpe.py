@@ -62,6 +62,15 @@ def _adjacent_pairs(sy: Column) -> Column:
     for fully-merged single-symbol words (``sequence(1, 0)`` would count
     DOWN in Spark and crash ``element_at`` — the guard keeps it aligned
     with DuckDB's empty ``generate_series(1, 0)``)."""
+    from newsify_spark.functions.scalars import let
+
+    # let-bound: callers pass split() expressions, which the lambda would
+    # otherwise re-evaluate per pair (captured expressions re-run per
+    # array element)
+    return let(sy, _adjacent_pairs_bound)
+
+
+def _adjacent_pairs_bound(sy: Column) -> Column:
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(sy) - F.lit(1)),
         lambda i: F.concat(
