@@ -155,6 +155,26 @@ def _snapshot_state(path: str, upto: int | None = None) -> dict | None:
     return {"files": files, "columns": columns}
 
 
+def _txn_high_water(path: str, upto: int | None = None) -> dict[str, int]:
+    """Per-app_id max committed batch_id, resolved from the newest
+    checkpoint's ``txn`` map plus the raw log tail — the exactly-once
+    sink asks this EVERY micro-batch, so without the checkpoint a
+    long-lived stream pays an O(commits) log replay per batch."""
+    base = -1
+    marks: dict[str, int] = {}
+    cks = [v for v in _checkpoints(path) if upto is None or v <= upto]
+    if cks:
+        base = cks[-1]
+        with open(_checkpoint_path(path, base)) as fh:
+            marks = dict(json.load(fh).get("txn", {}))
+    for e in _read_log(path, upto=upto, since=base + 1):
+        t = e.get("txn")
+        if t and "app_id" in t:
+            a, b = t["app_id"], int(t["batch_id"])
+            marks[a] = b if a not in marks else max(marks[a], b)
+    return marks
+
+
 def _maybe_checkpoint(path: str, version: int) -> None:
     """Publish a snapshot-state checkpoint every CHECKPOINT_EVERY
     commits. Purely an accelerator: losing the race (or crashing before
@@ -166,6 +186,7 @@ def _maybe_checkpoint(path: str, version: int) -> None:
         "version": version,
         "columns": state["columns"],
         "files": state["files"],
+        "txn": _txn_high_water(path, upto=version),
     }
     d = _log_path(path)
     staged = os.path.join(d, f".{version}.ckpt.{uuid.uuid4().hex[:8]}.tmp")
@@ -350,14 +371,11 @@ def append_rows(
 
 
 def last_committed_batch(path: str, app_id: str) -> int | None:
-    """Highest ``batch_id`` committed by ``app_id``, or None. One log
-    replay — O(commits), no data files touched."""
-    best = None
-    for e in _read_log(path):
-        t = e.get("txn")
-        if t and t.get("app_id") == app_id:
-            best = t["batch_id"] if best is None else max(best, t["batch_id"])
-    return best
+    """Highest ``batch_id`` committed by ``app_id``, or None. Resolved
+    from the newest checkpoint's txn map + the raw log tail (see
+    :func:`_txn_high_water`) — O(CHECKPOINT_EVERY) entries, not
+    O(commits), on the exactly-once sink's per-micro-batch hot path."""
+    return _txn_high_water(path).get(app_id)
 
 
 def idempotent_append(

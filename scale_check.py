@@ -126,9 +126,22 @@ ATTRIBUTED = [
     "doc_dsir_weights",
     # round 10 (VERDICT r9 #6): the one >3.5 entry that had no fit
     "doc_cdc_curation",
+    # round 10: keep the fit that caught the lambda-capture quadratic
+    # (42.67x pre-fix, 2.74x after) in the harness permanently
+    "doc_dup_spans_removed",
 ]
 
 ATTRIBUTION_NOTES = {
+    "doc_dup_spans_removed": (
+        "kept in the fit set as the regression guard for the r10 "
+        "lambda-capture fix: the rebuild's higher-order lambdas once "
+        "referenced the inlined split(lower(text)), which re-evaluates "
+        "per array element — O(cuts x doc_len) per doc, 42.67x at 8x "
+        "content replication where ~7/8 of the corpus is duplicated. "
+        "With the token array materialized as a projected column the "
+        "fit is linear (slope ~0.5 s/replica); a superlinear bend here "
+        "means a captured expression crept back into a lambda"
+    ),
     "doc_neardup_lsh": (
         "the one genuinely CONVEX entry, by construction: replication "
         "duplicates vector CONTENT, so every LSH bucket's occupancy "

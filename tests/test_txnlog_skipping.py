@@ -311,3 +311,40 @@ def test_vacuum_retention_window(spark, tmp_path):
 
     with _pytest.raises(Exception):
         T.read_table(spark, path, version=0).count()
+
+
+def test_checkpoint_carries_txn_high_water(spark, tmp_path):
+    """The exactly-once marker resolves through the checkpoint's txn map
+    plus the log tail — same answers as a full-log replay, and a
+    replayed batch id from before the checkpoint still no-ops."""
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _frame(spark, 20).coalesce(1))
+    for b in range(12):
+        T.idempotent_append(
+            spark, path, _frame(spark, 5, offset=1000 * (b + 1)).coalesce(1),
+            "appA", b,
+        )
+    T.idempotent_append(
+        spark, path, _frame(spark, 5, offset=90_000).coalesce(1), "appB", 3
+    )
+    ck = json.load(open(T._checkpoint_path(path, 10)))
+    assert ck["txn"]["appA"] == 9  # batches 0..9 landed by version 10
+    assert T.last_committed_batch(path, "appA") == 11
+    assert T.last_committed_batch(path, "appB") == 3
+    assert T.last_committed_batch(path, "missing") is None
+    # checkpointed answer == raw full replay
+    raw = {}
+    for e in T._read_log(path):
+        t = e.get("txn")
+        if t:
+            raw[t["app_id"]] = max(raw.get(t["app_id"], -1), t["batch_id"])
+    assert raw == T._txn_high_water(path)
+    # a replay of a pre-checkpoint batch id is still a no-op
+    n_before = T.read_table(spark, path).count()
+    assert (
+        T.idempotent_append(
+            spark, path, _frame(spark, 5, offset=1000).coalesce(1), "appA", 1
+        )
+        is None
+    )
+    assert T.read_table(spark, path).count() == n_before
