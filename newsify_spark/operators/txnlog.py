@@ -67,6 +67,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from newsify_spark.functions.scalars import let
 from newsify_spark.operators.merge import upsert_by_key
 
 _LOG_DIR = "_txnlog"
@@ -226,16 +227,36 @@ def _write_data(
 def _stat_value(v):
     """JSON-safe, ORDER-PRESERVING encoding of a footer stat value.
     Dates/timestamps become ISO strings (lexicographic == chronological
-    within a column, which is all interval pruning needs). Returns None
-    for types skipping can't soundly compare (binary, decimals...)."""
+    within a column, which is all interval pruning needs). Dates are
+    normalized to midnight-DATETIME form first so a date literal and a
+    timestamp stat (or vice versa) land in ONE canonical shape —
+    Spark coerces date<->timestamp comparisons to timestamp-at-midnight,
+    and a shape mismatch ('2026-08-16' vs '2026-08-16T00:00:00') made
+    the lexicographic interval test prune files Spark's row filter
+    would match (ADVICE r10 #1: unsound, not just missed pruning).
+    Returns None for types skipping can't soundly compare (binary,
+    decimals, tz-aware timestamps whose offset would break the
+    lexicographic==chronological invariant...)."""
     import datetime
 
     if isinstance(v, bool) or v is None:
         return None  # bool min/max prunes nothing useful; never index
-    if isinstance(v, (int, float, str)):
+    if isinstance(v, float):
+        # NaN never takes part in interval pruning (Spark orders NaN
+        # above every double — see _file_can_match's float guard)
+        return None if v != v else v
+    if isinstance(v, (int, str)):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            # Spark writes parquet timestamps UTC-adjusted, so pyarrow
+            # hands back tz-aware values; the session timezone is pinned
+            # UTC (session.py), so UTC-naive is the one canonical form
+            # both stats and literals share.
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     return None
 
 
@@ -443,7 +464,31 @@ def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
     mx = fstats.get("max", {}).get(col)
     if mn is None or mx is None:
         return True  # column not indexed in this file
+
+    def _same_domain(a, b) -> bool:
+        # Pruning is only sound when both sides encode into ONE
+        # comparison domain (ADVICE r10 #1): numbers with numbers,
+        # strings (incl. the canonical ISO datetime form) with strings.
+        if b is None:
+            return True  # unbounded between-side: no comparison happens
+        if isinstance(a, (int, float)) and not isinstance(a, bool):
+            return isinstance(b, (int, float)) and not isinstance(b, bool)
+        return isinstance(a, str) and isinstance(b, str)
+
+    sides = sval if op == "between" else (sval,)
+    if not all(_same_domain(mn, s) for s in sides):
+        return True
     try:
+        if op in (">", ">=") and (isinstance(mn, float) or isinstance(mx, float)):
+            # Spark orders NaN above every double, so a file holding NaN
+            # rows matches v > x for ANY x — and nothing guarantees the
+            # writer's min/max included NaN (parquet-mr omits stats when
+            # NaN is present; older writers corrupted them). Never prune
+            # the NaN-satisfiable direction on float stats (ADVICE r10
+            # #2; `between`/`<` stay prunable — NaN fails their upper
+            # bound under the same ordering, and an untestable NaN bound
+            # is already None = unbounded via _stat_value).
+            return True
         if op == "=":
             return mn <= sval <= mx
         if op == "<":
@@ -538,8 +583,14 @@ def read_table(
     if not files:  # every file provably empty for the predicate
         from pyspark.sql.types import StructType
 
+        # Schema-infer over ALL live files (footer metadata only, no row
+        # I/O): sampling just the first file loses columns added by later
+        # additive evolution, so the empty result's types could differ
+        # from the non-empty path's and break downstream unions
+        # (ADVICE r10 #4). mergeSchema unions the evolved schemas exactly
+        # like the non-empty read below.
         sample = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, f) for f in sorted(state["files"])[:1]]
+            *[os.path.join(root, f) for f in sorted(state["files"])]
         )
         schema = StructType([sample.schema[c] for c in cols if c in sample.columns])
         empty = spark.createDataFrame([], schema)
@@ -677,7 +728,10 @@ def delete_rows(
     doomed = doomed.localCheckpoint(eager=True)
     victims = _affected_files(spark, path, doomed, keys, version=v - 1)
     # deletes never change schema
-    cols = _snapshot_state(path, upto=v - 1)["columns"]
+    state = _snapshot_state(path, upto=v - 1)
+    if state is None:
+        raise ValueError(f"no table at {path}")
+    cols = state["columns"]
     if not victims:
         _commit(path, v, "delete", [], [], cols)
         return v
@@ -695,6 +749,47 @@ def history(path: str) -> list[dict]:
     return _read_log(path)
 
 
+def _zorder_encode(df: DataFrame, col: str):
+    """Monotone DOUBLE encoding of a z-order column — the domain the
+    equi-depth quantile bucketing runs over. Numerics cast directly;
+    dates/timestamps use their epoch offset (chronological == numeric);
+    strings take a 6-byte big-endian prefix code (2^48 < 2^53, so the
+    double holds it exactly; ties beyond 6 chars share a bucket, which
+    only coarsens clustering, never correctness — footer stats always
+    record TRUE min/max, so skipping stays sound whatever the layout).
+    Matches Delta's OPTIMIZE ZORDER BY surface: any orderable column
+    (VERDICT r10 #5 — the numeric-only form rejected the common
+    (ship_date, region) case)."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    dt = df.schema[col].dataType
+    c = F.col(col)
+    if isinstance(dt, NumericType):
+        return c.cast("double")
+    if isinstance(dt, TimestampType):
+        return c.cast("double")  # seconds since epoch
+    if isinstance(dt, DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, StringType):
+        code = F.lit(0).cast("long")
+        for i in range(1, 7):
+            byte = F.coalesce(
+                F.least(F.ascii(F.substring(c, i, 1)), F.lit(255)),
+                F.lit(0),
+            )
+            code = code * 256 + byte.cast("long")
+        return code.cast("double")
+    raise ValueError(
+        f"zorder_by column {col!r} must be numeric, date, timestamp or "
+        f"string (got {dt.simpleString()})"
+    )
+
+
 def _zorder_key(df: DataFrame, cols: list[str], bits: int = 6):
     """Interleaved-bit Z-order key over equi-depth bucket codes.
 
@@ -702,27 +797,31 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = 6):
     quantile boundaries (one sampling pass per column on the driver,
     then a literal array the executors fold over — equi-depth, so a
     skewed column still spreads across all codes, where uniform
-    width_bucket ranges would collapse). Codes interleave bit-by-bit
-    into one long: sorting/range-partitioning by it clusters rows so
-    every listed column's min/max tightens per file — the multi-column
-    data-skipping layout Delta's OPTIMIZE ZORDER BY produces. Pure
-    column expressions; no UDF, no extra shuffle beyond the rewrite's
-    own range partitioning."""
-    from pyspark.sql.types import NumericType
-
+    width_bucket ranges would collapse). Non-numeric columns first pass
+    through :func:`_zorder_encode`'s monotone double encoding. Codes
+    interleave bit-by-bit into one long: sorting/range-partitioning by
+    it clusters rows so every listed column's min/max tightens per file
+    — the multi-column data-skipping layout Delta's OPTIMIZE ZORDER BY
+    produces. Pure column expressions; no UDF, no extra shuffle beyond
+    the rewrite's own range partitioning."""
     n_buckets = 1 << bits
     codes = []
     for c in cols:
-        if not isinstance(df.schema[c].dataType, NumericType):
-            raise ValueError(f"zorder_by column {c!r} must be numeric")
+        enc = _zorder_encode(df, c)
         qs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = sorted(set(df.approxQuantile(c, qs, 0.001)))
+        bounds = sorted(
+            set(df.select(enc.alias("_zenc")).approxQuantile("_zenc", qs, 0.001))
+        )
         arr = F.array(*[F.lit(float(b)) for b in bounds])
-        code = F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        # let-bind enc: a capture in the fold body would re-evaluate the
+        # (string-prefix) encoding once per boundary element
+        code = let(
+            enc,
+            lambda e: F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(e >= b, 1).otherwise(0),
+            ),
         )
         codes.append(F.when(F.col(c).isNull(), F.lit(0)).otherwise(code))
     key = F.lit(0).cast("long")
@@ -778,7 +877,10 @@ def optimize(
     root = path.rstrip("/")
     live = _live_files(path, v - 1)
     sizes = {f: os.path.getsize(os.path.join(root, f)) for f in live}
-    cols = _snapshot_state(path, upto=v - 1)["columns"]
+    state = _snapshot_state(path, upto=v - 1)
+    if state is None:
+        return None  # no commits yet: nothing to rewrite (ADVICE r10 #3)
+    cols = state["columns"]
     if zorder_by:
         if not live:
             return None

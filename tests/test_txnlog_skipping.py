@@ -167,13 +167,65 @@ def test_zorder_optimize_clusters_both_columns(spark, tmp_path):
         assert sorted(map(tuple, got.collect())) == sorted(want)
 
 
-def test_zorder_rejects_non_numeric(spark, tmp_path):
+def test_zorder_date_string_clusters_both_columns(spark, tmp_path):
+    """Delta's OPTIMIZE ZORDER surface covers any orderable column; the
+    common real-world key is (date, string) — e.g. (ship_date, region)
+    (VERDICT r10 #5). Adversarial start (files ranged on a third
+    column), then ZORDER(d, s): values identical, CDF nets to zero, and
+    selective predicates on EITHER the date or the string column skip
+    files."""
+    path = str(tmp_path / "t")
+    n = 20_000
+    df = spark.range(n).select(
+        F.date_add(
+            F.lit("2024-01-01"), (F.xxhash64("id", F.lit(1)) % 365).cast("int")
+        ).alias("d"),
+        F.concat(
+            F.lit("reg"),
+            F.format_string("%03d", F.abs(F.xxhash64("id", F.lit(2)) % 200)),
+        ).alias("s"),
+        F.col("id").alias("noise"),
+    )
+    T.create_table(spark, path, df.repartitionByRange(8, "noise"))
+    before_rows = sorted(map(tuple, T.read_table(spark, path).collect()))
+    where_d = [("d", "between", (__import__("datetime").date(2024, 1, 1),
+                                 __import__("datetime").date(2024, 2, 15)))]
+    where_s = [("s", "<=", "reg025")]
+    assert T.scan_report(path, where_d)["files_skipped"] == 0
+    assert T.scan_report(path, where_s)["files_skipped"] == 0
+
+    v = T.optimize(spark, path, target_bytes=40_000, zorder_by=["d", "s"])
+    assert v == 1
+    assert sorted(map(tuple, T.read_table(spark, path).collect())) == before_rows
+    assert T.read_changes(spark, path, v, v).count() == 0
+    rep_d = T.scan_report(path, where_d)
+    rep_s = T.scan_report(path, where_s)
+    assert rep_d["files_live"] >= 4
+    assert rep_d["files_skipped"] > 0 and rep_s["files_skipped"] > 0
+    # pruned reads stay exact
+    import datetime
+
+    got_d = sorted(map(tuple, T.read_table(spark, path, where=where_d).collect()))
+    want_d = sorted(
+        r for r in before_rows
+        if datetime.date(2024, 1, 1) <= r[0] <= datetime.date(2024, 2, 15)
+    )
+    assert got_d == want_d
+    got_s = sorted(map(tuple, T.read_table(spark, path, where=where_s).collect()))
+    assert got_s == sorted(r for r in before_rows if r[1] <= "reg025")
+
+
+def test_zorder_rejects_unorderable_types(spark, tmp_path):
     import pytest
 
     path = str(tmp_path / "t")
-    _ranged_table(spark, path, n=100, files=2)
-    with pytest.raises(ValueError, match="numeric"):
-        T.optimize(spark, path, zorder_by=["s"])
+    T.create_table(
+        spark,
+        path,
+        spark.range(10).select("id", F.array(F.col("id")).alias("arr")),
+    )
+    with pytest.raises(ValueError, match="zorder_by"):
+        T.optimize(spark, path, zorder_by=["arr"])
 
 
 def test_checkpoint_written_and_replay_equivalent(spark, tmp_path):
@@ -348,3 +400,93 @@ def test_checkpoint_carries_txn_high_water(spark, tmp_path):
         is None
     )
     assert T.read_table(spark, path).count() == n_before
+
+
+# --- ADVICE r10 soundness fixes -------------------------------------------
+
+
+def test_date_literal_on_timestamp_column_never_pruned_wrong(spark, tmp_path):
+    """A date literal on a timestamp column: Spark coerces the date to
+    midnight (rows match) while the pre-fix lexicographic interval test
+    compared '2024-03-05T00:00:00' <= '2024-03-05' (False) and pruned
+    the file — silently dropping matching rows (ADVICE r10 #1)."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-03-05"), F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    T.create_table(spark, path, df.repartitionByRange(5, "ts"))
+    lit = datetime.date(2024, 3, 5)
+    got = T.read_table(spark, path, where=[("ts", "<=", lit)])
+    want = T.read_table(spark, path).filter(F.col("ts") <= F.lit(lit))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() == 1  # exactly the midnight row
+    # the reverse shape too: timestamp literal against a DATE column
+    df2 = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-03-05"), F.col("id").cast("int")).alias("d"),
+    )
+    path2 = str(tmp_path / "t2")
+    T.create_table(spark, path2, df2.repartitionByRange(5, "d"))
+    ts_lit = datetime.datetime(2024, 3, 6, 12, 0, 0)
+    got2 = T.read_table(spark, path2, where=[("d", "<", ts_lit)])
+    want2 = T.read_table(spark, path2).filter(F.col("d") < F.lit(ts_lit))
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+    # date < timestamp'...12:00' => dates 03-05 and 03-06 both match
+    assert got2.count() == 2
+
+
+def test_nan_rows_survive_gt_pruning(spark, tmp_path):
+    """Spark orders NaN above every double, so v > x matches NaN rows for
+    any x; footer min/max may exclude NaN, so the '>' direction must
+    never prune float stats (ADVICE r10 #2)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, float("nan"))], ["k", "v"]
+    )
+    T.create_table(spark, path, df.coalesce(1))
+    got = T.read_table(spark, path, where=[("v", ">", 5.0)])
+    assert got.count() == 1  # the NaN row
+    assert [r.k for r in got.collect()] == [2]
+    # NaN literals never prune either ('<' with NaN lit matches non-NaN rows)
+    got_lt = T.read_table(spark, path, where=[("v", "<", float("nan"))])
+    assert got_lt.count() == 2
+    # '<' with a finite literal may still prune soundly: NaN fails v < x
+    assert T.read_table(spark, path, where=[("v", "<", 1.5)]).count() == 1
+
+
+def test_optimize_on_empty_log_returns_none(spark, tmp_path):
+    assert T.optimize(spark, str(tmp_path / "missing")) is None
+    assert (
+        T.optimize(spark, str(tmp_path / "missing2"), zorder_by=["x"]) is None
+    )
+
+
+def test_all_pruned_read_keeps_evolved_column_types(spark, tmp_path):
+    """When every file is pruned, the empty result's schema must carry
+    columns added by later additive evolution with their REAL types —
+    sampling only the first file regressed them to NullType, breaking
+    downstream unions (ADVICE r10 #4)."""
+    path = str(tmp_path / "t")
+    T.create_table(
+        spark, path, spark.range(10).select(F.col("id").alias("k")).coalesce(1)
+    )
+    T.append_rows(
+        spark,
+        path,
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("w")
+        ).coalesce(1),
+    )
+    empty = T.read_table(spark, path, where=[("k", ">", 10_000)])
+    assert empty.count() == 0
+    full = T.read_table(spark, path)
+    assert dict(empty.dtypes) == dict(full.dtypes)
+    # the schema must be union-compatible with the non-empty read
+    assert full.unionByName(empty).count() == full.count()
