@@ -1412,13 +1412,18 @@ def test_remove_duplicate_spans_survivor_keeps_one_copy(spark):
 
 
 def test_remove_duplicate_spans_rebuild_never_shuffles_the_corpus(spark):
-    """The r10 rework's scale contract: the rebuild must be map-side —
-    exactly ONE Generate (the span posexplode; the r9 plan had a second
-    one that posexploded EVERY corpus token into a groupBy shuffle), the
-    cut-summary side joins back by broadcast, and the destructive span
-    identity is 128-bit (the window partitions on both xxhash64 seeds,
-    not just one — ~10^13 spans at 100 TB birthday-collide a single
-    64-bit key into silent cuts of legitimate text)."""
+    """The r10/r11 scale contract: the rebuild must be map-side (no
+    Generate posexplodes EVERY corpus token into a groupBy shuffle — the
+    r9 plan did; both remaining Generates are the narrow span-shingle
+    explode, deliberately recomputed rather than persisted), the
+    cut-summary side joins back by broadcast, the destructive span
+    identity is 128-bit (both xxhash64 seeds key the rollup — ~10^13
+    spans at 100 TB birthday-collide a single 64-bit key into silent
+    cuts of legitimate text), and — r11, VERDICT r10 #1 — the
+    distinct-doc/survivor computation is PARTIAL AGGREGATION over
+    per-doc rows: no Window operator over occurrence rows, no
+    collect_set of doc ids, so no globally-hot span can funnel into a
+    single task."""
     from newsify_spark.operators.dedup import remove_duplicate_spans
 
     docs = spark.createDataFrame(
@@ -1429,9 +1434,18 @@ def test_remove_duplicate_spans_rebuild_never_shuffles_the_corpus(spark):
     df.collect()  # let AQE finalize (the in-memory fixture has no stats)
     final = df._jdf.queryExecution().executedPlan().toString()
     final = final.split("== Initial Plan ==")[0]
-    assert final.count("Generate posexplode") == 1, final
+    # both Generates are span-shingle explodes (recompute-over-persist
+    # diamond); a third would mean a token explode crept back
+    assert 1 <= final.count("Generate posexplode") <= 2, final
+    assert "posexplode(split(" not in final, "raw token explode crept back"
     assert "BroadcastHashJoin" in final, final
-    assert "_h2" in final, "window no longer keyed on the 128-bit identity"
+    # skew-safety: survivor/count via map-side-combining aggregates,
+    # never a window (single-task funnel) or a collected doc-id set
+    assert "Window" not in final, final
+    assert "collect_set(doc_id" not in final, final
+    assert "partial_min(doc_id" in final, "survivor must partial-aggregate"
+    # 128-bit destructive identity: the rollup keys on both hash seeds
+    assert "keys=[_h" in final and "_h2" in final, final
 
 
 def test_span_family_count_hint_skips_route_probe(spark, monkeypatch):
