@@ -81,6 +81,15 @@ STATS_MAX_COLUMNS = 32
 # raw log entries past the newest checkpoint.
 CHECKPOINT_EVERY = 10
 
+# Per-file bloom stats for `=` predicates (min/max footer intervals
+# prune nothing for point lookups on high-cardinality un-clustered
+# keys). Sizing: m = next_pow2(rows * BLOOM_BITS_PER_KEY) per file,
+# clamped — ~1% fpp at 10 bits/key with k=5.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 5
+BLOOM_M_MIN = 1 << 12
+BLOOM_M_MAX = 1 << 20
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first (optimistic
@@ -211,7 +220,9 @@ def _write_data(
 ) -> tuple[list[str], dict[str, dict | None]]:
     """Write df as immutable parquet under data/c<version>-<nonce>/ and
     return (part-file paths relative to the table root, per-file stats
-    harvested from the freshly written footers)."""
+    harvested from the freshly written footers — plus, when the table
+    opted in via ``bloom_cols``, per-file bloom bitmaps for `=`
+    pruning)."""
     rel_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}"
     root = path.rstrip("/")
     out = os.path.join(root, rel_dir)
@@ -221,7 +232,179 @@ def _write_data(
         for f in sorted(os.listdir(out))
         if f.endswith(".parquet") and not f.startswith(".")
     ]
-    return files, _collect_file_stats(root, files)
+    stats = _collect_file_stats(root, files)
+    cfg = _bloom_config(path)
+    if cfg:
+        present = {c: t for c, t in cfg["cols"].items() if c in df.columns}
+        if present:
+            blooms = _collect_bloom_stats(
+                spark, root, files, present, cfg["k"], stats
+            )
+            for rel, per_col in blooms.items():
+                if stats.get(rel) is not None and per_col:
+                    stats[rel]["bloom"] = per_col
+    return files, stats
+
+
+# --------------------------------------------------------------- bloom stats
+#
+# min/max footer intervals prune nothing for `=` probes on
+# high-cardinality keys the layout isn't clustered on (every file's
+# interval spans the whole domain). A small per-file Bloom bitmap in the
+# commit entry closes that: the point-lookup read opens only files whose
+# bitmap might contain the key. Same design as Parquet's optional
+# column-level bloom pages / Delta's bloom-filter indexes, held in the
+# log so the probe is a pure driver-side metadata test.
+#
+# Hashing is CRC32 double-hashing over the value's CAST-TO-STRING form —
+# chosen because zlib.crc32 reproduces Spark's crc32 bit-for-bit, so the
+# executor-side build (expressions, bit_or bitmaps like operators/
+# bloom.py) and the driver-side probe can never disagree; a mismatch
+# would be a FALSE NEGATIVE, i.e. a wrongly pruned file and silently
+# dropped rows. Only string/integral columns are bloomable (their
+# str() form is representation-stable across both sides).
+#
+# Scale note (100 TB): entry cost is m/8 bytes per file per column
+# (m auto-sized to the file's rows, capped at BLOOM_M_MAX = 128 KiB of
+# bits). Beyond the cap the fpp degrades gracefully — pruning weakens,
+# never breaks. At that point push the blooms into the parquet files'
+# native bloom pages and keep the log lean.
+
+
+def _bloom_config_path(path: str) -> str:
+    return os.path.join(_log_path(path), "_bloom_config.json")
+
+
+def _bloom_config(path: str) -> dict | None:
+    p = _bloom_config_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_bloom_config(path: str, df: DataFrame, bloom_cols: list[str]) -> None:
+    from pyspark.sql.types import IntegralType, StringType
+
+    cols: dict[str, str] = {}
+    for c in bloom_cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, StringType):
+            cols[c] = "str"
+        elif isinstance(dt, IntegralType):
+            cols[c] = "int"
+        else:
+            raise ValueError(
+                f"bloom_cols column {c!r} must be string or integral "
+                f"(got {dt.simpleString()}): other types have no "
+                f"representation-stable str() form to hash"
+            )
+    os.makedirs(_log_path(path), exist_ok=True)
+    with open(_bloom_config_path(path), "w") as fh:
+        json.dump({"cols": cols, "k": BLOOM_K}, fh)
+
+
+def _bloom_m_for_rows(rows: int) -> int:
+    m = 1
+    while m < max(rows, 1) * BLOOM_BITS_PER_KEY:
+        m <<= 1
+    return min(max(m, BLOOM_M_MIN), BLOOM_M_MAX)
+
+
+def _collect_bloom_stats(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    cols: dict[str, str],
+    k: int,
+    stats: dict[str, dict | None],
+) -> dict[str, dict]:
+    """One Spark pass over the commit's freshly written files: per
+    (file, column), k CRC32-double-hash bit positions per non-null value
+    fold to (word, mask) pairs and a ``bit_or`` groupBy yields the
+    bitmap (operators/bloom.py's build, keyed by file). Collect is
+    bounded by files x columns x m/64 words, never rows."""
+    m_by_file = {
+        f: _bloom_m_for_rows((stats.get(f) or {}).get("rows", 0) or 0)
+        for f in files
+    }
+    mapping = spark.createDataFrame(
+        [
+            ("file://" + os.path.abspath(os.path.join(root, f)), f, m_by_file[f])
+            for f in files
+        ],
+        "_file string, _rel string, _m long",
+    )
+    df = (
+        spark.read.parquet(*[os.path.join(root, f) for f in files])
+        .select(*cols, F.input_file_name().alias("_file"))
+        .join(F.broadcast(mapping), "_file")
+    )
+    m = F.col("_m")
+    entries = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        h1 = F.crc32(F.encode(s, "utf-8"))
+        h2 = F.crc32(F.encode(F.concat(s, F.lit("#")), "utf-8"))
+        step = h2 * 2 + 1
+        pos = F.array(*[F.pmod(h1 + F.lit(i) * step, m) for i in range(k)])
+        entries.append(
+            F.when(s.isNotNull(), F.struct(F.lit(c).alias("c"), pos.alias("p")))
+        )
+    words = (
+        df.select(
+            "_rel",
+            F.explode(
+                F.filter(F.array(*entries), lambda e: e.isNotNull())
+            ).alias("e"),
+        )
+        .select("_rel", F.col("e.c").alias("_col"), F.explode("e.p").alias("pos"))
+        .groupBy("_rel", "_col", (F.col("pos") / 64).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                )
+            ).alias("bits")
+        )
+    )
+    out: dict[str, dict] = {f: {} for f in files}
+    for r in words.collect():  # files x cols x m/64 rows, never row-scaled
+        ent = out[r._rel].setdefault(
+            r._col, {"m": m_by_file[r._rel], "k": k, "t": cols[r._col], "words": {}}
+        )
+        ent["words"][str(r.word)] = r.bits
+    return out
+
+
+def _bloom_maybe_contains(bl: dict, value) -> bool:
+    """Driver-side probe of one file's stored bloom. True = must read
+    (maybe present, un-probeable literal, or any doubt at all)."""
+    import zlib
+
+    t = bl.get("t")
+    if t == "int":
+        if not isinstance(value, int) or isinstance(value, bool):
+            return True  # cross-type comparison: Spark casts the COLUMN
+    elif t == "str":
+        if not isinstance(value, str):
+            return True
+    else:
+        return True
+    try:
+        m, k, words = int(bl["m"]), int(bl["k"]), bl["words"]
+    except (KeyError, TypeError, ValueError):
+        return True
+    s = str(value)
+    h1 = zlib.crc32(s.encode("utf-8"))
+    h2 = zlib.crc32((s + "#").encode("utf-8"))
+    step = 2 * h2 + 1
+    for i in range(k):
+        pos = (h1 + i * step) % m
+        w = words.get(str(pos // 64), 0)
+        if not (w >> (pos % 64)) & 1:
+            return False
+    return True
 
 
 def _stat_value(v):
@@ -369,10 +552,26 @@ def _check_columns(path: str, df: DataFrame, upto: int | None = None) -> list[st
     return have + [c for c in df.columns if c not in have]
 
 
-def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Version 0: write initial data files, publish the first commit."""
+def create_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Version 0: write initial data files, publish the first commit.
+
+    ``bloom_cols`` (optional, string/integral columns only) opts the
+    table into per-file bloom stats: every subsequent commit — appends,
+    COW rewrites, OPTIMIZE — records a bloom bitmap per added file for
+    each listed column, and ``read_table(where=[(col, '=', v)])`` prunes
+    files whose bitmap rules the key out (the case min/max intervals
+    can't prune: point lookups on high-cardinality un-clustered keys).
+    The config is a table property (``_txnlog/_bloom_config.json``), so
+    every writer maintains it without threading parameters."""
     if _versions(path):
         raise ValueError(f"table already exists at {path}")
+    if bloom_cols:
+        _write_bloom_config(path, df, bloom_cols)
     files, stats = _write_data(spark, path, df, 0)
     _commit(path, 0, "create", files, [], df.columns, stats=stats)
     return 0
@@ -460,6 +659,10 @@ def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
     rows = fstats.get("rows")
     if col in nulls and rows is not None and nulls[col] == rows:
         return False  # every value null: no comparison predicate matches
+    if op == "=":
+        bl = (fstats.get("bloom") or {}).get(col)
+        if bl is not None and not _bloom_maybe_contains(bl, sval):
+            return False  # bitmap proves the key absent from this file
     mn = fstats.get("min", {}).get(col)
     mx = fstats.get("max", {}).get(col)
     if mn is None or mx is None:

@@ -490,3 +490,113 @@ def test_all_pruned_read_keeps_evolved_column_types(spark, tmp_path):
     assert dict(empty.dtypes) == dict(full.dtypes)
     # the schema must be union-compatible with the non-empty read
     assert full.unionByName(empty).count() == full.count()
+
+
+# --- per-file bloom stats for `=` predicates (r11) -------------------------
+
+
+def test_spark_crc32_matches_zlib(spark):
+    """The bloom build hashes executor-side with F.crc32 and probes
+    driver-side with zlib.crc32 — a disagreement would be a false
+    negative, i.e. a wrongly pruned file. Pin bit-for-bit parity over
+    representative key shapes (the int path goes through cast-to-string
+    on both sides)."""
+    import zlib
+
+    vals = ["", "a", "hello world", "käse", "123", "-9007199254740993", "x" * 300]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", F.crc32(F.encode("s", "utf-8")).alias("c"))
+        .collect()
+    )
+    for r in got:
+        assert r.c == zlib.crc32(r.s.encode("utf-8")), r.s
+
+
+def _uuidish_table(spark, path, n=8000, files=32, bloom=True):
+    """Hash-ordered string keys: every file spans the whole key domain,
+    so min/max intervals never prune a point lookup."""
+    df = spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    T.create_table(
+        spark, path, df.repartition(files),
+        bloom_cols=["key"] if bloom else None,
+    )
+    return df
+
+
+def test_bloom_point_lookup_opens_few_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _uuidish_table(spark, path, n=8000, files=32)
+    probe = T.read_table(spark, path).limit(1).first()
+    rep = T.scan_report(path, [("key", "=", probe.key)])
+    assert rep["files_live"] == 32
+    # the key lives in 1 file; ~1% fpp adds at most a file or two
+    assert rep["files_read"] <= 4, rep
+    got = T.read_table(spark, path, where=[("key", "=", probe.key)]).collect()
+    assert len(got) == 1 and got[0].v == probe.v
+    # absent key: usually 0 files, never a wrong row
+    rep0 = T.scan_report(path, [("key", "=", "definitely-not-a-key")])
+    assert rep0["files_read"] <= 2
+    assert (
+        T.read_table(spark, path, where=[("key", "=", "no-such")]).count() == 0
+    )
+    # without blooms the same layout reads (nearly) everything — hash
+    # order leaves every file's min/max interval spanning ~the domain
+    path2 = str(tmp_path / "t2")
+    _uuidish_table(spark, path2, n=8000, files=32, bloom=False)
+    k2 = T.read_table(spark, path2).limit(1).first().key
+    assert T.scan_report(path2, [("key", "=", k2)])["files_read"] >= 24
+
+
+def test_bloom_never_false_negative_and_survives_mutations(spark, tmp_path):
+    """The correctness contract: a bloom-pruned `=` read equals the
+    full read filtered, for EVERY live key — across append, COW upsert
+    and OPTIMIZE (all of which write new files whose blooms come from
+    the table-property config, no parameter threading)."""
+    path = str(tmp_path / "t")
+    base = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+    )
+    T.create_table(spark, path, base.repartition(8), bloom_cols=["k", "s"])
+    T.append_rows(
+        spark,
+        path,
+        spark.range(500, 700).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+        ).repartition(4),
+    )
+    T.upsert_rows(
+        spark,
+        path,
+        spark.createDataFrame([(3, "updated")], "k long, s string"),
+        ["k"],
+    )
+    T.optimize(spark, path, target_bytes=1 << 20)
+    full = {r.k: r.s for r in T.read_table(spark, path).collect()}
+    assert len(full) == 700 and full[3] == "updated"
+    import random
+
+    rng = random.Random(7)
+    for k in rng.sample(sorted(full), 40):
+        got = T.read_table(spark, path, where=[("k", "=", int(k))]).collect()
+        assert [(r.k, r.s) for r in got] == [(k, full[k])], k
+        got_s = T.read_table(spark, path, where=[("s", "=", full[k])]).collect()
+        assert [(r.k, r.s) for r in got_s] == [(k, full[k])], k
+    # commit entries actually carry the bitmaps for both columns
+    entry = T.history(path)[-1]
+    some = next(s for s in entry["stats"].values() if s)
+    assert set(some["bloom"]) == {"k", "s"}
+    assert some["bloom"]["k"]["words"], "empty bitmap"
+
+
+def test_bloom_rejects_unhashable_column_types(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "t")
+    df = spark.range(5).select("id", (F.col("id") * 1.5).alias("f"))
+    with pytest.raises(ValueError, match="bloom_cols"):
+        T.create_table(spark, path, df, bloom_cols=["f"])
