@@ -1,0 +1,91 @@
+"""Streaming change-data-feed source over the transaction log — commit
+versions as stream offsets (Delta's CDF streaming source / Iceberg's
+incremental read, public designs).
+
+The batch side already exists: ``operators.txnlog.read_changes`` turns a
+commit range into (_change_type, _commit_version, row) rows whose cost
+is the range's copy-on-write blast radius, never table size. This
+module is the INCREMENTAL delivery loop around it: a reader tracks the
+last commit version it has processed (its offset), and each micro-batch
+is ``read_changes(last+1, head)`` — so downstream consumers (the BM25
+index sync ``operators.bm25.sync_bm25_from_changes``, the curation
+pipeline ``operators.curation``) follow a living table commit by commit
+instead of rebuilding.
+
+Exactly-once composes from parts that already exist: the feed's batch
+ids ARE commit versions (replays re-deliver the same rows — read_changes
+is a pure function of the log), and a consumer that lands results in
+another txnlog table via ``idempotent_append(app_id, batch_id=hi)``
+de-duplicates replays with the transactional marker
+(``operators/txnlog.py`` txn actions). That is the same contract
+Spark's own foreachBatch + Delta txn sink pair gives.
+
+Why not a custom StructuredStreaming Source class: PySpark has no
+stable public API for third-party sources; the sanctioned pattern for
+"stream from something Spark can't natively offset-track" is a driver
+poll loop handing micro-batch DataFrames to a foreachBatch-shaped
+consumer — which is exactly what Spark itself does internally, with the
+offsets here being durable log versions instead of a checkpoint file.
+
+Scale: each poll reads O(new commits' blast radius) data and the offset
+state is one integer; a 1000-executor cluster runs the same loop with
+the driver doing only log-listing I/O.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newsify_spark.operators.txnlog import _versions, read_changes
+
+
+def stream_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int = 1,
+    to_version: int | None = None,
+    batch_commits: int = 1,
+) -> Iterator[tuple[int, int, DataFrame]]:
+    """Yield the change feed as (lo, hi, changes) micro-batches of at
+    most ``batch_commits`` commits each — the offsets a resumable
+    consumer persists. Commits that touched no files (no-op deletes)
+    are skipped, mirroring an empty micro-batch. ``to_version=None``
+    snapshots the log head at call time (a tailing consumer calls again
+    with ``from_version = last_hi + 1``)."""
+    if batch_commits < 1:
+        raise ValueError("batch_commits must be >= 1")
+    head = to_version if to_version is not None else max(_versions(path), default=-1)
+    vs = [v for v in _versions(path) if from_version <= v <= head]
+    for i in range(0, len(vs), batch_commits):
+        chunk = vs[i : i + batch_commits]
+        lo, hi = chunk[0], chunk[-1]
+        try:
+            yield lo, hi, read_changes(spark, path, lo, hi)
+        except ValueError:
+            continue  # only no-op commits in this chunk
+
+
+def run_cdf_feed(
+    spark: SparkSession,
+    path: str,
+    consumer: Callable[[DataFrame, int], None],
+    from_version: int = 1,
+    to_version: int | None = None,
+    batch_commits: int = 1,
+) -> int | None:
+    """foreachBatch-shaped delivery: call ``consumer(batch_df,
+    batch_id)`` for each micro-batch, batch_id = the chunk's high
+    commit version (so a consumer writing through
+    ``txnlog.idempotent_append(app_id=..., batch_id=batch_id)`` is
+    exactly-once across crashes and replays). Returns the last
+    delivered version — the offset to resume from — or None if the
+    range held no deliverable batch."""
+    last: int | None = None
+    for _, hi, df in stream_changes(
+        spark, path, from_version, to_version, batch_commits
+    ):
+        consumer(df, hi)
+        last = hi
+    return last
