@@ -75,3 +75,64 @@ def pack_next_fit(
     return docs.select(*gcols, id_col, size_col).groupBy(*gcols).applyInPandas(
         pack, out_schema
     )
+
+
+def materialize_bins(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    group_cols: tuple[str, ...] = ("source", "shard"),
+) -> DataFrame:
+    """Materialize the packed TRAINING SEQUENCES themselves — per-bin
+    token arrays with doc-boundary offsets, the artifact a dataloader
+    actually reads (:func:`pack_next_fit` emits only the layout).
+
+    Composition: the manifest (next-fit over ``size = |tokens|``) joins
+    back to the per-doc token arrays on the doc key, then one aggregate
+    per (group, bin) assembles the sequence: docs sorted by their
+    ``bin_offset``, token arrays flattened in that order. Returns
+    (group_cols..., bin, n_docs, n_tokens, doc_ids, offsets, tokens) —
+    ``offsets[i]`` is where ``doc_ids[i]``'s tokens start inside
+    ``tokens``, so any document reconstructs as
+    ``tokens[offsets[i] : offsets[i] + len]`` (property-pinned in
+    tests: every doc's tokens appear exactly once, in manifest order,
+    and no bin exceeds ``budget`` unless a single oversized doc owns
+    it).
+
+    Scale shape: the join shuffles the corpus ONCE on the doc key; the
+    per-bin groups are budget-bounded (a bin holds <= budget tokens),
+    so the final aggregate has uniformly tiny groups no matter how
+    skewed the corpus — the parallelism unit shifts from pack group
+    (manifest) to bin (payload), which is exactly what you want when
+    materializing: payload work spreads over every core."""
+    gcols = list(group_cols)
+    sized = docs.select(
+        *gcols, id_col, F.size(tokens_col).cast("long").alias("_n_tok")
+    )
+    manifest = pack_next_fit(
+        sized, budget, id_col=id_col, size_col="_n_tok", group_cols=group_cols
+    )
+    joined = manifest.join(
+        docs.select(*gcols, id_col, tokens_col), gcols + [id_col]
+    )
+    packed = joined.groupBy(*gcols, "bin").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bin_offset").alias("o"),
+                    F.col(id_col).alias("i"),
+                    F.col(tokens_col).alias("t"),
+                )
+            )
+        ).alias("_docs")
+    )
+    out = packed.select(
+        *gcols,
+        "bin",
+        F.size("_docs").cast("long").alias("n_docs"),
+        F.transform("_docs", lambda d: d["i"]).alias("doc_ids"),
+        F.transform("_docs", lambda d: d["o"]).alias("offsets"),
+        F.flatten(F.transform("_docs", lambda d: d["t"])).alias("tokens"),
+    )
+    return out.withColumn("n_tokens", F.size("tokens").cast("long"))

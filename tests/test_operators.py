@@ -3233,3 +3233,53 @@ def test_txnlog_read_changes_cdc_feed(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         T.read_changes(spark, path, 99)
+
+
+def test_materialize_bins_reconstructs_every_document(spark):
+    """Materialized packed sequences (VERDICT r10 #8): per-bin token
+    arrays + doc-boundary offsets must reconstruct every document's
+    tokens exactly once, in manifest order; no multi-doc bin exceeds
+    the budget; offsets index the flattened array correctly (the
+    dataloader contract: tokens[off : off + len] == doc tokens)."""
+    from newsify_spark.operators.packing import materialize_bins, pack_next_fit
+
+    budget = 12
+    rows = []
+    for i in range(30):
+        n = 3 + (i * 7) % 8
+        rows.append(("a", i, i % 2, [f"t{i}_{j}" for j in range(n)]))
+    rows.append(("a", 99, 0, [f"big_{j}" for j in range(25)]))  # oversized
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, shard long, toks array<string>"
+    )
+    bins = materialize_bins(docs, budget=budget, tokens_col="toks").collect()
+    want = {(r[0], r[2], r[1]): r[3] for r in rows}
+
+    seen: dict[tuple, int] = {}
+    for b in bins:
+        assert b.n_docs == len(b.doc_ids) == len(b.offsets)
+        assert b.n_tokens == len(b.tokens)
+        if b.n_docs > 1:
+            assert b.n_tokens <= budget, b
+        # offsets are the running fill, docs in manifest (id) order
+        assert list(b.doc_ids) == sorted(b.doc_ids)
+        fill = 0
+        for i, d in enumerate(b.doc_ids):
+            toks = want[(b.source, b.shard, d)]
+            assert b.offsets[i] == fill, (b.bin, d)
+            assert list(b.tokens[fill : fill + len(toks)]) == toks, d
+            fill += len(toks)
+            seen[(b.source, b.shard, d)] = seen.get((b.source, b.shard, d), 0) + 1
+        assert fill == b.n_tokens  # no stray tokens between/after docs
+    assert seen == {k: 1 for k in want}  # every doc exactly once
+    # the materialization agrees with the layout-only manifest
+    sized = docs.select(
+        "source", "shard", "doc_id", F.size("toks").cast("long").alias("n_tok")
+    )
+    manifest = {
+        (r.source, r.shard, r.doc_id): (r.bin, r.bin_offset)
+        for r in pack_next_fit(sized, budget=budget).collect()
+    }
+    for b in bins:
+        for i, d in enumerate(b.doc_ids):
+            assert manifest[(b.source, b.shard, d)] == (b.bin, b.offsets[i])
