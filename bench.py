@@ -108,9 +108,35 @@ def main() -> None:
                 med = (recent[0] + recent[1]) / 2.0
                 if t > 1.5 * med:
                     regressions[name] = f"{t:.3f}s vs recent median {med:.3f}s"
+        # Host-noise guard (VERDICT r10 #2): two ambient-load-inflated
+        # runs were appended to the history as "clean" in r10, ratcheting
+        # the recent-median creep gate upward. A run where the MEDIAN
+        # ratio vs the history across queries exceeds 1.2x is uniform
+        # drift — host noise, not a code regression (code changes move
+        # specific queries, not the median) — so it must never enter the
+        # history window.
+        noisy = False
+        if hist:
+            ratios = []
+            for name, t in timings.items():
+                past = [r[name] for r in hist if name in r]
+                if past:
+                    med = statistics.median(past)
+                    if med > 0:
+                        ratios.append(t / med)
+            if len(ratios) >= 5:
+                noise_ratio = round(statistics.median(ratios), 3)
+                noisy = noise_ratio > 1.2
+                if noisy:
+                    print(
+                        f"# HOST NOISY: median ratio {noise_ratio} vs history "
+                        f"across {len(ratios)} queries exceeds 1.2x — run NOT "
+                        f"appended to BENCH_HISTORY.json",
+                        file=sys.stderr,
+                    )
         if regressions:
             print(f"# REGRESSIONS (>1.5x gate): {regressions}", file=sys.stderr)
-        elif base:
+        elif base and not noisy:
             # clean run: append to the rolling history the creep gate reads
             hist.append(timings)
             with open(hist_path, "w") as f:
@@ -125,6 +151,19 @@ def main() -> None:
                     indent=2,
                 )
 
+    # Staged lakehouse fixtures (VERDICT r10 #3): the txnlog queries
+    # stage their COW table once per process; pass 1 pays it, passes
+    # 2..n time only the read path, so the per-query MEDIAN above is the
+    # read-path number. The staging (write/rewrite) cost is reported
+    # here as its own component so neither path's regression can hide
+    # inside the other.
+    try:
+        from newsify_spark.queries.extra import STAGING_SECONDS
+
+        staging = dict(STAGING_SECONDS)
+    except Exception:
+        staging = {}
+
     print(
         json.dumps(
             {
@@ -132,6 +171,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "staging": staging,
                 "passes": passes,
                 "sf": sf,
                 "baseline_total": base.get("value") if os.path.exists(base_path) else None,

@@ -82,11 +82,13 @@ DEMOTED: frozenset[str] = frozenset(
         # #8 below for their first driver rows; doc_dup_spans_removed
         # promoted only after its r10 rebuild rework removed the
         # corpus-token shuffle VERDICT r9 marked weak)
-        # round-10 additions; never-driver-checked — rotation-#9 queue
-        "doc_mix_unimax_sample",
-        "doc_pack_manifest",
-        "rel_txnlog_prune",
-        "rel_txnlog_zorder",
+        # (round-10 additions — doc_pack_manifest, doc_mix_unimax_sample,
+        # rel_txnlog_prune, rel_txnlog_zorder — all promoted in rotation
+        # #9 below for their first driver rows)
+        # round-11 additions; never-driver-checked — rotation-#10 queue
+        "doc_pack_tokens",
+        "rel_txnlog_point_lookup",
+        "stream_cdf_feed",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,
@@ -270,6 +272,17 @@ DEMOTED: frozenset[str] = frozenset(
         "tpch_q08_market_share",  # green r7+r8+r9
         "tpch_q09_product_profit",  # green r7+r8+r9
         "tpch_q11_important_parts",  # green r7+r8+r9
+        # --- round-11 rotation OUT (rotation #9): every name below is
+        # driver hash-green in 3 rounds (r8+r9+r10 — the final deep-TPC-H
+        # cohort from rotation #6), freeing window slots for the 4
+        # round-10 additions (doc_pack_manifest, doc_mix_unimax_sample,
+        # rel_txnlog_prune, rel_txnlog_zorder) — all first-ever driver
+        # rows. All demoted names remain oracle-verified locally every
+        # round via tests/test_oracle.py and green_gate --all.
+        "tpch_q19_disjunctive_revenue",  # green r8+r9+r10
+        "tpch_q20_promotion_suppliers",  # green r8+r9+r10
+        "tpch_q21_waiting_suppliers",  # green r8+r9+r10
+        "tpch_q22_global_sales_opportunity",  # green r8+r9+r10
     }
 )
 

@@ -111,8 +111,21 @@ QUERIES = [
     "doc_bm25_cdc_search",
     # round 10: OPTIMIZE ZORDER cycle (create + re-cluster rewrite +
     # pruned read — both writes are one pass each, the z-key is a pure
-    # expression, so the whole cycle should track the data ratio)
+    # expression, so the whole cycle should track the data ratio;
+    # r11 stage-split: the first call stages, so this now measures
+    # staging + one read — still the full cycle under replication)
     "rel_txnlog_zorder",
+    # round 11: materialized sequence packing (BPE-piece + one doc-keyed
+    # shuffle + budget-bounded bin aggregate — groups can never exceed a
+    # bin, so skew is impossible by construction), the bloom-pruned
+    # point lookup (staging is one table write; the lookup itself is
+    # metadata + <=k files, so the ratio should sit WELL under the data
+    # ratio), and the streaming CDF delivery loop (per-commit blast
+    # radius; the fixture cycle's commit count is fixed, so near-linear
+    # in the mutated rows)
+    "doc_pack_tokens",
+    "rel_txnlog_point_lookup",
+    "stream_cdf_feed",
 ]
 
 # Queries whose 8x ratio ran above ~3.5 in round 8 (VERDICT r8 #8):

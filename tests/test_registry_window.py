@@ -82,10 +82,9 @@ MUST_BE_CHECKED = {
     "rel_funnel_steps",  # funnel analytics (bench headliner)
     "rel_retention_cohorts",  # weekly cohort retention (bench headliner)
     "rel_txnlog_snapshot",  # COW transaction-log snapshot read
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
+    # (rotation #9 trimmed tpch_q19/q20/q21/q22 after each accumulated 3
+    # driver-green rounds (r8+r9+r10) — all still oracle-verified
+    # locally every round.)
     # round-9 rotation IN (rotation #7): first-ever driver rows — the 10
     # round-8 additions (all locally oracle-green at all 3 SFs since r8)
     "vec_knn_ivfpq",  # hash-checked composed IVF-PQ index math
@@ -105,6 +104,12 @@ MUST_BE_CHECKED = {
     "doc_cdc_curation",  # CDC-driven incremental curation
     "doc_bm25_cdc_search",  # CDC-maintained BM25 index search
     "doc_mix_unimax",  # UniMax language-budget allocation
+    # round-11 rotation IN (rotation #9): first-ever driver rows — the 4
+    # round-10 additions (all locally oracle-green at all 3 SFs since r10)
+    "doc_pack_manifest",  # next-fit packing manifest (applyInPandas)
+    "doc_mix_unimax_sample",  # UniMax allocation applied as sampling
+    "rel_txnlog_prune",  # footer-stats data-skipping read (staged split)
+    "rel_txnlog_zorder",  # OPTIMIZE ZORDER commit (bench headliner)
 }
 
 
@@ -149,7 +154,10 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # vec_knn_int8, added r5, were promoted in r6; doc_ngram_perplexity,
 # added r7, was promoted in r8's rotation #6; doc_dsir_weights, added
 # r8, was promoted in r9's rotation #7.)
-BENCH_PROMOTION_QUEUE: set[str] = {"rel_txnlog_zorder"}  # added r10, rotation-#9 queue
+# (rel_txnlog_zorder, added r10, was promoted in r11's rotation #9.)
+BENCH_PROMOTION_QUEUE: set[str] = {
+    "rel_txnlog_point_lookup",  # added r11, rotation-#10 queue
+}
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
 # of driver hash-green evidence (the rotation directive outranks the
