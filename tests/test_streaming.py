@@ -1013,43 +1013,42 @@ def test_cdf_stream_equals_batch_over_50_commits(spark, tmp_path):
                 ["k"],
             )
 
-    batch = T.read_changes(spark, path, 1).select(
-        "_change_type", "_commit_version", "k", "s"
-    )
-    batches = []
+    cols = ["_change_type", "_commit_version", "k", "s"]
+    batch = T.read_changes(spark, path, 1).select(*cols)
+    batch_rows = sorted(map(tuple, batch.collect()))
+    # collect per micro-batch: unioning ~44 read_changes plans (each
+    # with its own exceptAll pair) into one DataFrame builds a plan big
+    # enough to OOM the long-lived test JVM — the parity contract is on
+    # ROWS, so compare collected row multisets instead
+    streamed_rows: list = []
     ids = []
 
     def consume(df, bid):
-        batches.append(df.select("_change_type", "_commit_version", "k", "s"))
+        streamed_rows.extend(map(tuple, df.select(*cols).collect()))
         ids.append(bid)
 
     last = run_cdf_feed(spark, path, consume, from_version=1)
     assert last == max(ids) and ids == sorted(ids)
-    streamed = batches[0]
-    for b in batches[1:]:
-        streamed = streamed.unionByName(b)
-    assert sorted(map(tuple, streamed.collect())) == sorted(
-        map(tuple, batch.collect())
+    assert sorted(streamed_rows) == batch_rows
+    # net-state collapse parity (streamed rows re-enter as one small
+    # local DataFrame — plan size is O(1), not O(batches))
+    streamed_df = spark.createDataFrame(
+        streamed_rows, batch.select(*cols).schema
     )
-    # net-state collapse parity
-    net_b = sorted(map(tuple, net_changes(batch, "k").collect()))
-    net_s = sorted(map(tuple, net_changes(streamed, "k").collect()))
+    net_b = sorted(map(tuple, net_changes(batch, "k").select(*cols).collect()))
+    net_s = sorted(map(tuple, net_changes(streamed_df, "k").select(*cols).collect()))
     assert net_s == net_b
     # resume from a mid offset == the batch tail
-    tail = [df for _, _, df in stream_changes(spark, path, 30)]
-    tail_u = tail[0]
-    for df in tail[1:]:
-        tail_u = tail_u.unionByName(df)
-    want_tail = T.read_changes(spark, path, 30)
-    assert sorted(map(tuple, tail_u.select(*want_tail.columns).collect())) == sorted(
-        map(tuple, want_tail.collect())
-    )
+    tail_rows: list = []
+    for _, _, df in stream_changes(spark, path, 30):
+        tail_rows.extend(map(tuple, df.select(*cols).collect()))
+    want_tail = T.read_changes(spark, path, 30).select(*cols)
+    assert sorted(tail_rows) == sorted(map(tuple, want_tail.collect()))
     # multi-commit chunks cover the same rows
-    chunky = [df for _, _, df in stream_changes(spark, path, 1, batch_commits=7)]
-    cu = chunky[0]
-    for df in chunky[1:]:
-        cu = cu.unionByName(df)
-    assert cu.count() == batch.count()
+    n_chunky = 0
+    for _, _, df in stream_changes(spark, path, 1, batch_commits=7):
+        n_chunky += df.count()
+    assert n_chunky == len(batch_rows)
 
 
 def test_cdf_feed_drives_bm25_index_like_batch(spark, tmp_path):
