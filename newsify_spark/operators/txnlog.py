@@ -188,7 +188,13 @@ def _txn_high_water(path: str, upto: int | None = None) -> dict[str, int]:
 def _maybe_checkpoint(path: str, version: int) -> None:
     """Publish a snapshot-state checkpoint every CHECKPOINT_EVERY
     commits. Purely an accelerator: losing the race (or crashing before
-    the link) leaves readers on raw-log replay, never wrong."""
+    the link) leaves readers on raw-log replay, never wrong.
+
+    Size note: the state carries each live file's stats verbatim —
+    including bloom bitmaps on opted-in tables (m/8 bytes per file per
+    bloom column, m capped at BLOOM_M_MAX) — so a checkpoint is
+    O(live files x indexed columns), the same asymptotic Delta's
+    parquet checkpoints pay for their stats struct."""
     if version <= 0 or version % CHECKPOINT_EVERY != 0:
         return
     state = _snapshot_state(path, upto=version)
@@ -1237,7 +1243,15 @@ def _read_version_tagged(
     mixing those in one scan. Groups are bounded by the number of
     schema-evolution events in the range, never by commit count, so the
     plan stays effectively constant-size; the cross-group unionByName
-    applies the same widening coercion the per-commit form relied on."""
+    applies the same widening coercion the per-commit form relied on.
+
+    Cost cap note: the grouping reads ONE footer PER FILE in the range
+    driver-side — bounded by the range's blast radius, which is the
+    same bound the read itself pays, so it never dominates; but a
+    months-long range over a churn-heavy table pays O(files touched)
+    ranged GETs up front. If that ever matters, cache footer schema
+    fingerprints in the commit entries (alongside the stats) and group
+    on those instead of re-reading."""
     if not file_versions:
         return None
     import pyarrow.parquet as papq
