@@ -600,3 +600,37 @@ def test_bloom_rejects_unhashable_column_types(spark, tmp_path):
     df = spark.range(5).select("id", (F.col("id") * 1.5).alias("f"))
     with pytest.raises(ValueError, match="bloom_cols"):
         T.create_table(spark, path, df, bloom_cols=["f"])
+
+
+def test_bloom_stats_survive_checkpoint_replay(spark, tmp_path):
+    """Checkpoints carry each live file's stats verbatim — including
+    bloom bitmaps — so a reader resolving its snapshot from the
+    checkpoint (12 commits => 10.checkpoint.json) prunes point lookups
+    exactly like a raw-log replay."""
+    path = str(tmp_path / "t")
+    df0 = spark.range(400).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.col("id").alias("v"),
+    )
+    T.create_table(spark, path, df0.repartition(4), bloom_cols=["key"])
+    for i in range(1, 13):
+        T.append_rows(
+            spark,
+            path,
+            spark.range(400 + 50 * i, 400 + 50 * (i + 1)).select(
+                F.md5(F.col("id").cast("string")).alias("key"),
+                F.col("id").alias("v"),
+            ).coalesce(1),
+        )
+    assert os.path.exists(T._checkpoint_path(path, 10))
+    # a key from the pre-checkpoint era and one from the tail
+    probe_old = T.read_table(spark, path, where=[("v", "=", 3)]).first().key
+    rep = T.scan_report(path, [("key", "=", probe_old)])
+    assert rep["files_live"] >= 16
+    assert rep["files_read"] <= 4, rep
+    got = T.read_table(spark, path, where=[("key", "=", probe_old)]).collect()
+    assert len(got) == 1 and got[0].v == 3
+    probe_new = T.read_table(spark, path, where=[("v", "=", 970)]).first().key
+    got2 = T.read_table(spark, path, where=[("key", "=", probe_new)]).collect()
+    assert len(got2) == 1 and got2[0].v == 970
+    assert T.scan_report(path, [("key", "=", probe_new)])["files_read"] <= 4
