@@ -116,12 +116,20 @@ def materialize_bins(
     joined = manifest.join(
         docs.select(*gcols, id_col, tokens_col), gcols + [id_col]
     )
+    # Sort key = the doc id ALONE (first struct field; ids are unique so
+    # the later fields are never consulted): placement within a group is
+    # ascending id_col order by construction (pack_next_fit visits docs
+    # sorted by id), and bins fill monotonically in that order, so
+    # id-order within (group, bin) IS placement order. Sorting by
+    # bin_offset first instead would tie whenever a zero-token doc
+    # shares its offset with the doc after it, leaving the ordering to
+    # depend on offset uniqueness (ADVICE r11 #5).
     packed = joined.groupBy(*gcols, "bin").agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    F.col("bin_offset").alias("o"),
                     F.col(id_col).alias("i"),
+                    F.col("bin_offset").alias("o"),
                     F.col(tokens_col).alias("t"),
                 )
             )

@@ -85,10 +85,11 @@ DEMOTED: frozenset[str] = frozenset(
         # (round-10 additions — doc_pack_manifest, doc_mix_unimax_sample,
         # rel_txnlog_prune, rel_txnlog_zorder — all promoted in rotation
         # #9 below for their first driver rows)
-        # round-11 additions; never-driver-checked — rotation-#10 queue
-        "doc_pack_tokens",
-        "rel_txnlog_point_lookup",
-        "stream_cdf_feed",
+        # (round-11 additions — doc_pack_tokens, rel_txnlog_point_lookup,
+        # stream_cdf_feed — all promoted in rotation #10 below for their
+        # first driver rows)
+        # round-12 addition; never-driver-checked — rotation-#11 queue
+        "rel_txnlog_in_lookup",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,
@@ -283,6 +284,16 @@ DEMOTED: frozenset[str] = frozenset(
         "tpch_q20_promotion_suppliers",  # green r8+r9+r10
         "tpch_q21_waiting_suppliers",  # green r8+r9+r10
         "tpch_q22_global_sales_opportunity",  # green r8+r9+r10
+        # --- round-12 rotation OUT (rotation #10): every name below is
+        # driver hash-green in 3 rounds (r9+r10+r11 — the rotation-#7
+        # cohort), freeing window slots for the 3 round-11 additions
+        # (doc_pack_tokens, rel_txnlog_point_lookup, stream_cdf_feed) —
+        # all first-ever driver rows. All demoted names remain
+        # oracle-verified locally every round via tests/test_oracle.py
+        # and green_gate --all.
+        "doc_zipf_fit",  # green r9+r10+r11
+        "doc_pmi_collocations",  # green r9+r10+r11
+        "rec_item_cooccurrence",  # green r9+r10+r11
     }
 )
 

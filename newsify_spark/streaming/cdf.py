@@ -38,7 +38,7 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-from newsify_spark.operators.txnlog import _versions, read_changes
+from newsify_spark.operators.txnlog import _read_log, _versions, read_changes
 
 
 def stream_changes(
@@ -58,13 +58,22 @@ def stream_changes(
         raise ValueError("batch_commits must be >= 1")
     head = to_version if to_version is not None else max(_versions(path), default=-1)
     vs = [v for v in _versions(path) if from_version <= v <= head]
+    # No-op chunks (commits whose add AND remove lists are empty) are
+    # detected STRUCTURALLY from the log entries, one log read for the
+    # whole range — never by swallowing read_changes' ValueError, which
+    # would silently drop a micro-batch on any other raise path (the
+    # footer-probe cap, a future validation) and lose data the consumer
+    # cannot detect (ADVICE r11 #4).
+    touched = {
+        e["version"]: bool(e["add"] or e["remove"])
+        for e in _read_log(path, upto=head, since=from_version)
+    }
     for i in range(0, len(vs), batch_commits):
         chunk = vs[i : i + batch_commits]
         lo, hi = chunk[0], chunk[-1]
-        try:
-            yield lo, hi, read_changes(spark, path, lo, hi)
-        except ValueError:
-            continue  # only no-op commits in this chunk
+        if not any(touched.get(v, False) for v in chunk):
+            continue  # structurally a no-op chunk: nothing to deliver
+        yield lo, hi, read_changes(spark, path, lo, hi)
 
 
 def run_cdf_feed(

@@ -3283,3 +3283,49 @@ def test_materialize_bins_reconstructs_every_document(spark):
     for b in bins:
         for i, d in enumerate(b.doc_ids):
             assert manifest[(b.source, b.shard, d)] == (b.bin, b.offsets[i])
+
+
+def test_materialize_bins_zero_token_docs_keep_placement_order(spark):
+    """A zero-token doc shares its bin_offset with the doc placed after
+    it, so an offset-first sort key left the ordering to offset
+    uniqueness (ADVICE r11 #5). Ordering is now total on the unique doc
+    id — which IS placement order (pack visits docs id-ascending) — so
+    empty docs keep their manifest slot and the arrays stay aligned."""
+    from newsify_spark.operators.packing import materialize_bins, pack_next_fit
+
+    budget = 10
+    rows = [
+        ("a", 0, 0, ["x0", "x1", "x2"]),
+        ("a", 1, 0, []),  # zero-token: offset ties with doc 2
+        ("a", 2, 0, ["y0", "y1"]),
+        ("a", 3, 0, []),  # zero-token at a bin boundary fill
+        ("a", 4, 0, ["z0"] * 5),
+        ("a", 5, 0, []),  # trailing zero-token doc
+    ]
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, shard long, toks array<string>"
+    )
+    bins = materialize_bins(docs, budget=budget, tokens_col="toks").collect()
+    want = {r[1]: r[3] for r in rows}
+    manifest = {
+        r.doc_id: (r.bin, r.bin_offset)
+        for r in pack_next_fit(
+            docs.select(
+                "source",
+                "shard",
+                "doc_id",
+                F.size("toks").cast("long").alias("n_tok"),
+            ),
+            budget=budget,
+        ).collect()
+    }
+    seen = set()
+    for b in bins:
+        assert list(b.doc_ids) == sorted(b.doc_ids)  # placement order
+        assert len(b.doc_ids) == len(b.offsets) == b.n_docs
+        for i, d in enumerate(b.doc_ids):
+            assert manifest[d] == (b.bin, b.offsets[i]), d
+            toks = want[d]
+            assert list(b.tokens[b.offsets[i] : b.offsets[i] + len(toks)]) == toks
+            seen.add(d)
+    assert seen == set(want)  # zero-token docs present in doc_ids/offsets

@@ -93,10 +93,10 @@ MUST_BE_CHECKED = {
     "doc_bpe_merges",  # distributed BPE tokenizer training
     "doc_bpe_tokenize",  # corpus tokenization with the learned merges
     "rel_txnlog_changes",  # txnlog CDC change feed
-    "doc_zipf_fit",  # Zipf corpus-health diagnostic
     "doc_blocklist_filter",  # C4 blocklist gate
-    "doc_pmi_collocations",  # PMI collocation mining
-    "rec_item_cooccurrence",  # association-lift co-occurrence mining
+    # (rotation #10 trimmed doc_zipf_fit, doc_pmi_collocations and
+    # rec_item_cooccurrence after each accumulated 3 driver-green rounds
+    # (r9+r10+r11) — all still oracle-verified locally every round.)
     # round-10 rotation IN (rotation #8): first-ever driver rows — the 4
     # round-9 additions (all locally oracle-green at all 3 SFs since r9;
     # doc_dup_spans_removed promoted only after the r10 rebuild rework)
@@ -110,6 +110,11 @@ MUST_BE_CHECKED = {
     "doc_mix_unimax_sample",  # UniMax allocation applied as sampling
     "rel_txnlog_prune",  # footer-stats data-skipping read (staged split)
     "rel_txnlog_zorder",  # OPTIMIZE ZORDER commit (bench headliner)
+    # round-12 rotation IN (rotation #10): first-ever driver rows — the 3
+    # round-11 additions (all locally oracle-green at all 3 SFs since r11)
+    "doc_pack_tokens",  # materialized packed sequences (md5-checked bins)
+    "rel_txnlog_point_lookup",  # bloom-pruned point lookup (bench headliner)
+    "stream_cdf_feed",  # streaming CDF source through the exactly-once sink
 }
 
 

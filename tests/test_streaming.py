@@ -1124,3 +1124,60 @@ def test_cdf_feed_drives_bm25_index_like_batch(spark, tmp_path):
         for ix in (ix_stream, ix_batch, fresh)
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_cdf_stream_noop_detection_is_structural(spark, tmp_path):
+    """stream_changes must detect no-op chunks from the LOG (empty
+    add+remove lists), never by swallowing read_changes' ValueError —
+    which silently dropped a micro-batch on any other raise path, data
+    loss the consumer cannot detect (ADVICE r11 #4)."""
+    import pytest
+
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.streaming import cdf
+
+    path = str(tmp_path / "t")
+    T.create_table(
+        spark,
+        path,
+        spark.range(10).select(F.col("id").alias("k"), F.lit("v").alias("s")),
+    )
+    # v1: real append; v2: no-op delete (absent key); v3: real append
+    T.append_rows(
+        spark,
+        path,
+        spark.range(100, 103).select(F.col("id").alias("k"), F.lit("a").alias("s")),
+    )
+    T.delete_rows(spark, path, spark.createDataFrame([(999,)], "k long"), ["k"])
+    T.append_rows(
+        spark,
+        path,
+        spark.range(200, 202).select(F.col("id").alias("k"), F.lit("b").alias("s")),
+    )
+    # the no-op chunk is skipped WITHOUT calling read_changes
+    calls = []
+    real = cdf.read_changes
+
+    def counting(sp, p, lo, hi):
+        calls.append((lo, hi))
+        return real(sp, p, lo, hi)
+
+    orig = cdf.read_changes
+    cdf.read_changes = counting
+    try:
+        got = [(lo, hi) for lo, hi, _ in cdf.stream_changes(spark, path, 1)]
+    finally:
+        cdf.read_changes = orig
+    assert got == [(1, 1), (3, 3)]
+    assert calls == [(1, 1), (3, 3)]  # v2 never reached read_changes
+    # any real ValueError out of read_changes PROPAGATES (e.g. the
+    # footer-probe cap) instead of being reclassified as a no-op
+    def boom(sp, p, lo, hi):
+        raise ValueError("footer probe cap exceeded; use stream_changes")
+
+    cdf.read_changes = boom
+    try:
+        with pytest.raises(ValueError, match="footer probe cap"):
+            list(cdf.stream_changes(spark, path, 1))
+    finally:
+        cdf.read_changes = orig

@@ -634,3 +634,130 @@ def test_bloom_stats_survive_checkpoint_replay(spark, tmp_path):
     got2 = T.read_table(spark, path, where=[("key", "=", probe_new)]).collect()
     assert len(got2) == 1 and got2[0].v == 970
     assert T.scan_report(path, [("key", "=", probe_new)])["files_read"] <= 4
+
+
+def test_legacy_bare_date_stats_never_pruned_wrong(spark, tmp_path):
+    """Tables written BEFORE the r11 midnight-normalization persist
+    bare 'YYYY-MM-DD' date stats in their commit entries; the literal
+    side now always encodes midnight-ISO, and comparing the two
+    lexicographically prunes a file whose max date IS the queried day
+    ('2024-03-09T00:00:00' > '2024-03-09') — silently dropping rows
+    (ADVICE r11 #1). The guard declines to prune that pairing."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-03-05"), F.col("id").cast("int")).alias("d"),
+    )
+    T.create_table(spark, path, df.repartitionByRange(5, "d"))
+    # simulate the legacy on-disk format: strip stats back to bare dates
+    log = T._log_path(path)
+    for fn in os.listdir(log):
+        if not fn.endswith(".json"):
+            continue
+        p = os.path.join(log, fn)
+        with open(p) as fh:
+            e = json.load(fh)
+        for s in (e.get("stats") or {}).values():
+            for side in ("min", "max"):
+                for c, v in list((s or {}).get(side, {}).items()):
+                    if isinstance(v, str) and "T" in v:
+                        s[side][c] = v.split("T")[0]
+        with open(p, "w") as fh:
+            json.dump(e, fh)
+    lit = datetime.date(2024, 3, 9)
+    for op, want in (("=", 1), (">=", 6), ("<=", 5)):
+        got = T.read_table(spark, path, where=[("d", op, lit)])
+        full = T.read_table(spark, path)
+        want_df = {
+            "=": full.filter(F.col("d") == F.lit(lit)),
+            ">=": full.filter(F.col("d") >= F.lit(lit)),
+            "<=": full.filter(F.col("d") <= F.lit(lit)),
+        }[op]
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want_df.collect())
+        ), op
+        assert got.count() == want, op
+    # genuine string columns are untouched by the guard: bare-date
+    # strings vs a bare-date string literal still prune
+    path2 = str(tmp_path / "t2")
+    df2 = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.date_format(
+            F.date_add(F.lit("2024-03-05"), F.col("id").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("s"),
+    )
+    T.create_table(spark, path2, df2.repartitionByRange(5, "s"))
+    rep = T.scan_report(path2, [("s", "=", "2024-03-09")])
+    assert rep["files_read"] == 1
+
+
+def test_in_list_pruning_unions_per_key_files(spark, tmp_path):
+    """`in` = the batched point-lookup shape (VERDICT r11 #7): the kept
+    file set must be exactly the union of the per-key prunes — bloom
+    bitmaps included — and the read must equal the unpruned read
+    filtered by isin()."""
+    path = str(tmp_path / "t")
+    _uuidish_table(spark, path, n=8000, files=32)
+    probes = [r.key for r in T.read_table(spark, path).limit(3).collect()]
+    per_key = sum(
+        T.scan_report(path, [("key", "=", k)])["files_read"] for k in probes
+    )
+    rep = T.scan_report(path, [("key", "in", probes)])
+    assert rep["files_live"] == 32
+    assert rep["files_read"] <= per_key, (rep, per_key)
+    assert rep["files_read"] <= 12  # 3 keys x <=4 files each
+    got = T.read_table(spark, path, where=[("key", "in", probes)])
+    want = T.read_table(spark, path).filter(F.col("key").isin(probes))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 3
+    # ranged layout: interval pruning drives the union instead of blooms
+    path2 = str(tmp_path / "t2")
+    _ranged_table(spark, path2)
+    rep2 = T.scan_report(path2, [("k", "in", (5, 3995))])
+    assert rep2["files_read"] == 2
+    got2 = T.read_table(spark, path2, where=[("k", "in", (5, 3995))])
+    assert sorted(r.k for r in got2.collect()) == [5, 3995]
+    # empty in-list: everything pruned, empty result with schema intact
+    rep3 = T.scan_report(path2, [("k", "in", ())])
+    assert rep3["files_read"] == 0
+    empty = T.read_table(spark, path2, where=[("k", "in", ())])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v", "s"}
+
+
+def test_cdf_footer_probe_cap_and_directory_batching(spark, tmp_path, monkeypatch):
+    """read_changes' driver-side schema probe reads one footer PER
+    COMMIT DIRECTORY (all files in data/c{v}-*/ come from one
+    df.write.parquet => one physical schema), and past
+    CDF_FOOTER_PROBE_MAX directories it raises the documented guidance
+    error pointing at chunked stream_changes (VERDICT r11 #6)."""
+    import pyarrow.parquet as papq
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _frame(spark, 100).coalesce(2))
+    for i in range(1, 4):
+        T.append_rows(spark, path, _frame(spark, 50, offset=1000 * i).coalesce(2))
+    # 4 commits x 2 files: the probe must read 4 footers, not 8
+    calls = []
+    real = papq.read_schema
+
+    def counting(p, *a, **kw):
+        calls.append(p)
+        return real(p, *a, **kw)
+
+    monkeypatch.setattr(papq, "read_schema", counting)
+    got = T.read_changes(spark, path, 0)
+    assert got.count() == 250  # all inserts
+    assert len(calls) == 4, calls
+    # cap enforcement: 4 add-side directories > max of 3 => guidance error
+    monkeypatch.setattr(T, "CDF_FOOTER_PROBE_MAX", 3)
+    import pytest
+
+    with pytest.raises(ValueError, match="stream_changes"):
+        T.read_changes(spark, path, 0)
+    # a commit-sized chunk stays under the cap and still reads fine
+    assert T.read_changes(spark, path, 0, 0).count() == 100
