@@ -195,9 +195,19 @@ def main() -> None:
                 else:
                     suspect_ambient[name] = why
             regressions = still
-        if noisy and noisy_streak >= 1 and suspect_ambient:
-            # second consecutive noisy run: "ambient" that persists is a
-            # regression wearing a noise costume — fail it (ADVICE r11 #2)
+        if (
+            noisy
+            and noisy_streak >= 1
+            and suspect_ambient
+            and calib_ratio is None
+        ):
+            # Second consecutive noisy run WITHOUT a calibration signal:
+            # "ambient" that persists is a regression wearing a noise
+            # costume — fail it (ADVICE r11 #2). When the probe HAS
+            # history, it arbitrates instead: probe also slow => genuinely
+            # a busy host, however many runs in a row (suspects stay
+            # visible, never fail); probe normal => the gate was never
+            # scaled above, so real uniform regressions already failed.
             for name, why in suspect_ambient.items():
                 regressions[name] = f"{why} (suspect_ambient persisted 2 runs)"
             suspect_ambient = {}
