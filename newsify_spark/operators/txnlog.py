@@ -654,11 +654,14 @@ def exactly_once_sink(spark: SparkSession, path: str, app_id: str):
 def _normalize_where(where) -> list[tuple[str, str, object, object]]:
     """Validate/normalize ``where`` into (col, op, raw, stat-encoded)
     tuples. ``between`` carries a (lo, hi) pair."""
-    ops = {"=", "<", "<=", ">", ">=", "between", "in"}
+    ops = {"=", "<", "<=", ">", ">=", "between", "in", "is_null", "is_not_null"}
     out = []
     for col, op, val in where:
         if op not in ops:
             raise ValueError(f"unsupported predicate op {op!r}")
+        if op in ("is_null", "is_not_null"):
+            out.append((col, op, None, None))
+            continue
         if op == "between":
             lo, hi = val
             out.append((col, op, (lo, hi), (_stat_value(lo), _stat_value(hi))))
@@ -697,6 +700,12 @@ def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
         return True
     nulls = fstats.get("nulls", {})
     rows = fstats.get("rows")
+    # Null-test predicates prune on the null COUNT alone and must run
+    # before the all-null guard below (an all-null file MATCHES is_null).
+    if op == "is_null":
+        return not (col in nulls and nulls[col] == 0)
+    if op == "is_not_null":
+        return not (col in nulls and rows is not None and nulls[col] == rows)
     if col in nulls and rows is not None and nulls[col] == rows:
         return False  # every value null: no comparison predicate matches
     if op == "in":
@@ -788,6 +797,10 @@ def _where_condition(where: list[tuple[str, str, object, object]]):
             term = c >= F.lit(raw)
         elif op == "in":
             term = c.isin(*raw) if raw else F.lit(False)
+        elif op == "is_null":
+            term = c.isNull()
+        elif op == "is_not_null":
+            term = c.isNotNull()
         else:
             lo, hi = raw
             term = c.between(F.lit(lo), F.lit(hi))
@@ -823,10 +836,12 @@ def read_table(
     version predates the log or the snapshot has no files.
 
     ``where`` (optional) is a list of simple conjunctive predicates
-    ``(column, op, literal)`` with op in =/</<=/>/>=/between/in (between
-    takes a (lo, hi) literal; in takes an iterable of literals — the
-    batched point-lookup shape, pruned per key through the bloom/interval
-    stats and unioned). The scan then opens ONLY live files whose
+    ``(column, op, literal)`` with op in =/</<=/>/>=/between/in/
+    is_null/is_not_null (between takes a (lo, hi) literal; in takes an
+    iterable of literals — the batched point-lookup shape, pruned per
+    key through the bloom/interval stats and unioned; the null tests
+    take no literal and prune on the per-file null counts). The scan
+    then opens ONLY live files whose
     footer min/max interval can hold a match — Delta/Iceberg data
     skipping on the commit-recorded stats — and re-applies the predicate
     row-level, so the result is exactly the unpruned read filtered:
@@ -1006,6 +1021,30 @@ def delete_rows(
 def history(path: str) -> list[dict]:
     """The commit log, oldest first — op, version, files added/removed."""
     return _read_log(path)
+
+
+def version_as_of(path: str, ts: float) -> int:
+    """Timestamp-based time travel (Delta's ``timestampAsOf``): the
+    newest commit version whose commit wall-clock ``ts`` is <= the given
+    epoch-seconds timestamp — pass the result to ``read_table(version=
+    ...)``. Commit timestamps are the writer's clock at publish time
+    (``_commit`` stamps ``time.time()``), monotone per table because
+    versions are claimed by a create-exclusive CAS in order. Raises if
+    the timestamp predates the first commit, mirroring Delta's error
+    rather than silently returning an empty table."""
+    entries = _read_log(path)
+    best: int | None = None
+    for e in entries:
+        if e["ts"] <= ts:
+            best = e["version"]
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit in {path}; "
+            f"earliest available is {entries[0]['ts'] if entries else 'n/a'}"
+        )
+    return best
 
 
 def _zorder_encode(df: DataFrame, col: str):

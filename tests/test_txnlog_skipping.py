@@ -761,3 +761,64 @@ def test_cdf_footer_probe_cap_and_directory_batching(spark, tmp_path, monkeypatc
         T.read_changes(spark, path, 0)
     # a commit-sized chunk stays under the cap and still reads fine
     assert T.read_changes(spark, path, 0, 0).count() == 100
+
+
+def test_null_predicates_prune_on_null_counts(spark, tmp_path):
+    """is_null / is_not_null prune on the per-file null COUNTS that
+    already ride every commit: a file with zero nulls can't match
+    is_null, an all-null file can't match is_not_null — and an all-null
+    file MUST still be read for is_null (the all-null guard that rules
+    comparison predicates out rules null tests in)."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 30, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    T.create_table(spark, path, df.repartitionByRange(5, "k"))
+    full = T.read_table(spark, path)
+    got_null = T.read_table(spark, path, where=[("v", "is_null", None)])
+    assert sorted(r.k for r in got_null.collect()) == list(range(30))
+    rep = T.scan_report(path, [("v", "is_null", None)])
+    assert rep["files_live"] == 5
+    # ~30/100 keys => only the leading range files hold nulls
+    assert rep["files_read"] <= 2, rep
+    got_nn = T.read_table(spark, path, where=[("v", "is_not_null", None)])
+    assert sorted(map(tuple, got_nn.collect())) == sorted(
+        map(tuple, full.filter(F.col("v").isNotNull()).collect())
+    )
+    rep_nn = T.scan_report(path, [("v", "is_not_null", None)])
+    # files holding ONLY nulls are skipped; mixed files are read
+    assert rep_nn["files_read"] <= 4, rep_nn
+    assert rep_nn["files_read"] + rep["files_read"] >= 5  # covers all rows
+    # conjunction with a range predicate composes
+    got_band = T.read_table(
+        spark, path, where=[("v", "is_not_null", None), ("k", "<", 10)]
+    )
+    assert got_band.count() == 0  # k<10 rows are all null in v
+
+
+def test_version_as_of_timestamp_time_travel(spark, tmp_path):
+    """Delta's timestampAsOf surface: resolve the newest commit at-or-
+    before a wall-clock timestamp, then read that snapshot."""
+    import time as _time
+
+    import pytest
+
+    path = str(tmp_path / "t")
+    T.create_table(spark, path, _frame(spark, 100).coalesce(1))
+    _time.sleep(0.05)
+    T.append_rows(spark, path, _frame(spark, 10, offset=1000).coalesce(1))
+    _time.sleep(0.05)
+    T.append_rows(spark, path, _frame(spark, 10, offset=2000).coalesce(1))
+    h = T.history(path)
+    assert [e["version"] for e in h] == [0, 1, 2]
+    # between v0 and v1 resolves v0; at/after the head resolves the head
+    mid = (h[0]["ts"] + h[1]["ts"]) / 2
+    assert T.version_as_of(path, mid) == 0
+    assert T.version_as_of(path, h[1]["ts"]) == 1
+    assert T.version_as_of(path, _time.time() + 60) == 2
+    v = T.version_as_of(path, mid)
+    assert T.read_table(spark, path, version=v).count() == 100
+    assert T.read_table(spark, path).count() == 120
+    with pytest.raises(ValueError, match="predates"):
+        T.version_as_of(path, h[0]["ts"] - 10)
