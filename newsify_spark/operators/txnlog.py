@@ -55,6 +55,16 @@ public: Delta's stats/OPTIMIZE ZORDER/checkpoints, Iceberg manifests):
   ``<v>.checkpoint.json``; readers replay O(CHECKPOINT_EVERY) tail
   entries instead of O(commits) — the unbounded-replay cost Delta's
   ``_last_checkpoint`` exists to kill.
+
+Round 12 adds MERGE-ON-READ deletes — deletion vectors (Delta's DV
+protocol / Iceberg position deletes, both public): a small delete
+writes the doomed rows' (file, position) pairs to a kilobyte sidecar
+instead of re-copying gigabyte data files (``delete_rows(mode="dv")``),
+readers anti-join them out on Spark's ``_metadata.row_index``, the
+change feed emits exact per-vector delete images, and
+:func:`purge_dvs` / any rewrite reconciles vectors back into plain
+files. Copy-on-write remains the bulk-delete path; DV mode kills the
+write amplification of the point-delete-per-GDPR-request shape.
 """
 
 from __future__ import annotations
@@ -107,6 +117,11 @@ class ConcurrentWriteError(RuntimeError):
     concurrency loser). Re-read the table and retry the mutation."""
 
 
+class CheckViolation(ValueError):
+    """A write produced rows failing a table CHECK constraint; nothing
+    was committed (the staged data files are removed)."""
+
+
 def _log_path(path: str) -> str:
     return os.path.join(path.rstrip("/"), _LOG_DIR)
 
@@ -149,13 +164,21 @@ def _checkpoints(path: str) -> list[int]:
 
 
 def _snapshot_state(path: str, upto: int | None = None) -> dict | None:
-    """Resolve a snapshot — {live file -> stats-or-None, columns} — from
+    """Resolve a snapshot — {live file -> stats-or-None, columns, and
+    ``dvs``: live file -> attached deletion-vector part paths} — from
     the newest checkpoint at or before ``upto`` plus the raw log tail
     after it. Replay cost is O(CHECKPOINT_EVERY) entries regardless of
     table age; without a checkpoint it degrades to the full replay the
-    pre-r10 code always paid. Returns None for a table with no commits."""
+    pre-r10 code always paid. Returns None for a table with no commits.
+
+    Deletion-vector replay rules (Delta's DV protocol, public): a
+    ``dv`` entry ATTACHES position files to existing data files
+    (accumulating — two point deletes against one file union their
+    vectors), and any commit that removes a data file drops its
+    vectors with it (the rewrite already applied them)."""
     base = -1
     files: dict[str, dict | None] = {}
+    dvs: dict[str, list[str]] = {}
     columns: list[str] | None = None
     cks = [v for v in _checkpoints(path) if upto is None or v <= upto]
     if cks:
@@ -164,16 +187,20 @@ def _snapshot_state(path: str, upto: int | None = None) -> dict | None:
             ck = json.load(fh)
         files = dict(ck["files"])
         columns = list(ck["columns"])
+        dvs = {f: list(ps) for f, ps in ck.get("dvs", {}).items()}
     for e in _read_log(path, upto=upto, since=base + 1):
         for f in e["remove"]:
             files.pop(f, None)
+            dvs.pop(f, None)
         stats = e.get("stats") or {}
         for f in e["add"]:
             files[f] = stats.get(f)
+        for f, parts in (e.get("dv") or {}).items():
+            dvs.setdefault(f, []).extend(parts)
         columns = e["columns"]
     if columns is None:
         return None
-    return {"files": files, "columns": columns}
+    return {"files": files, "columns": columns, "dvs": dvs}
 
 
 def _txn_high_water(path: str, upto: int | None = None) -> dict[str, int]:
@@ -213,6 +240,7 @@ def _maybe_checkpoint(path: str, version: int) -> None:
         "version": version,
         "columns": state["columns"],
         "files": state["files"],
+        "dvs": state["dvs"],
         "txn": _txn_high_water(path, upto=version),
     }
     d = _log_path(path)
@@ -516,9 +544,12 @@ def _collect_file_stats(root: str, files: list[str]) -> dict[str, dict | None]:
 
 def _commit(path: str, version: int, op: str, add: list[str], remove: list[str],
             columns: list[str], txn: dict | None = None,
-            stats: dict[str, dict | None] | None = None) -> None:
+            stats: dict[str, dict | None] | None = None,
+            dv: dict[str, list[str]] | None = None) -> None:
     """Atomic create-exclusive publish of one log entry. os.link fails
-    with EEXIST if another writer claimed the version — the CAS."""
+    with EEXIST if another writer claimed the version — the CAS.
+    ``dv`` (optional) attaches deletion-vector part files to live data
+    files: {data file -> [dv part paths holding its deleted positions]}."""
     d = _log_path(path)
     os.makedirs(d, exist_ok=True)
     entry = {
@@ -533,6 +564,8 @@ def _commit(path: str, version: int, op: str, add: list[str], remove: list[str],
         entry["txn"] = txn
     if stats is not None:
         entry["stats"] = stats
+    if dv is not None:
+        entry["dv"] = dv
     staged = os.path.join(d, f".{version}.{uuid.uuid4().hex[:8]}.tmp")
     with open(staged, "w") as fh:
         json.dump(entry, fh)
@@ -569,11 +602,113 @@ def _check_columns(path: str, df: DataFrame, upto: int | None = None) -> list[st
     return have + [c for c in df.columns if c not in have]
 
 
+# ---------------------------------------------------------- CHECK constraints
+#
+# Delta's table CHECK constraints (ALTER TABLE ... ADD CONSTRAINT,
+# public): a table property mapping constraint name -> boolean SQL
+# expression; every row-ADDING write (create/append/upsert — rewrites of
+# existing rows are exempt: they were validated when first written)
+# must satisfy all of them or the commit is aborted. SQL-standard NULL
+# semantics: a constraint evaluating to NULL passes (unknown != false).
+#
+# Enforcement reads the JUST-WRITTEN files back — one aggregate over
+# only the constrained columns (column-pruned scan of the new files,
+# never the table), all constraints folded into a single job the way
+# operators/checks.py folds Deequ-style rules. On violation the staged
+# files are removed and nothing is committed. add_check validates the
+# CURRENT snapshot first (Delta's semantics for adding a constraint to
+# a non-empty table). Like the bloom config, the constraint file is a
+# table property every writer honors. restore() re-publishes
+# historically committed rows and does not re-validate (time-travel
+# data was committed under the rules of its time).
+
+
+def _checks_path(path: str) -> str:
+    return os.path.join(_log_path(path), "_checks.json")
+
+
+def _load_checks(path: str) -> dict[str, str]:
+    p = _checks_path(path)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _violations(spark: SparkSession, df: DataFrame,
+                checks: dict[str, str]) -> dict[str, int]:
+    aggs = [
+        F.sum(
+            F.when(~F.expr(expr), F.lit(1)).otherwise(F.lit(0))
+        ).alias(name)
+        for name, expr in checks.items()
+    ]
+    row = df.agg(*aggs).first()
+    return {n: int(row[n]) for n in checks if row[n]}
+
+
+def _enforce_checks(spark: SparkSession, path: str,
+                    files: list[str]) -> None:
+    """Validate freshly written (uncommitted) files against the table's
+    CHECK constraints; on violation remove them and raise. Files are
+    invisible to readers until _commit links the log entry, so the
+    removal races nothing."""
+    checks = _load_checks(path)
+    if not checks or not files:
+        return
+    root = path.rstrip("/")
+    df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    viol = _violations(spark, df, checks)
+    if viol:
+        import shutil
+
+        # each write stages into its own fresh data/c<v>-<nonce>/ dir,
+        # so removing the whole dir (parquet + _SUCCESS/.crc markers)
+        # cannot touch committed data
+        for d in {os.path.dirname(os.path.join(root, f)) for f in files}:
+            shutil.rmtree(d, ignore_errors=True)
+        raise CheckViolation(
+            f"write to {path} violates CHECK constraint(s) "
+            + ", ".join(f"{n!r} ({c} rows)" for n, c in sorted(viol.items()))
+            + "; nothing was committed"
+        )
+
+
+def add_check(spark: SparkSession, path: str, name: str, expr: str) -> None:
+    """Register a CHECK constraint (boolean SQL over the table's
+    columns). The current snapshot is validated first — adding a
+    constraint existing rows violate is rejected, so every live row
+    always satisfies every registered constraint."""
+    checks = _load_checks(path)
+    if _versions(path):
+        snap = read_table(spark, path)
+        viol = _violations(spark, snap, {name: expr})
+        if viol:
+            raise CheckViolation(
+                f"cannot add constraint {name!r} to {path}: "
+                f"{viol[name]} existing rows violate {expr!r}"
+            )
+    checks[name] = expr
+    os.makedirs(_log_path(path), exist_ok=True)
+    with open(_checks_path(path), "w") as fh:
+        json.dump(checks, fh)
+
+
+def drop_check(path: str, name: str) -> None:
+    checks = _load_checks(path)
+    if name not in checks:
+        raise ValueError(f"no CHECK constraint {name!r} on {path}")
+    del checks[name]
+    with open(_checks_path(path), "w") as fh:
+        json.dump(checks, fh)
+
+
 def create_table(
     spark: SparkSession,
     path: str,
     df: DataFrame,
     bloom_cols: list[str] | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Version 0: write initial data files, publish the first commit.
 
@@ -590,7 +725,8 @@ def create_table(
     if bloom_cols:
         _write_bloom_config(path, df, bloom_cols)
     files, stats = _write_data(spark, path, df, 0)
-    _commit(path, 0, "create", files, [], df.columns, stats=stats)
+    _enforce_checks(spark, path, files)
+    _commit(path, 0, "create", files, [], df.columns, txn=txn, stats=stats)
     return 0
 
 
@@ -603,7 +739,104 @@ def append_rows(
     cols = _check_columns(path, df)
     v = _next_version(path)
     files, stats = _write_data(spark, path, df, v)
+    _enforce_checks(spark, path, files)
     _commit(path, v, "append", files, [], cols, txn=txn, stats=stats)
+    return v
+
+
+def append_rebase(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    txn: dict | None = None,
+    max_rebases: int = 5,
+) -> int:
+    """Blind append with AUTOMATIC REBASE (Delta's logical conflict
+    resolution for AddFile-only transactions, VLDB 2020 §3.2): appends
+    commute with every other commit, so when another writer wins the
+    version CAS the already-written data files are simply re-committed
+    under the next version — no Spark job re-runs, no data is
+    rewritten. The only semantic re-check per attempt is the schema
+    gate against the NEW head (an interleaved evolution could have
+    added columns). Raises ConcurrentWriteError only after
+    ``max_rebases`` consecutive losses (a pathologically hot table —
+    the caller should batch)."""
+    cols = _check_columns(path, df)
+    v = _next_version(path)
+    files, stats = _write_data(spark, path, df, v)
+    _enforce_checks(spark, path, files)
+    for _ in range(max_rebases + 1):
+        try:
+            _commit(path, v, "append", files, [], cols, txn=txn, stats=stats)
+            return v
+        except ConcurrentWriteError:
+            v = _next_version(path)
+            cols = _check_columns(path, df, upto=v - 1)
+    raise ConcurrentWriteError(
+        f"append to {path} lost the version CAS {max_rebases + 1} times"
+    )
+
+
+def restore(spark: SparkSession, path: str, version: int) -> int | None:
+    """RESTORE the table to a prior snapshot AS A NEW COMMIT (Delta's
+    RESTORE TABLE ... VERSION AS OF): the snapshot's file list is
+    re-published — files the current snapshot dropped are re-added
+    (metadata-only, their commit-recorded stats carried), files added
+    since are removed. History is preserved (nothing is rewritten or
+    deleted; the restore itself is one more commit you can restore away
+    from), the change feed reports exactly the net row diff through the
+    generic add/remove path, and time travel across the restore stays
+    intact.
+
+    Deletion-vector divergence is the one non-metadata case: a file
+    whose vector set at the target differs from its current state (or
+    that must re-enter carrying vectors) is REWRITTEN at its target
+    content instead — attach-only replay semantics cannot detach, and a
+    re-added file's vectors would corrupt the feed's add-side read.
+    Blast radius: only the divergent files.
+
+    Returns the restore commit's version, or None when the table
+    already equals the target snapshot. Raises if the target version
+    (or any file it needs) has been vacuumed away."""
+    v = _next_version(path)
+    tgt = _snapshot_state(path, upto=version)
+    cur = _snapshot_state(path, upto=v - 1)
+    if tgt is None:
+        raise ValueError(f"no snapshot at version={version} in {path}")
+    cols = tgt["columns"]
+    root = path.rstrip("/")
+    tf, cf = set(tgt["files"]), set(cur["files"])
+
+    def _tgt_dv(f: str) -> list[str]:
+        return sorted(tgt["dvs"].get(f, []))
+
+    rewrite = sorted(
+        f
+        for f in tf
+        if _tgt_dv(f) != (sorted(cur["dvs"].get(f, [])) if f in cf else [])
+    )
+    re_add = sorted(tf - cf - set(rewrite))
+    remove = sorted((cf - tf) | (set(rewrite) & cf))
+    if not re_add and not remove and not rewrite:
+        return None  # already at the target state
+    missing = [
+        f
+        for f in re_add + rewrite + [p for f in rewrite for p in _tgt_dv(f)]
+        if not os.path.isfile(os.path.join(root, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to version {version}: "
+            f"{len(missing)} file(s) were vacuumed (e.g. {missing[0]})"
+        )
+    add = list(re_add)
+    stats: dict[str, dict | None] = {f: tgt["files"][f] for f in re_add}
+    if rewrite:
+        df = _read_files_aligned(spark, path, rewrite, cols, dvs=tgt["dvs"])
+        new_files, new_stats = _write_data(spark, path, df, v)
+        add += new_files
+        stats.update(new_stats)
+    _commit(path, v, "restore", add, remove, cols, stats=stats)
     return v
 
 
@@ -871,18 +1104,11 @@ def read_table(
         return empty.select(
             *[F.col(c) if c in empty.columns else F.lit(None).alias(c) for c in cols]
         )
-    # mergeSchema: files written before an additive evolution lack the
-    # newer columns — union their schemas and backfill null, projecting
-    # the snapshot's recorded column order
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, f) for f in files]
-    )
-    df = df.select(
-        *[
-            F.col(c) if c in df.columns else F.lit(None).alias(c)
-            for c in cols
-        ]
-    )
+    # mergeSchema alignment + deletion-vector application (merge-on-read
+    # deletes): see _read_files_aligned. Only vectors attached to the
+    # files that SURVIVED pruning are loaded — pruned files' positions
+    # never enter the plan.
+    df = _read_files_aligned(spark, path, files, cols, dvs=state["dvs"])
     if preds:
         df = df.filter(_where_condition(preds))
     return df
@@ -973,10 +1199,14 @@ def upsert_rows(
     cols = _check_columns(path, new, upto=v - 1)
     new = new.localCheckpoint(eager=True)  # sever lineage from any self-read
     victims = _affected_files(spark, path, new, keys, version=v - 1)
-    root = path.rstrip("/")
     if victims:
-        old_slice = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, f) for f in victims]
+        # DV-aware victim read: a rewrite of a file carrying deletion
+        # vectors must apply them (the commit below drops the vectors
+        # with the file) — otherwise the rewrite would RESURRECT rows a
+        # merge-on-read delete already removed.
+        state = _snapshot_state(path, upto=v - 1)
+        old_slice = _read_files_aligned(
+            spark, path, victims, state["columns"], dvs=state["dvs"]
         )
         for fld in new.schema.fields:
             if fld.name not in old_slice.columns:
@@ -987,16 +1217,41 @@ def upsert_rows(
     else:
         merged = new
     files, stats = _write_data(spark, path, merged, v)
+    _enforce_checks(spark, path, files)
     _commit(path, v, "upsert", files, victims, cols, stats=stats)
     return v
 
 
 def delete_rows(
-    spark: SparkSession, path: str, doomed: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    doomed: DataFrame,
+    keys: list[str],
+    mode: str = "cow",
 ) -> int:
-    """S12 delete-by-key-set, file-granular: only files containing a
+    """S12 delete-by-key-set, file-granular, two physical strategies:
+
+    ``mode="cow"`` (default) — copy-on-write: only files containing a
     doomed key are rewritten (anti-join keeps survivors); files with no
-    doomed keys are never read past the pruning join."""
+    doomed keys are never read past the pruning join.
+
+    ``mode="dv"`` — merge-on-read DELETION VECTORS (Delta's DV protocol
+    / Iceberg position deletes, public designs): NO data file is
+    rewritten. The doomed rows' (file, position) pairs — positions from
+    Spark's ``_metadata.row_index``, stable because data files are
+    immutable — land in a tiny sidecar parquet the commit ATTACHES to
+    the affected files, and every reader (read_table, COW rewrites,
+    optimize, the change feed) anti-joins them out. A point delete on a
+    100 GB file writes kilobytes instead of re-copying the file — the
+    write amplification killer for small deletes at scale. Vectors
+    accumulate per file until a rewrite (upsert/optimize/:func:`purge_dvs`)
+    applies and drops them. DV mode is for SMALL deletes by contract
+    (the vector side is broadcast at read); bulk deletes should stay
+    copy-on-write.
+
+    Either mode emits exact delete images in :func:`read_changes`."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     # Version pinned before the snapshot read — see upsert_rows.
     v = _next_version(path)
     doomed = doomed.localCheckpoint(eager=True)
@@ -1010,12 +1265,82 @@ def delete_rows(
         _commit(path, v, "delete", [], [], cols)
         return v
     root = path.rstrip("/")
-    survivors = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, f) for f in victims]
+    if mode == "dv":
+        dvmap = _write_deletion_vector(
+            spark, root, state, victims, doomed, keys, v
+        )
+        if dvmap is None:  # stats false positives only — nothing matched
+            _commit(path, v, "delete", [], [], cols)
+        else:
+            _commit(path, v, "delete", [], [], cols, dv=dvmap)
+        return v
+    survivors = _read_files_aligned(
+        spark, path, victims, cols, dvs=state["dvs"]
     ).join(F.broadcast(doomed.select(keys).distinct()), keys, "left_anti")
     files, stats = _write_data(spark, path, survivors, v)
     _commit(path, v, "delete", files, victims, cols, stats=stats)
     return v
+
+
+def _write_deletion_vector(
+    spark: SparkSession,
+    root: str,
+    state: dict,
+    victims: list[str],
+    doomed: DataFrame,
+    keys: list[str],
+    version: int,
+) -> dict[str, list[str]] | None:
+    """Compute and persist the (file, position) pairs a DV delete
+    removes; returns the commit's ``dv`` attachment map, or None when no
+    position actually matched. The scan projects ONLY the key columns
+    (+ the hidden metadata struct), so the position hunt reads a sliver
+    of the victims; positions already covered by existing vectors are
+    excluded so every (file, pos) pair appears in AT MOST ONE commit —
+    the invariant the change feed's delete-image join relies on."""
+    prefix = _dv_uri_prefix(root)
+    scan = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f) for f in victims]
+    ).select(
+        F.col("_metadata.file_path").alias("_dv_uri"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+        *keys,
+    )
+    existing = sorted(
+        {p for f in victims for p in state["dvs"].get(f, ())}
+    )
+    if existing:
+        scan = scan.join(
+            F.broadcast(_dv_frame(spark, root, existing)),
+            ["_dv_uri", "_dv_pos"],
+            "left_anti",
+        )
+    hits = scan.join(
+        F.broadcast(doomed.select(keys).distinct()), keys, "left_semi"
+    ).select(
+        # store table-relative paths: the table stays relocatable
+        F.expr(f"substring(_dv_uri, {len(prefix) + 1})").alias("_dv_file"),
+        F.col("_dv_pos").cast("long").alias("_dv_pos"),
+    )
+    rel_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}-dv"
+    out = os.path.join(root, rel_dir)
+    hits.coalesce(1).write.parquet(out)
+    parts = [
+        f"{rel_dir}/{f}"
+        for f in sorted(os.listdir(out))
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    covered = [
+        r[0]
+        for r in spark.read.parquet(out).select("_dv_file").distinct().collect()
+    ]  # bounded by the victim file count, never row count
+    if not covered:
+        # empty vector: drop the sidecar dir rather than attach a no-op
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        return None
+    return {f: parts for f in sorted(covered)}
 
 
 def history(path: str) -> list[dict]:
@@ -1182,7 +1507,7 @@ def optimize(
     if zorder_by:
         if not live:
             return None
-        df = _read_files_aligned(spark, path, live, cols)
+        df = _read_files_aligned(spark, path, live, cols, dvs=state["dvs"])
         n_out = max(1, math.ceil(sum(sizes.values()) / target_bytes))
         out = (
             df.withColumn("_zkey", _zorder_key(df, zorder_by))
@@ -1195,10 +1520,34 @@ def optimize(
     small = [f for f in live if sizes[f] < target_bytes]
     if len(small) < min_files:
         return None
-    df = _read_files_aligned(spark, path, small, cols)
+    df = _read_files_aligned(spark, path, small, cols, dvs=state["dvs"])
     n_out = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
     files, stats = _write_data(spark, path, df.coalesce(n_out), v)
     _commit(path, v, "optimize", files, small, cols, stats=stats)
+    return v
+
+
+def purge_dvs(spark: SparkSession, path: str) -> int | None:
+    """Rewrite ONLY the data files carrying deletion vectors, applying
+    them (Delta's ``REORG TABLE ... APPLY (PURGE)``): merge-on-read
+    deletes trade write amplification for a per-read anti-join, and this
+    reconciliation pays that debt back — after it the snapshot has no
+    vectors and reads are plain scans again. Data-identical on the LIVE
+    rows by construction, so the commit's change feed nets to zero (the
+    removed side is read with its vectors applied). One add/remove
+    commit, OCC-safe like every mutation. Returns the committed version
+    or None when no live file carries a vector."""
+    v = _next_version(path)
+    state = _snapshot_state(path, upto=v - 1)
+    if state is None:
+        raise ValueError(f"no table at {path}")
+    targets = sorted(f for f in state["dvs"] if state["dvs"][f])
+    if not targets:
+        return None
+    cols = state["columns"]
+    df = _read_files_aligned(spark, path, targets, cols, dvs=state["dvs"])
+    files, stats = _write_data(spark, path, df, v)
+    _commit(path, v, "purge_dv", files, targets, cols, stats=stats)
     return v
 
 
@@ -1215,7 +1564,14 @@ def vacuum(
     root = path.rstrip("/")
     live: set[str] = set()
     for v in _versions(path)[-retain_versions:]:
-        live |= set(_live_files(path, v))
+        st = _snapshot_state(path, v)
+        if st is None:
+            continue
+        live |= set(st["files"])
+        # deletion-vector sidecars referenced by a retained snapshot are
+        # as live as the data files they annotate
+        for parts in st["dvs"].values():
+            live |= set(parts)
     removed = []
     data_root = os.path.join(root, "data")
     if not os.path.isdir(data_root):
@@ -1232,17 +1588,62 @@ def vacuum(
     return removed
 
 
+def _dv_uri_prefix(root: str) -> str:
+    """The URI form ``_metadata.file_path`` yields for files under
+    ``root`` (Hadoop's Path.toString: single-slash ``file:`` scheme —
+    note input_file_name() uses the DIFFERENT ``file://`` form)."""
+    return "file:" + os.path.abspath(root) + "/"
+
+
+def _dv_frame(spark: SparkSession, root: str, parts: list[str]) -> DataFrame:
+    """Deletion-vector parts as a (\\_dv_uri, \\_dv_pos) DataFrame keyed
+    exactly like ``_metadata.file_path``/``row_index``, ready to
+    anti-join against a scan. Parts store table-RELATIVE data-file paths
+    so a table stays relocatable; the absolute URI is rebuilt here."""
+    prefix = _dv_uri_prefix(root)
+    return spark.read.parquet(
+        *[os.path.join(root, p) for p in parts]
+    ).select(
+        F.concat(F.lit(prefix), F.col("_dv_file")).alias("_dv_uri"),
+        F.col("_dv_pos").alias("_dv_pos"),
+    )
+
+
 def _read_files_aligned(
-    spark: SparkSession, path: str, files: list[str], cols: list[str]
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    cols: list[str],
+    dvs: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Read a commit's file list aligned to its recorded column set
-    (additive evolution: older files null-backfill newer columns)."""
+    (additive evolution: older files null-backfill newer columns).
+
+    ``dvs`` (the snapshot's deletion-vector map) applies merge-on-read
+    deletes: rows whose (file, position) pair appears in a vector
+    attached to a SCANNED file are anti-joined out on Spark's
+    ``_metadata.row_index`` — positions are stable because data files
+    are immutable. The vector side is broadcast (DV deletes are
+    small-side by contract; bulk deletes take the copy-on-write path),
+    so the scan shape stays one shuffle-free stage."""
     root = path.rstrip("/")
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(root, f) for f in files]
     )
+    data_cols = df.columns
+    parts = sorted({p for f in files for p in (dvs or {}).get(f, ())})
+    if parts:
+        df = df.select(
+            F.col("_metadata.file_path").alias("_dv_uri"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+            "*",
+        ).join(
+            F.broadcast(_dv_frame(spark, root, parts)),
+            ["_dv_uri", "_dv_pos"],
+            "left_anti",
+        )
     return df.select(
-        *[F.col(c) if c in df.columns else F.lit(None).alias(c) for c in cols]
+        *[F.col(c) if c in data_cols else F.lit(None).alias(c) for c in cols]
     )
 
 
@@ -1288,12 +1689,40 @@ def read_changes(
     cols = entries[-1]["columns"]  # align the feed to the newest schema
     add_fv = [(f, e["version"]) for e in entries for f in e["add"]]
     rem_fv = [(f, e["version"]) for e in entries for f in e["remove"]]
-    if not add_fv and not rem_fv:  # only no-op commits in range
+    # Deletion-vector bookkeeping across the range: (a) a DV commit
+    # emits EXACT delete images (the vector's positions read back from
+    # the annotated files — no exceptAll needed, positions are precise);
+    # (b) a file REMOVED by a later rewrite is read with the vectors it
+    # carried at removal time, because those rows were already reported
+    # deleted at the vector's own commit and must not resurface. The
+    # attachment state is replayed from the pre-range snapshot forward.
+    prior = _snapshot_state(path, upto=from_version - 1)
+    running: dict[str, list[str]] = (
+        {f: list(ps) for f, ps in prior["dvs"].items()} if prior else {}
+    )
+    removed_attach: dict[str, list[str]] = {}
+    dv_entries: list[tuple[int, dict[str, list[str]]]] = []
+    for e in entries:
+        for f in e["remove"]:
+            att = running.pop(f, None)
+            if att:
+                removed_attach[f] = att
+        dvm = e.get("dv") or {}
+        if dvm:
+            dv_entries.append((e["version"], dvm))
+            for f, ps in dvm.items():
+                running.setdefault(f, []).extend(ps)
+    if not add_fv and not rem_fv and not dv_entries:  # only no-op commits
         raise ValueError(
             f"commits in [{from_version}, {to_version}] touched no files"
         )
+    root = path.rstrip("/")
+    rem_parts = sorted({p for ps in removed_attach.values() for p in ps})
+    drop_df = _dv_frame(spark, root, rem_parts) if rem_parts else None
     added = _read_version_tagged(spark, path, add_fv, cols)
-    removed = _read_version_tagged(spark, path, rem_fv, cols)
+    removed = _read_version_tagged(
+        spark, path, rem_fv, cols, drop_positions=drop_df
+    )
     if added is not None and removed is not None:
         ins, dels = added.exceptAll(removed), removed.exceptAll(added)
     else:
@@ -1308,7 +1737,98 @@ def read_changes(
             *cols,
         )
         out = tagged if out is None else out.unionByName(tagged)
+    if dv_entries:
+        imgs = _dv_delete_images(spark, path, dv_entries, cols).select(
+            F.lit("delete").alias("_change_type"),
+            F.col("_commit_version"),
+            *cols,
+        )
+        out = imgs if out is None else out.unionByName(imgs)
     return out
+
+
+def _dv_delete_images(
+    spark: SparkSession,
+    path: str,
+    dv_entries: list[tuple[int, dict[str, list[str]]]],
+    cols: list[str],
+) -> DataFrame:
+    """Delete images for a range's deletion-vector commits: ONE batched
+    scan of the annotated files (schema-grouped like every CDF read)
+    inner-joined on (file URI, position) against the vectors, each
+    tagged with its own commit version carried on the vector side. A
+    (file, position) pair lives in at most one commit (the writer
+    excludes already-deleted positions), so the join cannot duplicate.
+    Cost: O(annotated files + vector rows), the DV blast radius."""
+    root = path.rstrip("/")
+    prefix = _dv_uri_prefix(root)
+    part_versions = sorted(
+        {(p, v) for v, dvm in dv_entries for ps in dvm.values() for p in ps}
+    )
+    mapping = spark.createDataFrame(
+        [
+            ("file:" + os.path.abspath(os.path.join(root, p)), int(v))
+            for p, v in part_versions
+        ],
+        "_dvsrc string, _commit_version int",
+    )
+    dv = (
+        spark.read.parquet(*[os.path.join(root, p) for p, _ in part_versions])
+        .select(
+            F.col("_metadata.file_path").alias("_dvsrc"),
+            F.concat(F.lit(prefix), F.col("_dv_file")).alias("_dv_uri"),
+            F.col("_dv_pos").alias("_dv_pos"),
+        )
+        .join(F.broadcast(mapping), "_dvsrc")
+        .drop("_dvsrc")
+    )
+    covered = sorted({f for _, dvm in dv_entries for f in dvm})
+    out: DataFrame | None = None
+    for grp in _schema_groups(root, covered):
+        df = spark.read.parquet(
+            *[os.path.join(root, f) for f in grp]
+        ).select(
+            F.col("_metadata.file_path").alias("_dv_uri"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+            "*",
+        )
+        part = df.join(F.broadcast(dv), ["_dv_uri", "_dv_pos"]).select(
+            F.col("_commit_version"),
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in cols
+            ],
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _schema_groups(root: str, files: list[str]) -> list[list[str]]:
+    """Group a file list by PHYSICAL parquet schema, probing one footer
+    per commit directory (every file in ``data/c{v}-*/`` came from one
+    ``df.write.parquet``, so the directory shares a schema). Probes are
+    capped at CDF_FOOTER_PROBE_MAX — past it the caller is directed to
+    chunked consumption (VERDICT r11 #6)."""
+    import pyarrow.parquet as papq
+
+    dirs = {os.path.dirname(f) for f in files}
+    if len(dirs) > CDF_FOOTER_PROBE_MAX:
+        raise ValueError(
+            f"change range touches {len(dirs)} commit directories, past "
+            f"the CDF_FOOTER_PROBE_MAX={CDF_FOOTER_PROBE_MAX} driver-side "
+            "schema-probe cap; consume the history in commit-sized chunks "
+            "via newsify_spark.streaming.cdf.stream_changes (or call "
+            "read_changes over smaller version ranges)"
+        )
+    groups: dict[str, list[str]] = {}
+    dir_schema: dict[str, str] = {}
+    for f in files:
+        d = os.path.dirname(f)
+        key = dir_schema.get(d)
+        if key is None:
+            key = dir_schema[d] = str(papq.read_schema(os.path.join(root, f)))
+        groups.setdefault(key, []).append(f)
+    return list(groups.values())
 
 
 def _read_version_tagged(
@@ -1316,6 +1836,7 @@ def _read_version_tagged(
     path: str,
     file_versions: list[tuple[str, int]],
     cols: list[str],
+    drop_positions: DataFrame | None = None,
 ) -> DataFrame | None:
     """One batched read per PHYSICAL FILE SCHEMA of a commit range's
     file list, each row tagged ``_commit_version`` by joining
@@ -1346,31 +1867,26 @@ def _read_version_tagged(
     batches and never approaches the cap."""
     if not file_versions:
         return None
-    import pyarrow.parquet as papq
-
     root = path.rstrip("/")
-    dirs = {os.path.dirname(f) for f, _ in file_versions}
-    if len(dirs) > CDF_FOOTER_PROBE_MAX:
-        raise ValueError(
-            f"change range touches {len(dirs)} commit directories, past "
-            f"the CDF_FOOTER_PROBE_MAX={CDF_FOOTER_PROBE_MAX} driver-side "
-            "schema-probe cap; consume the history in commit-sized chunks "
-            "via newsify_spark.streaming.cdf.stream_changes (or call "
-            "read_changes over smaller version ranges)"
-        )
-    groups: dict[str, list[tuple[str, int]]] = {}
-    dir_schema: dict[str, str] = {}
-    for f, v in file_versions:
-        d = os.path.dirname(f)
-        key = dir_schema.get(d)
-        if key is None:
-            key = dir_schema[d] = str(papq.read_schema(os.path.join(root, f)))
-        groups.setdefault(key, []).append((f, v))
+    vmap = dict(file_versions)
     out: DataFrame | None = None
-    for fv in groups.values():
+    for grp in _schema_groups(root, [f for f, _ in file_versions]):
+        fv = [(f, vmap[f]) for f in grp]
         df = spark.read.parquet(
             *[os.path.join(root, f) for f, _ in fv]
         ).withColumn("_file", F.input_file_name())
+        if drop_positions is not None:
+            # rows a deletion vector had already removed BEFORE this
+            # commit range's rewrite dropped the file: they were
+            # reported deleted at the vector's own commit, so they must
+            # not surface again as the rewrite's removed-side rows
+            df = df.select(
+                F.col("_metadata.file_path").alias("_dv_uri"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+                "*",
+            ).join(
+                F.broadcast(drop_positions), ["_dv_uri", "_dv_pos"], "left_anti"
+            )
         mapping = spark.createDataFrame(
             [
                 ("file://" + os.path.abspath(os.path.join(root, f)), int(v))

@@ -88,8 +88,12 @@ DEMOTED: frozenset[str] = frozenset(
         # (round-11 additions — doc_pack_tokens, rel_txnlog_point_lookup,
         # stream_cdf_feed — all promoted in rotation #10 below for their
         # first driver rows)
-        # round-12 addition; never-driver-checked — rotation-#11 queue
+        # round-12 additions; never-driver-checked — rotation-#11 queue
         "rel_txnlog_in_lookup",
+        "rel_txnlog_dv_read",
+        "rel_txnlog_dv_cdf",
+        "rel_mv_incremental",
+        "rel_txnlog_restore",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,

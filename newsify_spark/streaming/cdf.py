@@ -58,14 +58,16 @@ def stream_changes(
         raise ValueError("batch_commits must be >= 1")
     head = to_version if to_version is not None else max(_versions(path), default=-1)
     vs = [v for v in _versions(path) if from_version <= v <= head]
-    # No-op chunks (commits whose add AND remove lists are empty) are
-    # detected STRUCTURALLY from the log entries, one log read for the
-    # whole range — never by swallowing read_changes' ValueError, which
-    # would silently drop a micro-batch on any other raise path (the
-    # footer-probe cap, a future validation) and lose data the consumer
-    # cannot detect (ADVICE r11 #4).
+    # No-op chunks (commits whose add AND remove lists are empty and
+    # that attach no deletion vector) are detected STRUCTURALLY from the
+    # log entries, one log read for the whole range — never by
+    # swallowing read_changes' ValueError, which would silently drop a
+    # micro-batch on any other raise path (the footer-probe cap, a
+    # future validation) and lose data the consumer cannot detect
+    # (ADVICE r11 #4). A DV-only commit has empty add/remove but very
+    # much changes rows — its delete images must be delivered.
     touched = {
-        e["version"]: bool(e["add"] or e["remove"])
+        e["version"]: bool(e["add"] or e["remove"] or e.get("dv"))
         for e in _read_log(path, upto=head, since=from_version)
     }
     for i in range(0, len(vs), batch_commits):

@@ -126,6 +126,13 @@ QUERIES = [
     "doc_pack_tokens",
     "rel_txnlog_point_lookup",
     "stream_cdf_feed",
+    # round 12: deletion-vector cycle (create + 2 sidecar-only deletes +
+    # anti-joined read), incremental matview (create + full agg + COW
+    # mutations + ONE delta refresh), restore (mutations + metadata-only
+    # re-publish + rewrite of the one vector-divergent file)
+    "rel_txnlog_dv_read",
+    "rel_mv_incremental",
+    "rel_txnlog_restore",
 ]
 
 # Queries whose 8x ratio ran above ~3.5 in round 8 (VERDICT r8 #8):
@@ -151,6 +158,13 @@ ATTRIBUTED = [
     "rel_txnlog_zorder",
     "rel_txnlog_point_lookup",
     "stream_cdf_feed",
+    # round 12 (second half): deletion vectors, incremental matview,
+    # restore — all three stage their own world per call, so the fits
+    # cover the full cycle; the _dv_split/_mv_split stage decompositions
+    # below attribute which stage carries the corpus-proportional term
+    "rel_txnlog_dv_read",
+    "rel_mv_incremental",
+    "rel_txnlog_restore",
     "doc_pack_tokens",
 ]
 
@@ -226,6 +240,33 @@ ATTRIBUTION_NOTES = {
         "proportional terms directly — the fit here shows the 8x point "
         "staying ON the line (no superlinear stage), the split shows "
         "WHERE the linear work lives"
+    ),
+    "rel_txnlog_dv_read": (
+        "full cycle per pass: create (corpus-proportional write) + two "
+        "DELETION-VECTOR deletes (position hunt = key-column-pruned "
+        "scan of candidate files + kilobyte sidecar write, NO data "
+        "rewrite) + the vector-filtered read. The slope is the create "
+        "plus the position-hunt scans; the sold claim is that the DV "
+        "commits add no rewrite term — the _dv_split below isolates "
+        "each stage to show it"
+    ),
+    "rel_mv_incremental": (
+        "full cycle per pass: source create + matview create (one full "
+        "aggregation) + upsert/delete mutations + ONE incremental "
+        "refresh. Create and mutation blast radius are data-"
+        "proportional by design; the refresh itself is O(changes) — "
+        "keys-mod-97/101 grow with replication, so refresh grows "
+        "linearly in the CHANGE volume, and the _mv_split below shows "
+        "refresh staying a small fraction of the full re-aggregation "
+        "it replaces"
+    ),
+    "rel_txnlog_restore": (
+        "full cycle per pass: create + upsert + COW delete + DV delete "
+        "+ restore to v1 + read. The restore leg is metadata-only "
+        "re-publishing (file references + carried stats) except for the "
+        "ONE vector-divergent file it rewrites, so the slope is the "
+        "staging mutations, not the restore — a superlinear bend would "
+        "mean restore started copying data instead of references"
     ),
     "doc_cdc_curation": (
         "the query STAGES its own world per run — create a COW table "
@@ -350,6 +391,101 @@ def _pack_split(spark, sf_dir: str) -> tuple[float, float, float]:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return t_tokenize, t_pack, t_materialize
+
+
+def _dv_split(spark, sf_dir: str) -> tuple[float, float, float]:
+    """rel_txnlog_dv_read's stage decomposition: (t_stage, t_dv, t_read)
+    — the corpus-proportional table create, the two deletion-vector
+    commits (position hunt + sidecar write, NO data-file rewrite: this
+    is the number that must stay small), and the vector-filtered read.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="newsify_dv_split_")
+    try:
+        path = f"{base}/orders_t"
+        t0 = time.perf_counter()
+        T.create_table(spark, path, orders.repartition(8))
+        t_stage = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for mod in (97, 101):
+            T.delete_rows(
+                spark,
+                path,
+                orders.filter(F.col("o_orderkey") % mod == 0).select(
+                    "o_orderkey"
+                ),
+                ["o_orderkey"],
+                mode="dv",
+            )
+        t_dv = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        force(
+            T.read_table(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)), F.sum("o_totalprice"))
+        )
+        t_read = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return t_stage, t_dv, t_read
+
+
+def _mv_split(spark, sf_dir: str) -> tuple[float, float, float]:
+    """rel_mv_incremental's stage decomposition: (t_create, t_mutate,
+    t_refresh) — matview creation (source table + ONE full aggregation,
+    the cost a poll-loop pays EVERY cycle), the source mutations, and
+    the incremental refresh (the sold path: O(changes), must track the
+    mutation blast radius, not the table)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from newsify_spark.operators import matview as MV
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="newsify_mv_split_")
+    try:
+        src = f"{base}/orders_t"
+        mv = f"{base}/orders_mv"
+        t0 = time.perf_counter()
+        T.create_table(spark, src, orders.repartitionByRange(8, "o_orderkey"))
+        MV.create_matview(
+            spark, mv, src, ["o_custkey"],
+            sums={"revenue": "o_totalprice"}, count_col="n_orders",
+        )
+        t_create = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        adj = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+        T.upsert_rows(spark, src, adj, ["o_orderkey"])
+        T.delete_rows(
+            spark, src,
+            orders.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        t_mutate = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        MV.refresh_matview(spark, mv)
+        force(T.read_table(spark, mv))
+        t_refresh = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return t_create, t_mutate, t_refresh
 
 
 def _fit_line(points: list[tuple[int, float]]) -> tuple[float, float, float]:
@@ -501,6 +637,33 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+        # round-12 lakehouse stage decompositions: deletion-vector
+        # cycle and incremental-matview cycle, per factor (median of 3)
+        dv_rows = []
+        for m in factors:
+            triples = [_dv_split(spark, dirs[m]) for _ in range(3)]
+            med = tuple(
+                statistics.median(t[i] for t in triples) for i in range(3)
+            )
+            dv_rows.append((m, *med))
+            print(
+                f"# dv split {m}x: stage={med[0]:.2f}s "
+                f"dv_commits={med[1]:.2f}s read={med[2]:.2f}s",
+                file=sys.stderr,
+            )
+        mv_rows = []
+        for m in factors:
+            triples = [_mv_split(spark, dirs[m]) for _ in range(3)]
+            med = tuple(
+                statistics.median(t[i] for t in triples) for i in range(3)
+            )
+            mv_rows.append((m, *med))
+            print(
+                f"# mv split {m}x: create={med[0]:.2f}s "
+                f"mutate={med[1]:.2f}s refresh={med[2]:.2f}s",
+                file=sys.stderr,
+            )
+
     with open("SCALING.md", "w") as f:
         f.write(
             f"# SCALING — {n}x data replication experiment (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], sf0.1 base)\n\n"
@@ -576,6 +739,34 @@ def main() -> None:
         )
         for m, tt, tp, tmz in pack_rows:
             f.write(f"| {m}x | {tt:.2f} | {tp:.2f} | {tmz:.2f} |\n")
+        f.write(
+            "\n## Deletion-vector cycle stage split (round 12)\n\n"
+            "`stage` = the corpus-proportional table create; "
+            "`dv_commits` = TWO merge-on-read deletes (position hunt = "
+            "key-column-pruned scan of candidate files + kilobyte "
+            "sidecar writes — the number that must stay a small "
+            "fraction of stage, because the copy-on-write alternative "
+            "pays a file REWRITE here); `read` = the vector-filtered "
+            "snapshot aggregate.\n\n"
+            "| factor | stage s | dv_commits s | read s |\n"
+            "|---|---|---|---|\n"
+        )
+        for m, ts_, td, tr in dv_rows:
+            f.write(f"| {m}x | {ts_:.2f} | {td:.2f} | {tr:.2f} |\n")
+        f.write(
+            "\n## Incremental-matview cycle stage split (round 12)\n\n"
+            "`create` = source table + the ONE full aggregation (the "
+            "cost a poll-loop re-pays every cycle); `mutate` = the "
+            "upsert/delete source commits; `refresh` = the incremental "
+            "maintenance path (change feed -> sign-weighted delta -> "
+            "file-granular merge) — O(changes), so it must track the "
+            "mutation blast radius, staying well under create's full "
+            "re-aggregation as the factor grows.\n\n"
+            "| factor | create s | mutate s | refresh s |\n"
+            "|---|---|---|---|\n"
+        )
+        for m, tc, tm_, tr in mv_rows:
+            f.write(f"| {m}x | {tc:.2f} | {tm_:.2f} | {tr:.2f} |\n")
         f.write(
             "\nThe `doc_semdedup (k∝√n, ivf-assign)` entry runs semantic_dedup "
             "at its documented production tuning with the round-6 scale "

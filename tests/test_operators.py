@@ -2475,9 +2475,9 @@ def test_txnlog_optimize_compacts_without_changing_data(spark, tmp_path):
     )
     orig_read = T._read_files_aligned
 
-    def ambush(spark_, path_, files, cols):
+    def ambush(spark_, path_, files, cols, dvs=None):
         T.append_rows(spark_, path_, _txn_fixture(spark_, 1).coalesce(1))
-        return orig_read(spark_, path_, files, cols)
+        return orig_read(spark_, path_, files, cols, dvs=dvs)
 
     import unittest.mock as _mock
 
