@@ -143,6 +143,7 @@ def refresh_matview(
     spark: SparkSession,
     mv_path: str,
     source_path: str | None = None,
+    to_version: int | None = None,
 ) -> int | None:
     """Advance the view to the source's current head by applying ONLY
     the change feed since the last refresh (Gupta-Mumick counting):
@@ -152,7 +153,12 @@ def refresh_matview(
     Returns the view's new commit version, or None when the view is
     already current. Exactly-once: the consumed source version rides
     the SAME commit as the merged rows, so replays are no-ops and a
-    concurrent refresh loses the version CAS (ConcurrentWriteError)."""
+    concurrent refresh loses the version CAS (ConcurrentWriteError).
+
+    ``to_version`` bounds the refresh at a specific source commit
+    (instead of the head) — the streaming cadence
+    :func:`newsify_spark.streaming.cdf.follow_matview` uses to advance
+    the view one commit chunk at a time."""
     cfg = _load_config(mv_path)
     src = source_path or cfg["source_path"]
     group_cols = cfg["group_cols"]
@@ -160,6 +166,13 @@ def refresh_matview(
     count_col = cfg["count_col"]
     applied = last_refreshed_source_version(mv_path)
     src_head = T._next_version(src) - 1
+    if to_version is not None:
+        if to_version > src_head:
+            raise ValueError(
+                f"to_version={to_version} is beyond the source head "
+                f"{src_head}"
+            )
+        src_head = to_version
     if src_head <= applied:
         return None  # already current
     # Pin the view's target version BEFORE reading its snapshot (the

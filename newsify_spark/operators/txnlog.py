@@ -65,6 +65,42 @@ change feed emits exact per-vector delete images, and
 :func:`purge_dvs` / any rewrite reconciles vectors back into plain
 files. Copy-on-write remains the bulk-delete path; DV mode kills the
 write amplification of the point-delete-per-GDPR-request shape.
+
+Round 12 also adds HIVE-STYLE PARTITIONED TABLES (Delta/Iceberg/Hive
+partitioning — public designs): ``create_table(partition_by=[...])``
+declares partition columns in a table property
+(``_txnlog/_partition_spec.json``); every writer lays data out as
+``data/c<v>-<nonce>/col=value/part-*.parquet`` via
+``df.write.partitionBy``. Partition values are SELF-DESCRIBING — parsed
+from each file's own relative path — so no extra log state exists:
+
+- **pruning**: at write time each file's partition values fold into its
+  per-file stats as degenerate min=max intervals (null partitions as
+  all-null counts), so EVERY existing skipping path — =, <, between,
+  in-lists, null tests, ``scan_report`` — prunes whole partitions with
+  zero new code in the prune loop. This is the first-order prune at
+  100 TB: a date-partitioned table answers a one-day query opening one
+  partition's files, before footer stats are even consulted.
+- **reads**: partition columns are not IN the data files (hive layout);
+  they are re-attached by ONE broadcast join of the scan against a tiny
+  file→values map keyed on ``_metadata.file_path`` — the same shape the
+  CDF reader uses for version tagging. One scan node at ANY partition
+  count (never a union-per-partition plan); a pruned read's map holds
+  only the surviving files.
+- every mutation (upsert, delete CoW/DV, OPTIMIZE, purge) preserves the
+  layout because the rewrite routes through the same partition-aware
+  write; OPTIMIZE compacts within partitions by construction
+  (``partitionBy`` re-splits the bin-packed output);
+- **partition evolution** (:func:`repartition_table`): the spec's type
+  map is append-only across layout changes and attachment coalesces
+  path values with the data column, so mixed layouts — pre-partition
+  files, old-spec files, the crash window mid-evolution — and every
+  time-travel version read correctly.
+
+Round 12 also adds the general three-clause MERGE (:func:`merge_table`)
+and LOGICAL CONFLICT RESOLUTION for every rewrite
+(:func:`_rebase_commit` — Delta's conflict matrix: provably-disjoint
+interleavings re-commit metadata-only instead of failing).
 """
 
 from __future__ import annotations
@@ -271,16 +307,39 @@ def _write_data(
     rel_dir = f"data/c{version}-{uuid.uuid4().hex[:8]}"
     root = path.rstrip("/")
     out = os.path.join(root, rel_dir)
-    df.write.parquet(out)
-    files = [
-        f"{rel_dir}/{f}"
-        for f in sorted(os.listdir(out))
-        if f.endswith(".parquet") and not f.startswith(".")
-    ]
+    spec = _partition_spec(path)
+    if spec:
+        missing = [c for c in spec["cols"] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write to partitioned table {path} is missing its "
+                f"partition column(s) {missing}"
+            )
+        df.write.partitionBy(*spec["cols"]).parquet(out)
+        files = sorted(
+            os.path.relpath(os.path.join(dp, fn), root)
+            for dp, _, fns in os.walk(out)
+            for fn in fns
+            if fn.endswith(".parquet") and not fn.startswith(".")
+        )
+    else:
+        df.write.parquet(out)
+        files = [
+            f"{rel_dir}/{f}"
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
     stats = _collect_file_stats(root, files)
+    if spec:
+        _fold_partition_stats(stats, spec)
     cfg = _bloom_config(path)
     if cfg:
-        present = {c: t for c, t in cfg["cols"].items() if c in df.columns}
+        pcols = set(spec["cols"]) if spec else set()
+        present = {
+            c: t
+            for c, t in cfg["cols"].items()
+            if c in df.columns and c not in pcols
+        }
         if present:
             blooms = _collect_bloom_stats(
                 spark, root, files, present, cfg["k"], stats
@@ -375,7 +434,7 @@ def _collect_bloom_stats(
     }
     mapping = spark.createDataFrame(
         [
-            ("file://" + os.path.abspath(os.path.join(root, f)), f, m_by_file[f])
+            (_file_uri(root, f, double_slash=True), f, m_by_file[f])
             for f in files
         ],
         "_file string, _rel string, _m long",
@@ -450,6 +509,220 @@ def _bloom_maybe_contains(bl: dict, value) -> bool:
         if not (w >> (pos % 64)) & 1:
             return False
     return True
+
+
+# ------------------------------------------------------------ partitioning
+#
+# Partition values live in the file PATHS (hive layout), not in the log:
+# the spec is the only table property, and every consumer re-derives a
+# file's values by parsing its relative path. That keeps commits,
+# checkpoints, and the replay loop byte-identical to the unpartitioned
+# format — a partitioned table is just a table whose files happen to
+# carry degenerate min=max stats on the partition columns.
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _uri_quote(p: str) -> str:
+    """Percent-encode a filesystem path the way Hadoop's Path.toUri
+    renders it (the form ``_metadata.file_path`` / ``input_file_name``
+    yield): unreserved + sub-delims + ``:@/`` stay literal, everything
+    else (space, ``%``, non-ASCII, ...) becomes %XX UTF-8. Needed
+    because hive partition directories can carry escaped characters —
+    a constructed join key must match the scan's URI byte-for-byte or
+    an inner join silently drops the file's rows."""
+    from urllib.parse import quote
+
+    return quote(p, safe="/:@!$&'()*+,;=~")
+
+
+def _file_uri(root: str, rel: str, double_slash: bool = False) -> str:
+    """The URI a scan reports for ``root/rel`` — ``file:`` single-slash
+    form for ``_metadata.file_path``, ``file://`` for
+    ``input_file_name()``."""
+    scheme = "file://" if double_slash else "file:"
+    return scheme + _uri_quote(os.path.abspath(root) + "/" + rel)
+# types whose directory-name string form round-trips losslessly through
+# Spark's escapePathName and a plain cast — the soundness bar for both
+# the stats fold and the read-time re-attachment
+PARTITION_TYPES = ("string", "int", "bigint", "date")
+
+
+def _partition_spec_path(path: str) -> str:
+    return os.path.join(_log_path(path), "_partition_spec.json")
+
+
+def _partition_spec(path: str) -> dict | None:
+    p = _partition_spec_path(path)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_partition_spec(
+    path: str, df: DataFrame, partition_by: list[str]
+) -> None:
+    """Publish the table's partition spec. ``cols`` is the CURRENT
+    layout (what writers partitionBy); ``types`` is APPEND-ONLY across
+    spec evolutions — historical partition columns keep their recorded
+    type so files written under an older spec stay readable (their
+    path values still attach) at any time-travel version."""
+    types: dict[str, str] = {}
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in the dataframe")
+        t = df.schema[c].dataType.simpleString()
+        if t not in PARTITION_TYPES:
+            raise ValueError(
+                f"partition column {c!r} has type {t}; supported: "
+                f"{', '.join(PARTITION_TYPES)} (their directory-name "
+                "string form round-trips losslessly)"
+            )
+        types[c] = t
+    prior = _partition_spec(path)
+    if prior:
+        for c, t in prior["types"].items():
+            if c in types and types[c] != t:
+                raise ValueError(
+                    f"partition column {c!r} was previously recorded as "
+                    f"{t}; re-declaring it as {types[c]} would corrupt "
+                    "historical reads"
+                )
+            types.setdefault(c, t)
+    os.makedirs(_log_path(path), exist_ok=True)
+    with open(_partition_spec_path(path), "w") as fh:
+        json.dump({"cols": list(partition_by), "types": types}, fh)
+
+
+def _parse_partition_values(rel: str, spec: dict) -> dict[str, str | None]:
+    """A file's partition values from its own relative path — raw
+    (unescaped) directory strings, None for the hive null sentinel."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str | None] = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if k in spec["types"]:
+            vals[k] = None if v == HIVE_NULL else unquote(v)
+    return vals
+
+
+def _typed_partition_value(s: str | None, t: str):
+    import datetime
+
+    if s is None:
+        return None
+    if t == "string":
+        return s
+    if t in ("int", "bigint"):
+        return int(s)
+    return datetime.date.fromisoformat(s)  # "date"
+
+
+def _commit_dir(rel: str) -> str:
+    """The ``data/c<version>-<nonce>`` directory a file was written
+    under — the unit that shares one physical schema (one
+    ``df.write.parquet``), regardless of hive partition depth below."""
+    parts = rel.split("/")
+    return "/".join(parts[:2]) if len(parts) > 1 else rel
+
+
+def _partition_frame(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    spec: dict,
+    key: str,
+    double_slash: bool = False,
+) -> DataFrame:
+    """The tiny file→partition-values map a scan broadcast-joins to
+    re-attach partition columns: one row per file, values cast to the
+    spec's declared types (never inferred — '01' stays '01' in a string
+    partition). Keys use the scan side's URI form (``_metadata.
+    file_path`` = ``file:``, ``input_file_name`` = ``file://``),
+    percent-encoded to match byte-for-byte (see :func:`_uri_quote`)."""
+    # ALL historically-known partition columns, not just the current
+    # layout: a file written under an older spec still attaches its
+    # path values at any time-travel version (partition evolution)
+    pcols = sorted(spec["types"])
+    rows = []
+    for f in files:
+        vals = _parse_partition_values(f, spec)
+        # a column absent from this file's path maps to None — the
+        # attach coalesces to the data column, which carries the value
+        # for files written before the column joined the layout
+        rows.append(
+            (_file_uri(root, f, double_slash), *[vals.get(c) for c in pcols])
+        )
+    schema = ", ".join(
+        [f"`{key}` string"] + [f"`_pt_{c}` string" for c in pcols]
+    )
+    pmap = spark.createDataFrame(rows, schema)
+    return pmap.select(
+        key,
+        *[
+            F.col(f"_pt_{c}").cast(spec["types"][c]).alias(f"_pt_{c}")
+            for c in pcols
+        ],
+    )
+
+
+def _attach_partition_cols(
+    df: DataFrame, pmap: DataFrame, spec: dict, key: str
+) -> DataFrame:
+    """Left-join the file→values map onto a scan (on ``key``, already
+    projected) and resolve each partition column: hive-layout files
+    take the path-derived value, pre-repartition files keep the value
+    their DATA carries (mergeSchema surfaces the column as null for
+    hive files, so a COALESCE is exact — both sides null only when the
+    value is genuinely null)."""
+    out = df.join(F.broadcast(pmap), key, "left")
+    pcols = sorted(spec["types"])
+    for c in pcols:
+        pt = F.col(f"_pt_{c}")
+        if c in df.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), pt))
+        else:
+            out = out.withColumn(c, pt)
+    return out.drop(*[f"_pt_{c}" for c in pcols])
+
+
+def _inject_partition_columns(
+    spark: SparkSession, df: DataFrame, root: str, files: list[str],
+    spec: dict,
+) -> DataFrame:
+    """Re-attach partition columns to a raw leaf-file scan. ``df`` must
+    already carry ``_pt_uri`` (the ``_metadata.file_path`` form) — the
+    caller captures it in the scan's first projection so hidden-column
+    resolution never depends on post-join plans."""
+    pmap = _partition_frame(spark, root, files, spec, "_pt_uri")
+    return _attach_partition_cols(df, pmap, spec, "_pt_uri").drop("_pt_uri")
+
+
+def _fold_partition_stats(
+    stats: dict[str, dict | None], spec: dict
+) -> None:
+    """Fold each file's path-derived partition values into its footer
+    stats as degenerate min=max intervals (null partitions as all-null
+    counts), so the ONE prune loop covers partitions and footer stats
+    uniformly. In-place; files whose footer probe failed stay None
+    (conservative: always read)."""
+    for rel, st in stats.items():
+        if st is None:
+            continue
+        vals = _parse_partition_values(rel, spec)
+        for c, raw in vals.items():
+            if raw is None:
+                st["nulls"][c] = st.get("rows") or 0
+                continue
+            enc = _stat_value(_typed_partition_value(raw, spec["types"][c]))
+            if enc is not None:
+                st["min"][c] = enc
+                st["max"][c] = enc
+            st["nulls"][c] = 0
 
 
 def _stat_value(v):
@@ -658,14 +931,21 @@ def _enforce_checks(spark: SparkSession, path: str,
         return
     root = path.rstrip("/")
     df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+    spec = _partition_spec(path)
+    if spec:  # a CHECK may reference a partition (path-only) column
+        df = df.select(
+            F.col("_metadata.file_path").alias("_pt_uri"), "*"
+        )
+        df = _inject_partition_columns(spark, df, root, files, spec)
     viol = _violations(spark, df, checks)
     if viol:
         import shutil
 
-        # each write stages into its own fresh data/c<v>-<nonce>/ dir,
-        # so removing the whole dir (parquet + _SUCCESS/.crc markers)
-        # cannot touch committed data
-        for d in {os.path.dirname(os.path.join(root, f)) for f in files}:
+        # each write stages into its own fresh data/c<v>-<nonce>/ dir
+        # (hive partition dirs nest below it), so removing the commit
+        # dir (parquet + _SUCCESS/.crc markers) cannot touch committed
+        # data
+        for d in {os.path.join(root, _commit_dir(f)) for f in files}:
             shutil.rmtree(d, ignore_errors=True)
         raise CheckViolation(
             f"write to {path} violates CHECK constraint(s) "
@@ -709,6 +989,7 @@ def create_table(
     df: DataFrame,
     bloom_cols: list[str] | None = None,
     txn: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Version 0: write initial data files, publish the first commit.
 
@@ -719,9 +1000,26 @@ def create_table(
     files whose bitmap rules the key out (the case min/max intervals
     can't prune: point lookups on high-cardinality un-clustered keys).
     The config is a table property (``_txnlog/_bloom_config.json``), so
-    every writer maintains it without threading parameters."""
+    every writer maintains it without threading parameters.
+
+    ``partition_by`` (optional; string/int/bigint/date columns) declares
+    hive-style partitioning — the layout decision the table keeps for
+    life: every write lands under ``col=value/`` directories and every
+    predicate on a partition column prunes whole partitions through the
+    standard stats path (see the module partitioning notes). A partition
+    column needs no bloom (its per-file interval is already exact), so
+    listing one in ``bloom_cols`` is rejected."""
     if _versions(path):
         raise ValueError(f"table already exists at {path}")
+    if partition_by:
+        overlap = set(partition_by) & set(bloom_cols or ())
+        if overlap:
+            raise ValueError(
+                f"column(s) {sorted(overlap)} are partition columns; "
+                "their min=max stats already prune exactly — bloom "
+                "stats would be pure overhead"
+            )
+        _write_partition_spec(path, df, partition_by)
     if bloom_cols:
         _write_bloom_config(path, df, bloom_cols)
     files, stats = _write_data(spark, path, df, 0)
@@ -775,6 +1073,101 @@ def append_rebase(
     raise ConcurrentWriteError(
         f"append to {path} lost the version CAS {max_rebases + 1} times"
     )
+
+
+def _rebase_commit(
+    path: str,
+    v: int,
+    op: str,
+    add: list[str],
+    remove: list[str],
+    cols: list[str],
+    stats=None,
+    dv=None,
+    key_env: dict[str, tuple] | None = None,
+    keys: list[str] | None = None,
+    strict_adds: bool = True,
+    max_rebases: int = 5,
+) -> int:
+    """Commit a rewrite with LOGICAL CONFLICT RESOLUTION (Delta's
+    conflict matrix, VLDB 2020 §3.2): when another writer wins the
+    version CAS, examine the interleaved commits — if every one is
+    provably disjoint from this rewrite, re-commit the already-written
+    files under the next version (metadata-only, no Spark job re-runs);
+    otherwise raise ConcurrentWriteError naming the conflict, and the
+    caller re-runs against the fresh snapshot.
+
+    An interleaved commit conflicts when it:
+
+    - removed or DV-annotated any file this commit rewrites or
+      annotates (write-write on the same data; for a DV commit the
+      annotated files' positions must stay live verbatim);
+    - changed the column set (schema race: conservative abort);
+    - with ``strict_adds`` (upsert/delete/merge — ops whose output
+      depends on which rows EXIST): added a file whose stats cannot
+      rule out this mutation's key envelope — the serializable-strict
+      reading (a blind append of a possibly-matching key means our
+      snapshot read missed rows). Data-identical rewrites (OPTIMIZE,
+      purge) pass ``strict_adds=False``: new rows never invalidate a
+      pure re-layout, so appends commute — the compaction-vs-ingest
+      pattern every streaming table hits.
+
+    Disjointness is decided from commit-recorded stats alone (driver
+    metadata, no data I/O); a file without stats can't be proven
+    disjoint and conflicts conservatively."""
+    touched = set(remove) | set(dv or ())
+    rebases = 0
+    while True:
+        try:
+            _commit(path, v, op, add, remove, cols, stats=stats, dv=dv)
+            return v
+        except ConcurrentWriteError:
+            v_new = _next_version(path)
+            inter = [
+                e
+                for e in _read_log(path, upto=v_new - 1)
+                if e["version"] >= v
+            ]
+            for e in inter:
+                clash = (set(e["remove"]) | set(e.get("dv") or ())) & touched
+                if clash:
+                    raise ConcurrentWriteError(
+                        f"commit {e['version']} concurrently rewrote "
+                        f"{sorted(clash)[:3]}; re-run against the new "
+                        "snapshot"
+                    )
+                if e["columns"] != cols:
+                    raise ConcurrentWriteError(
+                        f"commit {e['version']} evolved the schema "
+                        "mid-flight; re-run against the new snapshot"
+                    )
+                if strict_adds:
+                    estats = e.get("stats") or {}
+                    for f in e["add"]:
+                        fs = estats.get(f)
+                        disjoint = (
+                            key_env is not None
+                            and keys
+                            and all(k in key_env for k in keys)
+                            and fs is not None
+                            and not all(
+                                _file_can_match(fs, k, "between", key_env[k])
+                                for k in keys
+                            )
+                        )
+                        if not disjoint:
+                            raise ConcurrentWriteError(
+                                f"commit {e['version']} added {f} which "
+                                "may contain keys this mutation read; "
+                                "re-run against the new snapshot"
+                            )
+            rebases += 1
+            if rebases > max_rebases:
+                raise ConcurrentWriteError(
+                    f"rewrite of {path} lost the version CAS "
+                    f"{rebases} times"
+                )
+            v = v_new
 
 
 def restore(spark: SparkSession, path: str, version: int) -> int | None:
@@ -931,6 +1324,8 @@ def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
     True (= must read) whenever the stats can't PROVE emptiness."""
     if not fstats:
         return True
+    if fstats.get("rows") == 0:
+        return False  # a zero-row file matches nothing, null tests included
     nulls = fstats.get("nulls", {})
     rows = fstats.get("rows")
     # Null-test predicates prune on the null COUNT alone and must run
@@ -1101,8 +1496,18 @@ def read_table(
         )
         schema = StructType([sample.schema[c] for c in cols if c in sample.columns])
         empty = spark.createDataFrame([], schema)
+        ptypes = (_partition_spec(path) or {}).get("types", {})
         return empty.select(
-            *[F.col(c) if c in empty.columns else F.lit(None).alias(c) for c in cols]
+            *[
+                F.col(c)
+                if c in empty.columns
+                else (
+                    F.lit(None).cast(ptypes[c]).alias(c)
+                    if c in ptypes
+                    else F.lit(None).alias(c)
+                )
+                for c in cols
+            ]
         )
     # mergeSchema alignment + deletion-vector application (merge-on-read
     # deletes): see _read_files_aligned. Only vectors attached to the
@@ -1112,6 +1517,26 @@ def read_table(
     if preds:
         df = df.filter(_where_condition(preds))
     return df
+
+
+def _key_envelope(
+    keys_df: DataFrame, keys: list[str]
+) -> dict[str, tuple]:
+    """Per-key-column [min,max] stat envelope of a mutation's key set —
+    one tiny aggregate on the (small by contract) key side. Columns
+    whose bounds can't be stat-encoded are omitted (callers treat a
+    missing column conservatively)."""
+    aggs = []
+    for k in keys:
+        aggs.append(F.min(k).alias(f"_mn_{k}"))
+        aggs.append(F.max(k).alias(f"_mx_{k}"))
+    row = keys_df.agg(*aggs).first()
+    env = {}
+    for k in keys:
+        lo, hi = _stat_value(row[f"_mn_{k}"]), _stat_value(row[f"_mx_{k}"])
+        if lo is not None and hi is not None:
+            env[k] = (lo, hi)
+    return env
 
 
 def _candidate_files(
@@ -1125,16 +1550,7 @@ def _candidate_files(
     contract) key side. Null keys never equi-join, so dropping them
     from the envelope is exact; files without stats always remain
     candidates (conservative, like every pruning path here)."""
-    aggs = []
-    for k in keys:
-        aggs.append(F.min(k).alias(f"_mn_{k}"))
-        aggs.append(F.max(k).alias(f"_mx_{k}"))
-    row = keys_df.agg(*aggs).first()
-    env = {}
-    for k in keys:
-        lo, hi = _stat_value(row[f"_mn_{k}"]), _stat_value(row[f"_mx_{k}"])
-        if lo is not None and hi is not None:
-            env[k] = (lo, hi)
+    env = _key_envelope(keys_df, keys)
     return [
         f
         for f in sorted(state["files"])
@@ -1163,20 +1579,36 @@ def _affected_files(
     live = _candidate_files(state, keys_df, keys) if state else []
     if not live:
         return []
-    df = (
+    scan = (
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(root, f) for f in live])
         .withColumn("_file", F.input_file_name())
-        .join(F.broadcast(keys_df.select(keys).distinct()), keys, "left_semi")
+    )
+    spec = _partition_spec(path)
+    if spec and any(k in spec["types"] for k in keys):
+        # a key column living in the PATH (partition column): re-attach
+        # it off the same _file handle the hit collection already rides
+        pmap = _partition_frame(
+            spark, root, live, spec, "_file", double_slash=True
+        )
+        scan = _attach_partition_cols(scan, pmap, spec, "_file")
+    df = (
+        scan.join(
+            F.broadcast(keys_df.select(keys).distinct()), keys, "left_semi"
+        )
         .select("_file")
         .distinct()
     )
+    from urllib.parse import unquote
+
     prefix = "file://"
     hit = set()
     for r in df.collect():  # bounded by file count, never row count
         p = r._file
         p = p[len(prefix):] if p.startswith(prefix) else p
-        hit.add(os.path.relpath(p, root))
+        # input_file_name is URI-encoded; the log stores DISK names
+        # (hive partition dirs can differ: space -> %20, % -> %25)
+        hit.add(os.path.relpath(unquote(p), root))
     return sorted(hit)
 
 
@@ -1218,8 +1650,158 @@ def upsert_rows(
         merged = new
     files, stats = _write_data(spark, path, merged, v)
     _enforce_checks(spark, path, files)
-    _commit(path, v, "upsert", files, victims, cols, stats=stats)
-    return v
+    return _rebase_commit(
+        path, v, "upsert", files, victims, cols, stats=stats,
+        key_env=_key_envelope(new, keys), keys=keys,
+    )
+
+
+def merge_table(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str] | str | None = None,
+    when_matched_update_condition: str | None = None,
+    when_matched_delete: str | bool = False,
+    when_not_matched_insert: dict[str, str] | str | None = "all",
+    when_not_matched_insert_condition: str | None = None,
+    validate_source_unique: bool = True,
+) -> int:
+    """General MERGE INTO (Delta's three-clause MERGE, public
+    semantics), file-granular copy-on-write: only files holding a
+    matched key are rewritten; source rows matching nothing land as
+    inserts in the same commit's new files.
+
+    Clause language: conditions and assignment expressions are SQL
+    strings over the aliases ``t`` (target row) and ``s`` (source row),
+    e.g. ``when_matched_update={"o_totalprice": "s.o_totalprice"}``
+    with ``when_matched_update_condition="s.o_totalprice >
+    t.o_totalprice"``. ``"all"`` maps every target column to its
+    source namesake. Clause order per matched pair mirrors Delta's:
+    the DELETE condition is tested first, then the UPDATE condition;
+    a matched row satisfying neither stays unchanged. Unmatched source
+    rows insert when ``when_not_matched_insert`` is given (and its
+    condition holds); unmatched target rows always survive.
+
+    A source with duplicate ``on`` keys would update one target row
+    twice (Delta raises there too) — rejected up front unless
+    ``validate_source_unique=False``.
+
+    Scale shape: ONE broadcast of the (small-by-contract) source
+    against the stats-pruned victim slice, one full-outer join, one
+    write — the blast radius is the matched files, never the table.
+    ``upsert_rows`` remains the specialized update-all+insert-all fast
+    path (no clause machinery on its hot path)."""
+    if (
+        when_matched_update is None
+        and when_matched_delete is False
+        and when_not_matched_insert is None
+    ):
+        raise ValueError("MERGE with no clauses is a no-op; refuse loudly")
+    # Pin the target version BEFORE the snapshot read (same OCC window
+    # as upsert_rows — a commit landing in between collides on v).
+    v = _next_version(path)
+    state = _snapshot_state(path, upto=v - 1)
+    if state is None:
+        raise ValueError(f"no table at {path}")
+    cols = state["columns"]
+    missing = [k for k in on if k not in cols]
+    if missing:
+        raise ValueError(f"merge keys {missing} not in table columns {cols}")
+    source = source.localCheckpoint(eager=True)
+    if validate_source_unique:
+        dup = (
+            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+        ).collect()
+        if dup:
+            key = {k: dup[0][k] for k in on}
+            raise ValueError(
+                f"merge source has duplicate rows for key {key}; a "
+                "multi-match MERGE is ambiguous (pass "
+                "validate_source_unique=False only if upstream "
+                "guarantees uniqueness)"
+            )
+
+    def _assign_map(clause) -> dict[str, str]:
+        if clause == "all":
+            return {c: f"s.`{c}`" for c in cols}
+        return dict(clause)
+
+    victims = _affected_files(spark, path, source, on, version=v - 1)
+    if victims:
+        old = _read_files_aligned(
+            spark, path, victims, cols, dvs=state["dvs"]
+        )
+    else:
+        old = spark.createDataFrame(
+            [], _read_files_aligned(
+                spark, path, sorted(state["files"])[:1], cols,
+                dvs=state["dvs"],
+            ).schema,
+        ) if state["files"] else None
+    if old is None:
+        raise ValueError(f"no snapshot files at {path}")
+    t = old.withColumn("_t_exists", F.lit(True)).alias("t")
+    s = (
+        source.withColumn("_s_exists", F.lit(True)).alias("s")
+    )
+    keycond = None
+    for k in on:
+        term = F.col(f"t.`{k}`") == F.col(f"s.`{k}`")
+        keycond = term if keycond is None else keycond & term
+    j = t.join(F.broadcast(s), keycond, "full_outer")
+    m = F.col("t._t_exists").isNotNull() & F.col("s._s_exists").isNotNull()
+    s_only = F.col("t._t_exists").isNull() & F.col("s._s_exists").isNotNull()
+
+    del_cond = (
+        F.lit(False)
+        if when_matched_delete is False
+        else (F.lit(True) if when_matched_delete is True
+              else F.expr(when_matched_delete))
+    )
+    upd_cond = (
+        F.lit(when_matched_update is not None)
+        if when_matched_update_condition is None
+        else F.expr(when_matched_update_condition)
+    )
+    ins_cond = (
+        F.lit(when_not_matched_insert is not None)
+        if when_not_matched_insert_condition is None
+        else F.expr(when_not_matched_insert_condition)
+    )
+    upd_map = _assign_map(when_matched_update or {})
+    ins_map = _assign_map(when_not_matched_insert or {})
+
+    # SQL three-valued logic: a NULL condition means "clause does not
+    # apply", exactly like a WHERE that filters the row out
+    del_hit = m & del_cond.eqNullSafe(F.lit(True))
+    upd_hit = (
+        m
+        & ~del_cond.eqNullSafe(F.lit(True))
+        & upd_cond.eqNullSafe(F.lit(True))
+    )
+    ins_hit = s_only & ins_cond.eqNullSafe(F.lit(True))
+
+    out_cols = []
+    for c in cols:
+        expr = F.col(f"t.`{c}`")
+        if c in upd_map:
+            expr = F.when(upd_hit, F.expr(upd_map[c])).otherwise(expr)
+        if c in ins_map:
+            expr = F.when(ins_hit, F.expr(ins_map[c])).otherwise(expr)
+        out_cols.append(expr.cast(old.schema[c].dataType).alias(c))
+    merged = (
+        j.filter(~del_hit)
+        .filter(~s_only | ins_hit)
+        .select(*out_cols)
+    )
+    files, stats = _write_data(spark, path, merged, v)
+    _enforce_checks(spark, path, files)
+    return _rebase_commit(
+        path, v, "merge", files, victims, cols, stats=stats,
+        key_env=_key_envelope(source, on), keys=on,
+    )
 
 
 def delete_rows(
@@ -1261,25 +1843,35 @@ def delete_rows(
     if state is None:
         raise ValueError(f"no table at {path}")
     cols = state["columns"]
+    env = _key_envelope(doomed, keys)
     if not victims:
-        _commit(path, v, "delete", [], [], cols)
-        return v
+        # a no-op delete still re-validates interleaved APPENDS: a
+        # concurrently landed row with a doomed key must conflict, not
+        # silently survive the delete
+        return _rebase_commit(
+            path, v, "delete", [], [], cols, key_env=env, keys=keys
+        )
     root = path.rstrip("/")
     if mode == "dv":
         dvmap = _write_deletion_vector(
             spark, root, state, victims, doomed, keys, v
         )
         if dvmap is None:  # stats false positives only — nothing matched
-            _commit(path, v, "delete", [], [], cols)
-        else:
-            _commit(path, v, "delete", [], [], cols, dv=dvmap)
-        return v
+            return _rebase_commit(
+                path, v, "delete", [], [], cols, key_env=env, keys=keys
+            )
+        return _rebase_commit(
+            path, v, "delete", [], [], cols, dv=dvmap,
+            key_env=env, keys=keys,
+        )
     survivors = _read_files_aligned(
         spark, path, victims, cols, dvs=state["dvs"]
     ).join(F.broadcast(doomed.select(keys).distinct()), keys, "left_anti")
     files, stats = _write_data(spark, path, survivors, v)
-    _commit(path, v, "delete", files, victims, cols, stats=stats)
-    return v
+    return _rebase_commit(
+        path, v, "delete", files, victims, cols, stats=stats,
+        key_env=env, keys=keys,
+    )
 
 
 def _write_deletion_vector(
@@ -1304,8 +1896,13 @@ def _write_deletion_vector(
     ).select(
         F.col("_metadata.file_path").alias("_dv_uri"),
         F.col("_metadata.row_index").alias("_dv_pos"),
-        *keys,
+        "*",
     )
+    spec = _partition_spec(root)
+    if spec and any(k in spec["types"] for k in keys):
+        pmap = _partition_frame(spark, root, victims, spec, "_dv_uri")
+        scan = _attach_partition_cols(scan, pmap, spec, "_dv_uri")
+    scan = scan.select("_dv_uri", "_dv_pos", *keys)
     existing = sorted(
         {p for f in victims for p in state["dvs"].get(f, ())}
     )
@@ -1330,8 +1927,12 @@ def _write_deletion_vector(
         for f in sorted(os.listdir(out))
         if f.endswith(".parquet") and not f.startswith(".")
     ]
+    from urllib.parse import unquote
+
     covered = [
-        r[0]
+        # _dv_file content stays URI-encoded (it rebuilds scan URIs);
+        # the commit's attachment-map KEYS must be the log's DISK names
+        unquote(r[0])
         for r in spark.read.parquet(out).select("_dv_file").distinct().collect()
     ]  # bounded by the victim file count, never row count
     if not covered:
@@ -1515,16 +2116,56 @@ def optimize(
             .drop("_zkey")
         )
         files, stats = _write_data(spark, path, out, v)
-        _commit(path, v, "optimize", files, live, cols, stats=stats)
-        return v
+        # data-identical re-layout: concurrent APPENDS commute (the
+        # compaction-vs-ingest pattern), only rewrites of our victims
+        # conflict — strict_adds=False
+        return _rebase_commit(
+            path, v, "optimize", files, live, cols, stats=stats,
+            strict_adds=False,
+        )
     small = [f for f in live if sizes[f] < target_bytes]
     if len(small) < min_files:
         return None
     df = _read_files_aligned(spark, path, small, cols, dvs=state["dvs"])
     n_out = max(1, math.ceil(sum(sizes[f] for f in small) / target_bytes))
     files, stats = _write_data(spark, path, df.coalesce(n_out), v)
-    _commit(path, v, "optimize", files, small, cols, stats=stats)
-    return v
+    return _rebase_commit(
+        path, v, "optimize", files, small, cols, stats=stats,
+        strict_adds=False,
+    )
+
+
+def repartition_table(
+    spark: SparkSession, path: str, partition_by: list[str]
+) -> int:
+    """PARTITION EVOLUTION (Iceberg's evolve-spec / Delta's rewrite
+    path): adopt a (new) hive partitioning on an EXISTING table — the
+    spec property updates, then one data-identical commit rewrites the
+    live snapshot into the new layout. Readers are safe at every point
+    in between because partition-column attachment COALESCES the
+    path-derived value with the data column (pre-rewrite files keep
+    their values in the data; a crash between the spec write and the
+    commit leaves a mixed-layout table that still reads correctly, and
+    time travel to pre-evolution versions still works). The rewrite's
+    CDF nets to zero; OCC follows the data-identical matrix (concurrent
+    appends rebase — though THEIR layout follows whichever spec they
+    saw, which the mixed-read path also tolerates)."""
+    v = _next_version(path)
+    state = _snapshot_state(path, upto=v - 1)
+    if state is None or not state["files"]:
+        raise ValueError(f"no snapshot to repartition at {path}")
+    cols = state["columns"]
+    missing = [c for c in partition_by if c not in cols]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in table {cols}")
+    live = sorted(state["files"])
+    df = _read_files_aligned(spark, path, live, cols, dvs=state["dvs"])
+    _write_partition_spec(path, df, partition_by)
+    files, stats = _write_data(spark, path, df, v)
+    return _rebase_commit(
+        path, v, "repartition", files, live, cols, stats=stats,
+        strict_adds=False,
+    )
 
 
 def purge_dvs(spark: SparkSession, path: str) -> int | None:
@@ -1547,8 +2188,10 @@ def purge_dvs(spark: SparkSession, path: str) -> int | None:
     cols = state["columns"]
     df = _read_files_aligned(spark, path, targets, cols, dvs=state["dvs"])
     files, stats = _write_data(spark, path, df, v)
-    _commit(path, v, "purge_dv", files, targets, cols, stats=stats)
-    return v
+    return _rebase_commit(
+        path, v, "purge_dv", files, targets, cols, stats=stats,
+        strict_adds=False,
+    )
 
 
 def vacuum(
@@ -1578,13 +2221,16 @@ def vacuum(
         return removed
     for d in sorted(os.listdir(data_root)):
         sub = os.path.join(data_root, d)
-        for f in sorted(os.listdir(sub)):
-            rel = f"data/{d}/{f}"
-            if rel not in live and f.endswith(".parquet"):
-                os.unlink(os.path.join(sub, f))
-                removed.append(rel)
-        if not os.listdir(sub):
-            os.rmdir(sub)
+        # bottom-up walk: hive partition dirs nest below the commit dir,
+        # and emptied partition dirs must drop before their parent can
+        for dp, dns, fns in sorted(os.walk(sub, topdown=False)):
+            for f in sorted(fns):
+                rel = os.path.relpath(os.path.join(dp, f), root)
+                if rel not in live and f.endswith(".parquet"):
+                    os.unlink(os.path.join(dp, f))
+                    removed.append(rel)
+            if not os.listdir(dp):
+                os.rmdir(dp)
     return removed
 
 
@@ -1630,20 +2276,39 @@ def _read_files_aligned(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(root, f) for f in files]
     )
-    data_cols = df.columns
+    spec = _partition_spec(path)
     parts = sorted({p for f in files for p in (dvs or {}).get(f, ())})
+    # every hidden-metadata reference happens in ONE projection on the
+    # raw scan, so resolution never depends on post-join plan shapes
+    meta = []
+    if spec:
+        meta.append(F.col("_metadata.file_path").alias("_pt_uri"))
     if parts:
-        df = df.select(
-            F.col("_metadata.file_path").alias("_dv_uri"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
-            "*",
-        ).join(
+        meta.append(F.col("_metadata.file_path").alias("_dv_uri"))
+        meta.append(F.col("_metadata.row_index").alias("_dv_pos"))
+    if meta:
+        df = df.select(*meta, "*")
+    if parts:
+        df = df.join(
             F.broadcast(_dv_frame(spark, root, parts)),
             ["_dv_uri", "_dv_pos"],
             "left_anti",
         )
+    if spec:
+        df = _inject_partition_columns(spark, df, root, files, spec)
+    data_cols = df.columns
+    ptypes = (spec or {}).get("types", {})
     return df.select(
-        *[F.col(c) if c in data_cols else F.lit(None).alias(c) for c in cols]
+        *[
+            F.col(c)
+            if c in data_cols
+            else (
+                F.lit(None).cast(ptypes[c]).alias(c)
+                if c in ptypes
+                else F.lit(None).alias(c)
+            )
+            for c in cols
+        ]
     )
 
 
@@ -1811,7 +2476,10 @@ def _schema_groups(root: str, files: list[str]) -> list[list[str]]:
     chunked consumption (VERDICT r11 #6)."""
     import pyarrow.parquet as papq
 
-    dirs = {os.path.dirname(f) for f in files}
+    # probe key = the data/c<v>-<nonce> COMMIT dir, not the immediate
+    # parent: hive partition dirs below it share the commit's single
+    # df.write schema, so a 1000-partition commit still costs ONE probe
+    dirs = {_commit_dir(f) for f in files}
     if len(dirs) > CDF_FOOTER_PROBE_MAX:
         raise ValueError(
             f"change range touches {len(dirs)} commit directories, past "
@@ -1823,7 +2491,7 @@ def _schema_groups(root: str, files: list[str]) -> list[list[str]]:
     groups: dict[str, list[str]] = {}
     dir_schema: dict[str, str] = {}
     for f in files:
-        d = os.path.dirname(f)
+        d = _commit_dir(f)
         key = dir_schema.get(d)
         if key is None:
             key = dir_schema[d] = str(papq.read_schema(os.path.join(root, f)))
@@ -1869,6 +2537,7 @@ def _read_version_tagged(
         return None
     root = path.rstrip("/")
     vmap = dict(file_versions)
+    spec = _partition_spec(path)
     out: DataFrame | None = None
     for grp in _schema_groups(root, [f for f, _ in file_versions]):
         fv = [(f, vmap[f]) for f in grp]
@@ -1879,7 +2548,9 @@ def _read_version_tagged(
             # rows a deletion vector had already removed BEFORE this
             # commit range's rewrite dropped the file: they were
             # reported deleted at the vector's own commit, so they must
-            # not surface again as the rewrite's removed-side rows
+            # not surface again as the rewrite's removed-side rows.
+            # Hidden-metadata references stay on the raw scan — every
+            # join below this point sees plain columns only.
             df = df.select(
                 F.col("_metadata.file_path").alias("_dv_uri"),
                 F.col("_metadata.row_index").alias("_dv_pos"),
@@ -1887,11 +2558,16 @@ def _read_version_tagged(
             ).join(
                 F.broadcast(drop_positions), ["_dv_uri", "_dv_pos"], "left_anti"
             )
+        if spec:
+            # partition columns ride a broadcast map of the SAME shape
+            # (and key) as the version tag below — blast-radius bounded
+            pmap = _partition_frame(
+                spark, root, [f for f, _ in fv], spec, "_file",
+                double_slash=True,
+            )
+            df = _attach_partition_cols(df, pmap, spec, "_file")
         mapping = spark.createDataFrame(
-            [
-                ("file://" + os.path.abspath(os.path.join(root, f)), int(v))
-                for f, v in fv
-            ],
+            [(_file_uri(root, f, double_slash=True), int(v)) for f, v in fv],
             "_file string, _commit_version int",
         )
         part = df.join(F.broadcast(mapping), "_file").select(

@@ -1913,3 +1913,306 @@ def rel_txnlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_TXNLOG_PARTITION_ORACLE = """
+WITH thr AS (SELECT max(o_orderkey) // 10 AS k FROM orders)
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM orders, thr
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderkey <= thr.k
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+@register(
+    "rel_txnlog_partition_prune",
+    doc="HIVE-STYLE PARTITIONED TABLE on the transaction log "
+    "(operators.txnlog round 12 — Delta/Iceberg partitioning, public "
+    "designs): orders partition by o_orderpriority and range-cluster on "
+    "o_orderkey within partitions, the '5-LOW' partition is then "
+    "DELETED BY ITS PARTITION KEY (the CoW blast radius is exactly "
+    "that partition's files — pinned in tests/test_txnlog_partition"
+    ".py), and the timed read probes an in-list over three partitions "
+    "(one of them the deleted one) plus a bottom-decile key predicate. "
+    "Partition values fold into per-file stats as min=max intervals at "
+    "write, so the ONE prune loop layers partition pruning over footer "
+    "stats — the first-order prune at 100 TB: a one-partition query "
+    "opens that partition's files before footer stats are even "
+    "consulted — and the scan re-attaches partition columns via a "
+    "single broadcast file->values join (one plan node at any "
+    "partition count, never a union-per-partition). Oracle: the same "
+    "predicate + rollup relationally (the deleted partition filtered "
+    "by the IN list's surviving members).",
+    tags=("S6", "S12", "txn", "skipping", "partitioning"),
+    bench=True,  # added r12 mid-round: no envelope yet; the gate adopts
+    # it from the first clean run per BASELINE_BENCH.json policy
+    oracle=_TXNLOG_PARTITION_ORACLE,
+)
+def rel_txnlog_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsify_spark.operators import txnlog as T
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    thr = orders.agg(F.max("o_orderkey")).first()[0] // 10
+
+    def build(path: str) -> None:
+        T.create_table(
+            spark,
+            path,
+            orders.repartitionByRange(8, "o_orderkey"),
+            partition_by=["o_orderpriority"],
+        )
+        T.delete_rows(
+            spark,
+            path,
+            spark.createDataFrame([("5-LOW",)], "o_orderpriority string"),
+            keys=["o_orderpriority"],
+        )
+
+    path = _staged_table("txnlog_partition", sf_dir, build)
+    snap = T.read_table(
+        spark,
+        path,
+        where=[
+            ("o_orderpriority", "in", ["1-URGENT", "2-HIGH", "5-LOW"]),
+            ("o_orderkey", "<=", thr),
+        ],
+    )
+    return (
+        snap.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+_TXNLOG_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+src AS (
+  SELECT o_orderkey,
+         round(CAST(o_totalprice * 1.1 AS DOUBLE), 4) AS new_price,
+         CASE WHEN o_orderkey % 194 = 0 THEN 'DEL' ELSE 'ADJ' END AS action
+  FROM base WHERE o_orderkey % 97 = 0
+),
+matched AS (
+  SELECT b.o_orderkey,
+         CASE WHEN s.action = 'ADJ' AND b.o_orderstatus <> 'F'
+              THEN 'ADJ' ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.action = 'ADJ' AND b.o_orderstatus <> 'F'
+              THEN s.new_price ELSE b.o_totalprice END AS o_totalprice,
+         s.action
+  FROM base b LEFT JOIN src s USING (o_orderkey)
+),
+kept AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM matched
+  WHERE action IS NULL OR action <> 'DEL'
+),
+ins AS (
+  SELECT max(o_orderkey) + 1 AS o_orderkey, 'NEW' AS o_orderstatus,
+         CAST(1000.0 AS DOUBLE) AS o_totalprice
+  FROM base
+),
+final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "rel_txnlog_merge",
+    doc="General three-clause MERGE INTO on the transaction log "
+    "(operators.txnlog.merge_table round 12 — Delta's MERGE semantics, "
+    "public): a heterogeneous source (new_price + an action flag, NOT "
+    "the target schema) drives a conditional matched-UPDATE "
+    "(s.action='ADJ' AND t.o_orderstatus<>'F' — both sides referenced), "
+    "a matched-DELETE (s.action='DEL', tested first per Delta clause "
+    "order), and a not-matched-INSERT with an assignment map, all in "
+    "ONE file-granular copy-on-write commit: one broadcast of the "
+    "source against the stats-pruned victim slice, one full-outer "
+    "join, blast radius = matched files only "
+    "(tests/test_txnlog_merge.py pins clause precedence, three-valued "
+    "condition logic, CDF decomposition, CHECK/DV/partition "
+    "interplay). Oracle: the same clause algebra spelled relationally "
+    "(LEFT JOIN + CASE + anti-DEL filter + UNION ALL insert).",
+    tags=("S9", "S12", "txn", "merge"),
+    oracle=_TXNLOG_MERGE_ORACLE,
+)
+def rel_txnlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from newsify_spark.operators import txnlog as T
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="newsify_txnlog_merge_")
+    try:
+        path = f"{base}/orders_t"
+        T.create_table(spark, path, orders.repartitionByRange(8, "o_orderkey"))
+        upd = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("new_price"),
+            F.when(F.col("o_orderkey") % 194 == 0, F.lit("DEL"))
+            .otherwise(F.lit("ADJ"))
+            .alias("action"),
+        )
+        ins = orders.agg(
+            (F.max("o_orderkey") + 1).alias("o_orderkey")
+        ).select(
+            "o_orderkey",
+            F.lit(1000.0).alias("new_price"),
+            F.lit("INS").alias("action"),
+        )
+        T.merge_table(
+            spark,
+            path,
+            upd.unionByName(ins),
+            on=["o_orderkey"],
+            when_matched_update={
+                "o_totalprice": "s.new_price",
+                "o_orderstatus": "'ADJ'",
+            },
+            when_matched_update_condition=(
+                "s.action = 'ADJ' AND t.o_orderstatus <> 'F'"
+            ),
+            when_matched_delete="s.action = 'DEL'",
+            when_not_matched_insert={
+                "o_orderkey": "s.o_orderkey",
+                "o_orderstatus": "'NEW'",
+                "o_totalprice": "s.new_price",
+            },
+        )
+        snap = T.read_table(spark, path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_STREAM_MV_ORACLE = """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+adj1 AS (
+  SELECT k, o_custkey, CAST(round(cents * 1.1) AS BIGINT) AS cents
+  FROM base WHERE k % 97 = 0
+),
+state1 AS (
+  SELECT * FROM base WHERE k % 97 <> 0 UNION ALL SELECT * FROM adj1
+),
+state2 AS (SELECT * FROM state1 WHERE k % 101 <> 0),
+adj2 AS (
+  SELECT k, o_custkey, CAST(round(cents * 1.2) AS BIGINT) AS cents
+  FROM base WHERE k % 103 = 0
+),
+state3 AS (
+  SELECT * FROM state2 WHERE k % 103 <> 0 UNION ALL SELECT * FROM adj2
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue
+FROM state3
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+@register(
+    "stream_matview_feed",
+    doc="STREAMING incremental view maintenance "
+    "(streaming.cdf.follow_matview round 12 — the Delta Live Tables "
+    "shape): a per-customer (count, sum cents) materialized view TAILS "
+    "its source's change feed, refreshing once per source commit "
+    "(batch_commits=1) through three mutations (MERGE upsert, bulk "
+    "delete, second upsert that RE-INSERTS some previously deleted "
+    "keys), so every intermediate view version is a consistent "
+    "snapshot at a source commit boundary. The tailer's offset IS the "
+    "view's txn marker — persisted atomically with each refresh's rows "
+    "— so the in-query REPLAY of the whole feed must produce zero new "
+    "view commits (exactly-once, raised on violation, not asserted). "
+    "Per-chunk cost is the commit's blast radius + affected view "
+    "files, never source size. Oracle: the three-state mutation "
+    "algebra re-aggregated relationally — the view's final contents "
+    "must equal it row-for-row (integer cents => incremental sums are "
+    "exact).",
+    tags=("T-extra", "txn", "cdc", "matview", "ivm", "streaming"),
+    oracle=_STREAM_MV_ORACLE,
+)
+def stream_matview_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from newsify_spark.operators import matview as MVIEW
+    from newsify_spark.operators import txnlog as T
+    from newsify_spark.streaming.cdf import follow_matview
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    base = tempfile.mkdtemp(prefix="newsify_stream_mv_")
+    try:
+        src = f"{base}/orders_t"
+        mv = f"{base}/orders_mv"
+        T.create_table(spark, src, orders.repartitionByRange(8, "o_orderkey"))
+        MVIEW.create_matview(
+            spark, mv, src, ["o_custkey"],
+            sums={"cents": "o_cents"}, count_col="n_orders",
+        )
+        adj1 = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_cents") * 1.1).cast("long").alias("o_cents"),
+        )
+        T.upsert_rows(spark, src, adj1, ["o_orderkey"])
+        T.delete_rows(
+            spark, src,
+            orders.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        adj2 = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_cents") * 1.2).cast("long").alias("o_cents"),
+        )
+        T.upsert_rows(spark, src, adj2, ["o_orderkey"])
+        refreshed = follow_matview(spark, mv, batch_commits=1)
+        if len(refreshed) != 3:
+            raise RuntimeError(
+                f"expected one view refresh per source commit, got "
+                f"{refreshed}"
+            )
+        if follow_matview(spark, mv, batch_commits=1):
+            raise RuntimeError("replaying the feed produced new commits")
+        snap = T.read_table(spark, mv).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return snap.select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+    ).orderBy("o_custkey")

@@ -94,6 +94,9 @@ DEMOTED: frozenset[str] = frozenset(
         "rel_txnlog_dv_cdf",
         "rel_mv_incremental",
         "rel_txnlog_restore",
+        "rel_txnlog_partition_prune",
+        "rel_txnlog_merge",
+        "stream_matview_feed",
         # (round-8 additions — vec_knn_ivfpq, doc_dsir_weights,
         # doc_dsir_sample, doc_bpe_merges, doc_bpe_tokenize,
         # rel_txnlog_changes, doc_zipf_fit, doc_blocklist_filter,

@@ -100,3 +100,50 @@ def run_cdf_feed(
         consumer(df, hi)
         last = hi
     return last
+
+
+def follow_matview(
+    spark: SparkSession,
+    mv_path: str,
+    to_version: int | None = None,
+    batch_commits: int = 1,
+) -> list[int]:
+    """Tail the view's SOURCE table and refresh the materialized view
+    once per commit chunk — streaming incremental view maintenance
+    (the Delta Live Tables shape: a continuous pipeline keeping a
+    derived aggregate fresh off the change feed). Each chunk advances
+    the view to that chunk's high commit via
+    ``refresh_matview(to_version=hi)``, so every intermediate view
+    version is itself a consistent snapshot of the source AT a commit
+    boundary (time travel over the VIEW replays the source's history in
+    chunk-sized steps).
+
+    Resumable and exactly-once for free: the view's txn marker IS the
+    offset (``last_refreshed_source_version``), persisted atomically
+    with each refresh's rows, so a crashed/replayed tailer re-runs
+    no-op refreshes and a concurrent tailer loses the version CAS.
+    Returns the view commit versions produced (empty when already
+    current). Per-chunk cost is the chunk's copy-on-write blast radius
+    plus the view files holding affected groups — a tailing view over a
+    100 TB source does O(commit delta) work per wake-up, never
+    O(table)."""
+    from newsify_spark.operators.matview import (
+        _load_config,
+        last_refreshed_source_version,
+        refresh_matview,
+    )
+
+    cfg = _load_config(mv_path)
+    src = cfg["source_path"]
+    applied = last_refreshed_source_version(mv_path)
+    out: list[int] = []
+    head = to_version if to_version is not None else max(
+        _versions(src), default=-1
+    )
+    vs = [v for v in _versions(src) if applied + 1 <= v <= head]
+    for i in range(0, len(vs), batch_commits):
+        chunk = vs[i : i + batch_commits]
+        v = refresh_matview(spark, mv_path, to_version=chunk[-1])
+        if v is not None:
+            out.append(v)
+    return out

@@ -133,6 +133,17 @@ QUERIES = [
     "rel_txnlog_dv_read",
     "rel_mv_incremental",
     "rel_txnlog_restore",
+    # round 12 (third wave): partitioned-table pruned read (staged
+    # table cached per process, so passes time the in-list-over-
+    # partitions READ — metadata prune + one partition's files, ratio
+    # should sit WELL under the data ratio), general MERGE (stages its
+    # own world per call: create + one three-clause merge — broadcast
+    # source, victim-only rewrite), and the streaming matview tailer
+    # (create + 3 mutations + 3 chunked refreshes + replay — per-chunk
+    # blast radius)
+    "rel_txnlog_partition_prune",
+    "rel_txnlog_merge",
+    "stream_matview_feed",
 ]
 
 # Queries whose 8x ratio ran above ~3.5 in round 8 (VERDICT r8 #8):
@@ -166,6 +177,10 @@ ATTRIBUTED = [
     "rel_mv_incremental",
     "rel_txnlog_restore",
     "doc_pack_tokens",
+    # round 12 (third wave): 4-point fits from first contact
+    "rel_txnlog_partition_prune",
+    "rel_txnlog_merge",
+    "stream_matview_feed",
 ]
 
 ATTRIBUTION_NOTES = {
@@ -267,6 +282,35 @@ ATTRIBUTION_NOTES = {
         "ONE vector-divergent file it rewrites, so the slope is the "
         "staging mutations, not the restore — a superlinear bend would "
         "mean restore started copying data instead of references"
+    ),
+    "rel_txnlog_partition_prune": (
+        "the _staged_table cache means passes time the READ: an "
+        "in-list over three partitions (one deleted => zero files) "
+        "plus a bottom-decile key interval. Pruning is driver-side "
+        "metadata (partition min=max stats), so the slope is the "
+        "surviving files' scan only — the fit should sit well under "
+        "the data ratio; a bend toward it means partition pruning "
+        "stopped excluding files"
+    ),
+    "rel_txnlog_merge": (
+        "full cycle per pass: partitionless create + ONE three-clause "
+        "MERGE (broadcast source, full-outer join over the stats-pruned "
+        "victim slice, victim-only rewrite) + aggregate read. Source "
+        "size scales with the corpus (keys %97), so both the victim "
+        "count and rewrite volume grow ~linearly; the intercept is the "
+        "create, the slope the merge+read — superlinearity would mean "
+        "the victim search or the join escaped its broadcast/pruned "
+        "shape"
+    ),
+    "stream_matview_feed": (
+        "full cycle per pass: source create + matview create (one full "
+        "aggregation) + three mutations + three CHUNKED refreshes "
+        "(per-commit blast radius each) + a replay proving no-op + "
+        "view read. Three small refreshes do the same total delta work "
+        "as rel_mv_incremental's one — the slope should track it; a "
+        "gap between the two fits would mean per-chunk overhead "
+        "(log replay, marker reads) grew with corpus size, which it "
+        "must not (it is O(commits), fixed here)"
     ),
     "doc_cdc_curation": (
         "the query STAGES its own world per run — create a COW table "

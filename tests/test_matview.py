@@ -235,3 +235,82 @@ def test_matview_rejects_collision_and_missing_config(spark, tmp_path):
                           count_col="n")
     with pytest.raises(ValueError, match="no materialized-view config"):
         MV.refresh_matview(spark, str(tmp_path / "nope"))
+
+
+def test_follow_matview_streams_chunked_refreshes(spark, tmp_path):
+    from newsify_spark.streaming.cdf import follow_matview
+
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    T.create_table(spark, src, _src(spark))
+    MV.create_matview(spark, mv, src, ["g"], sums={"sum_x": "x"},
+                      count_col="n")
+    # three source commits
+    T.upsert_rows(
+        spark, src,
+        spark.createDataFrame([(3, 5, 100.0)], "g long, k long, x double"),
+        ["k"],
+    )
+    T.delete_rows(
+        spark, src,
+        spark.createDataFrame([(10,), (11,)], "k long"), ["k"],
+    )
+    T.append_rows(
+        spark, src,
+        spark.createDataFrame([(9, 1000, 1.0)], "g long, k long, x double"),
+    )
+    vs = follow_matview(spark, mv, batch_commits=1)
+    assert len(vs) == 3
+    assert _got(spark, mv) == _expect(spark, src)
+    # every intermediate view version is consistent with the source at
+    # the matching commit boundary (time travel over the VIEW)
+    for mv_v, src_v in zip(vs, [1, 2, 3]):
+        view_at = {
+            r.g: (r.n, round(r.sum_x, 6))
+            for r in T.read_table(spark, mv, version=mv_v).collect()
+        }
+        src_at = {
+            r.g: (r.n, round(r.sum_x, 6))
+            for r in T.read_table(spark, src, version=src_v)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(F.col("x"), F.lit(0))).alias("sum_x"),
+            )
+            .collect()
+        }
+        assert view_at == src_at, (mv_v, src_v)
+    # replay: the feed is exhausted, offsets persisted => no new commits
+    assert follow_matview(spark, mv, batch_commits=1) == []
+
+
+def test_follow_matview_bounded_and_batched(spark, tmp_path):
+    from newsify_spark.streaming.cdf import follow_matview
+
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    T.create_table(spark, src, _src(spark))
+    MV.create_matview(spark, mv, src, ["g"], sums={"sum_x": "x"},
+                      count_col="n")
+    for i in range(4):
+        T.append_rows(
+            spark, src,
+            spark.createDataFrame(
+                [(i % 7, 2000 + i, float(i))], "g long, k long, x double"
+            ),
+        )
+    # bounded at source v2: only the first chunk of 2 applies
+    vs = follow_matview(spark, mv, to_version=2, batch_commits=2)
+    assert len(vs) == 1
+    assert MV.last_refreshed_source_version(mv) == 2
+    # the remainder in one batched chunk
+    vs2 = follow_matview(spark, mv, batch_commits=10)
+    assert len(vs2) == 1
+    assert _got(spark, mv) == _expect(spark, src)
+
+
+def test_refresh_matview_rejects_future_to_version(spark, tmp_path):
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    T.create_table(spark, src, _src(spark))
+    MV.create_matview(spark, mv, src, ["g"], sums={"sum_x": "x"},
+                      count_col="n")
+    with pytest.raises(ValueError, match="beyond the source head"):
+        MV.refresh_matview(spark, mv, to_version=99)

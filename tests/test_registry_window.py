@@ -159,9 +159,11 @@ BENCH_ROUTE_VARIANTS = {"doc_neardup_lsh"}  # twin: doc_neardup_auto
 # vec_knn_int8, added r5, were promoted in r6; doc_ngram_perplexity,
 # added r7, was promoted in r8's rotation #6; doc_dsir_weights, added
 # r8, was promoted in r9's rotation #7.)
-# (rel_txnlog_zorder, added r10, was promoted in r11's rotation #9.)
+# (rel_txnlog_zorder, added r10, was promoted in r11's rotation #9;
+# rel_txnlog_point_lookup, added r11, was promoted in r12's rotation
+# #10.)
 BENCH_PROMOTION_QUEUE: set[str] = {
-    "rel_txnlog_point_lookup",  # added r11, rotation-#10 queue
+    "rel_txnlog_partition_prune",  # added r12, rotation-#11 queue
 }
 
 # Bench entries rotated OUT of the window after accumulating >=3 rounds
