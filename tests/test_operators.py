@@ -2468,11 +2468,15 @@ def test_txnlog_optimize_compacts_without_changing_data(spark, tmp_path):
     assert T.read_table(spark, path, version=3).count() == 20
     # idempotent no-op when nothing is small enough
     assert T.optimize(spark, path, target_bytes=1) is None
-    # OCC: an interloper claiming the pinned version beats the optimize
+    # OCC (round-12 conflict matrix): an interloper APPEND no longer
+    # beats a data-identical re-layout — the optimize REBASES over it
+    # metadata-only (the compaction-vs-ingest pattern); conflicts from
+    # victim rewrites are pinned in tests/test_txnlog_occ.py
     # (a fresh small file first, so the optimize has >= min_files work)
     T.append_rows(
         spark, path, _txn_fixture(spark, 3).coalesce(1)
     )
+    before = T.read_table(spark, path).count()
     orig_read = T._read_files_aligned
 
     def ambush(spark_, path_, files, cols, dvs=None):
@@ -2482,8 +2486,10 @@ def test_txnlog_optimize_compacts_without_changing_data(spark, tmp_path):
     import unittest.mock as _mock
 
     with _mock.patch.object(T, "_read_files_aligned", side_effect=ambush):
-        with _pytest.raises(T.ConcurrentWriteError):
-            T.optimize(spark, path, target_bytes=1 << 20)
+        v2 = T.optimize(spark, path, target_bytes=1 << 20)
+    assert v2 is not None
+    # both the interloper's row and the compacted data are live
+    assert T.read_table(spark, path).count() == before + 1
 
 
 def test_txnlog_read_changes_plan_is_commit_count_invariant(spark, tmp_path):
