@@ -1949,6 +1949,74 @@ def history(path: str) -> list[dict]:
     return _read_log(path)
 
 
+def table_detail(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL for a snapshot (Delta's surface): live file and
+    row counts, total bytes, schema columns, partitioning, deletion-
+    vector and constraint state — all from log metadata and local
+    sizes, no data I/O. ``num_rows`` is None when any live file lacks
+    stats (pre-stats commits); DV'd rows are NOT subtracted (the count
+    is physical rows before merge-on-read deletes, like Delta's)."""
+    state = _snapshot_state(path, version)
+    if state is None:
+        raise ValueError(f"no table at {path}")
+    root = path.rstrip("/")
+    rows: int | None = 0
+    size = 0
+    for f, st in state["files"].items():
+        p = os.path.join(root, f)
+        size += os.path.getsize(p) if os.path.isfile(p) else 0
+        if rows is not None and st is not None and st.get("rows") is not None:
+            rows += st["rows"]
+        else:
+            rows = None
+    spec = _partition_spec(path)
+    return {
+        "version": max(_versions(path)) if version is None else version,
+        "num_files": len(state["files"]),
+        "num_rows": rows,
+        "size_bytes": size,
+        "columns": list(state["columns"]),
+        "partition_columns": list(spec["cols"]) if spec else [],
+        "num_deletion_vectors": sum(
+            1 for ps in state["dvs"].values() if ps
+        ),
+        "checks": sorted(_load_checks(path)),
+    }
+
+
+def operation_metrics(path: str) -> list[dict]:
+    """Per-commit operation metrics (Delta's history operationMetrics):
+    files/rows added and removed per version, resolved purely from the
+    log — removed-file row counts come from the stats their ADDING
+    commit recorded, so the whole walk is driver-side metadata. A None
+    row count means some touched file predates stats."""
+    rows_of: dict[str, int | None] = {}
+    out = []
+    for e in _read_log(path):
+        stats = e.get("stats") or {}
+        for f in e["add"]:
+            st = stats.get(f)
+            rows_of[f] = None if st is None else st.get("rows")
+        def _tot(files: list[str]) -> int | None:
+            t = 0
+            for f in files:
+                r = rows_of.get(f)
+                if r is None:
+                    return None
+                t += r
+            return t
+        out.append({
+            "version": e["version"],
+            "op": e["op"],
+            "num_files_added": len(e["add"]),
+            "num_files_removed": len(e["remove"]),
+            "rows_added": _tot(e["add"]),
+            "rows_removed": _tot(e["remove"]),
+            "num_deletion_vectors_added": len(e.get("dv") or {}),
+        })
+    return out
+
+
 def version_as_of(path: str, ts: float) -> int:
     """Timestamp-based time travel (Delta's ``timestampAsOf``): the
     newest commit version whose commit wall-clock ``ts`` is <= the given
@@ -2110,9 +2178,15 @@ def optimize(
             return None
         df = _read_files_aligned(spark, path, live, cols, dvs=state["dvs"])
         n_out = max(1, math.ceil(sum(sizes.values()) / target_bytes))
+        spec = _partition_spec(path)
+        # partitioned tables range-partition on (partition cols, zkey):
+        # each task then holds one (or few) hive partitions' rows in
+        # z-order, so partitionBy splits a task into ~1 file instead of
+        # multiplying n_out by the partition count
+        range_keys = (list(spec["cols"]) if spec else []) + ["_zkey"]
         out = (
             df.withColumn("_zkey", _zorder_key(df, zorder_by))
-            .repartitionByRange(n_out, "_zkey")
+            .repartitionByRange(n_out, *range_keys)
             .drop("_zkey")
         )
         files, stats = _write_data(spark, path, out, v)

@@ -388,3 +388,62 @@ def test_repartition_rejects_type_redeclaration(spark, tmp_path):
     redecl = spark.createDataFrame([(1, 2, 5)], "id int, g int, k int")
     with pytest.raises(ValueError, match="previously recorded"):
         T._write_partition_spec(tbl, redecl, ["g"])
+
+
+def test_zorder_on_partitioned_table_bounds_file_count(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    df = _mk(spark, 300)
+    T.create_table(spark, tbl, df.repartition(8), partition_by=["dom"])
+    n_before = len(T._snapshot_state(tbl)["files"])
+    T.optimize(spark, tbl, target_bytes=1 << 30, zorder_by=["id", "v"])
+    state = T._snapshot_state(tbl)
+    # range keys = (dom, zkey) with n_out=1: one task per run => file
+    # count ~ partition count, NOT n_out x partitions
+    assert len(state["files"]) <= 4, sorted(state["files"])
+    assert len(state["files"]) < n_before
+    assert all("dom=" in f for f in state["files"])
+    got = sorted(map(tuple, T.read_table(spark, tbl)
+                     .select("id", "dom", "v").collect()))
+    exp = sorted((i, f"d{i % 3}", float(i)) for i in range(300))
+    assert got == exp
+
+
+def test_exactly_once_sink_into_partitioned_table(spark, tmp_path):
+    # the streaming sink composes with hive layout: idempotent appends
+    # land partitioned, replays are no-ops, pruning works on the result
+    tbl = str(tmp_path / "t")
+    T.create_table(spark, tbl, _mk(spark, 6), partition_by=["dom"])
+    batch = _mk(spark, 12).filter("id >= 6")
+    assert T.idempotent_append(spark, tbl, batch, "appA", 1) is not None
+    assert T.idempotent_append(spark, tbl, batch, "appA", 1) is None  # replay
+    assert T.read_table(spark, tbl).count() == 12
+    rep = T.scan_report(tbl, [("dom", "=", "d1")])
+    assert rep["files_read"] < rep["files_live"]
+
+
+def test_table_detail_and_operation_metrics(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    T.create_table(spark, tbl, _mk(spark, 30), partition_by=["dom"])
+    T.add_check(spark, tbl, "v_nonneg", "v >= 0")
+    T.delete_rows(
+        spark, tbl,
+        spark.createDataFrame([("d2",)], "dom string"), keys=["dom"],
+    )
+    T.delete_rows(
+        spark, tbl,
+        spark.createDataFrame([(0, "d0")], "id int, dom string"),
+        keys=["id", "dom"], mode="dv",
+    )
+    det = T.table_detail(tbl)
+    assert det["num_rows"] == 20  # physical rows; DV not subtracted
+    assert det["partition_columns"] == ["dom"]
+    assert det["num_deletion_vectors"] == 1
+    assert det["checks"] == ["v_nonneg"]
+    assert det["size_bytes"] > 0 and det["num_files"] > 0
+    mets = {m["version"]: m for m in T.operation_metrics(tbl)}
+    assert mets[0]["op"] == "create" and mets[0]["rows_added"] == 30
+    assert mets[1]["op"] == "delete" and mets[1]["rows_removed"] == 10
+    assert mets[1]["rows_added"] == 0 and mets[1]["num_files_added"] == 0
+    assert mets[2]["num_deletion_vectors_added"] == 1
+    # time-travel detail sees the pre-delete state
+    assert T.table_detail(tbl, version=0)["num_rows"] == 30
