@@ -1280,7 +1280,10 @@ def exactly_once_sink(spark: SparkSession, path: str, app_id: str):
 def _normalize_where(where) -> list[tuple[str, str, object, object]]:
     """Validate/normalize ``where`` into (col, op, raw, stat-encoded)
     tuples. ``between`` carries a (lo, hi) pair."""
-    ops = {"=", "<", "<=", ">", ">=", "between", "in", "is_null", "is_not_null"}
+    ops = {
+        "=", "!=", "<", "<=", ">", ">=", "between", "in", "not_in",
+        "is_null", "is_not_null",
+    }
     out = []
     for col, op, val in where:
         if op not in ops:
@@ -1291,7 +1294,7 @@ def _normalize_where(where) -> list[tuple[str, str, object, object]]:
         if op == "between":
             lo, hi = val
             out.append((col, op, (lo, hi), (_stat_value(lo), _stat_value(hi))))
-        elif op == "in":
+        elif op in ("in", "not_in"):
             vals = tuple(val)
             out.append((col, op, vals, tuple(_stat_value(v) for v in vals)))
         else:
@@ -1362,7 +1365,7 @@ def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
             return isinstance(b, (int, float)) and not isinstance(b, bool)
         return isinstance(a, str) and isinstance(b, str)
 
-    sides = sval if op == "between" else (sval,)
+    sides = sval if op in ("between", "not_in") else (sval,)
     if not all(_same_domain(mn, s) for s in sides):
         return True
     if any(
@@ -1371,7 +1374,9 @@ def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
     ):
         return True  # legacy bare-date stats vs midnight-ISO literal: no prune
     try:
-        if op in (">", ">=") and (isinstance(mn, float) or isinstance(mx, float)):
+        if op in (">", ">=", "!=", "not_in") and (
+            isinstance(mn, float) or isinstance(mx, float)
+        ):
             # Spark orders NaN above every double, so a file holding NaN
             # rows matches v > x for ANY x — and nothing guarantees the
             # writer's min/max included NaN (parquet-mr omits stats when
@@ -1380,7 +1385,20 @@ def _file_can_match(fstats: dict | None, col: str, op: str, sval) -> bool:
             # #2; `between`/`<` stay prunable — NaN fails their upper
             # bound under the same ordering, and an untestable NaN bound
             # is already None = unbounded via _stat_value).
+            # (!=/not_in ride the same guard: a hidden-NaN row satisfies
+            # any exclusion, so float stats never prove one empty)
             return True
+        if op in ("!=", "not_in"):
+            vals = sval if op == "not_in" else (sval,)
+            # exclusions prune only a provably SINGLE-VALUED file whose
+            # one value is excluded — null rows never satisfy a != under
+            # SQL three-valued logic, so null counts need no extra test;
+            # the partition case (min=max folded from the path) is
+            # exactly this shape: "everything except partition X" skips
+            # X's files outright
+            return not (
+                mn == mx and any(s is not None and mn == s for s in vals)
+            )
         if op == "=":
             return mn <= sval <= mx
         if op == "<":
@@ -1415,6 +1433,10 @@ def _where_condition(where: list[tuple[str, str, object, object]]):
         c = F.col(col)
         if op == "=":
             term = c == F.lit(raw)
+        elif op == "!=":
+            term = c != F.lit(raw)
+        elif op == "not_in":
+            term = ~c.isin(*raw) if raw else F.lit(True)
         elif op == "<":
             term = c < F.lit(raw)
         elif op == "<=":
@@ -1464,11 +1486,14 @@ def read_table(
     version predates the log or the snapshot has no files.
 
     ``where`` (optional) is a list of simple conjunctive predicates
-    ``(column, op, literal)`` with op in =/</<=/>/>=/between/in/
-    is_null/is_not_null (between takes a (lo, hi) literal; in takes an
-    iterable of literals — the batched point-lookup shape, pruned per
-    key through the bloom/interval stats and unioned; the null tests
-    take no literal and prune on the per-file null counts). The scan
+    ``(column, op, literal)`` with op in =/!=/</<=/>/>=/between/in/
+    not_in/is_null/is_not_null (between takes a (lo, hi) literal; in
+    takes an iterable of literals — the batched point-lookup shape,
+    pruned per key through the bloom/interval stats and unioned; the
+    exclusions !=/not_in prune provably single-valued files — the
+    "everything except partition X" curation shape skips X outright;
+    the null tests take no literal and prune on the per-file null
+    counts). The scan
     then opens ONLY live files whose
     footer min/max interval can hold a match — Delta/Iceberg data
     skipping on the commit-recorded stats — and re-applies the predicate

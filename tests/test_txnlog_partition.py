@@ -447,3 +447,66 @@ def test_table_detail_and_operation_metrics(spark, tmp_path):
     assert mets[2]["num_deletion_vectors_added"] == 1
     # time-travel detail sees the pre-delete state
     assert T.table_detail(tbl, version=0)["num_rows"] == 30
+
+
+def test_exclusion_predicates_prune_partitions(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    T.create_table(spark, tbl, _mk(spark), partition_by=["dom"])
+    state = T._snapshot_state(tbl)
+    spec = T._partition_spec(tbl)
+    d1 = {f for f in state["files"]
+          if T._parse_partition_values(f, spec)["dom"] == "d1"}
+    # "everything except d1" skips exactly d1's files
+    rep = T.scan_report(tbl, [("dom", "!=", "d1")])
+    assert rep["files_skipped"] == len(d1)
+    got = T.read_table(spark, tbl, where=[("dom", "!=", "d1")])
+    assert sorted(r.id for r in got.collect()) == sorted(
+        i for i in range(60) if i % 3 != 1
+    )
+    rep2 = T.scan_report(tbl, [("dom", "not_in", ["d0", "d1"])])
+    assert rep2["files_read"] == rep2["files_live"] - rep2["files_skipped"]
+    got2 = T.read_table(spark, tbl, where=[("dom", "not_in", ["d0", "d1"])])
+    assert {r.dom for r in got2.collect()} == {"d2"}
+    # null-partition rows never satisfy an exclusion (SQL 3VL), and the
+    # null partition's files are prunable too (single-valued... all-null)
+    T.append_rows(
+        spark, tbl,
+        spark.createDataFrame(
+            [(100, None, None, 0.0)], "id int, dom string, day date, v double"
+        ),
+    )
+    got3 = T.read_table(spark, tbl, where=[("dom", "!=", "d1")])
+    assert 100 not in {r.id for r in got3.collect()}
+
+
+def test_exclusion_predicates_never_prune_wrong_on_data_stats(
+    spark, tmp_path
+):
+    tbl = str(tmp_path / "t")
+    # multi-valued files: != must not prune them even when the excluded
+    # value sits inside [min, max]
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", float(i)) for i in range(40)],
+        "id int, g string, v double",
+    )
+    T.create_table(spark, tbl, df.coalesce(2))
+    got = T.read_table(spark, tbl, where=[("g", "!=", "g2")])
+    assert sorted(r.id for r in got.collect()) == sorted(
+        i for i in range(40) if i % 4 != 2
+    )
+    rep = T.scan_report(tbl, [("g", "!=", "g2")])
+    assert rep["files_skipped"] == 0  # no file is single-valued
+    # float stats never prove an exclusion empty (hidden NaN satisfies
+    # any !=): the constant-v file below still reads
+    dfv = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id int, v double")
+    tbl2 = str(tmp_path / "f")
+    T.create_table(spark, tbl2, dfv.coalesce(1))
+    rep2 = T.scan_report(tbl2, [("v", "!=", 5.0)])
+    assert rep2["files_skipped"] == 0
+    # but an int single-valued file prunes
+    dfi = spark.createDataFrame([(1, 5), (2, 5)], "id int, k int")
+    tbl3 = str(tmp_path / "i")
+    T.create_table(spark, tbl3, dfi.coalesce(1))
+    rep3 = T.scan_report(tbl3, [("k", "!=", 5)])
+    assert rep3["files_skipped"] == 1
+    assert T.read_table(spark, tbl3, where=[("k", "!=", 5)]).count() == 0
