@@ -2158,6 +2158,7 @@ def optimize(
     target_bytes: int = 128 << 20,
     min_files: int = 2,
     zorder_by: list[str] | None = None,
+    where=None,
 ) -> int | None:
     """Bin-pack compaction as a COMMIT (Delta's OPTIMIZE): rewrite the
     snapshot's small live files (< ``target_bytes``) into ~target-size
@@ -2185,18 +2186,28 @@ def optimize(
     (Delta's OPTIMIZE ... ZORDER BY). Still data-identical, still one
     add/remove commit, same OCC/time-travel/CDF-nets-to-zero contract.
 
+    ``where`` (same predicate list as :func:`read_table`) SCOPES the
+    rewrite to the files those predicates can touch — Delta's
+    ``OPTIMIZE ... WHERE``: the nightly compact-today's-partition shape
+    at 100 TB never rewrites cold history, and the stats prune makes
+    the scoping a pure driver-side metadata decision. Sound by
+    construction because pruning keeps every file that MIGHT match;
+    untouched files simply stay in the snapshot.
+
     Returns the committed version, or None when fewer than
     ``min_files`` live files are under the threshold (no-op — nothing
-    worth rewriting; the zorder form always rewrites)."""
+    worth rewriting; the zorder form always rewrites its scope)."""
     import math
 
     v = _next_version(path)
     root = path.rstrip("/")
-    live = _live_files(path, v - 1)
-    sizes = {f: os.path.getsize(os.path.join(root, f)) for f in live}
     state = _snapshot_state(path, upto=v - 1)
     if state is None:
         return None  # no commits yet: nothing to rewrite (ADVICE r10 #3)
+    live = sorted(state["files"])
+    if where:
+        live = _prune_files(state, _normalize_where(where))
+    sizes = {f: os.path.getsize(os.path.join(root, f)) for f in live}
     cols = state["columns"]
     if zorder_by:
         if not live:

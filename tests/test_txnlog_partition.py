@@ -510,3 +510,34 @@ def test_exclusion_predicates_never_prune_wrong_on_data_stats(
     rep3 = T.scan_report(tbl3, [("k", "!=", 5)])
     assert rep3["files_skipped"] == 1
     assert T.read_table(spark, tbl3, where=[("k", "!=", 5)]).count() == 0
+
+
+def test_optimize_where_scopes_to_partition(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    T.create_table(spark, tbl, _mk(spark, 90), partition_by=["dom"])
+    spec = T._partition_spec(tbl)
+    state0 = T._snapshot_state(tbl)
+    d1 = {f for f in state0["files"]
+          if T._parse_partition_values(f, spec)["dom"] == "d1"}
+    others = set(state0["files"]) - d1
+    v = T.optimize(
+        spark, tbl, target_bytes=1 << 30, where=[("dom", "=", "d1")]
+    )
+    entry = [e for e in T._read_log(tbl) if e["version"] == v][0]
+    # only d1's files were rewritten; cold partitions untouched
+    assert set(entry["remove"]) == d1
+    state1 = T._snapshot_state(tbl)
+    assert others <= set(state1["files"])
+    assert all("dom=d1" in f for f in entry["add"])
+    assert len(entry["add"]) < len(d1)  # actually compacted
+    # data identical, feed nets to zero
+    assert T.read_changes(spark, tbl, v, v).count() == 0
+    assert T.read_table(spark, tbl).count() == 90
+    # scoped zorder: re-cluster one partition only
+    v2 = T.optimize(
+        spark, tbl, target_bytes=1 << 30, zorder_by=["id", "v"],
+        where=[("dom", "=", "d2")],
+    )
+    e2 = [e for e in T._read_log(tbl) if e["version"] == v2][0]
+    assert all("dom=d2" in f for f in e2["remove"])
+    assert T.read_table(spark, tbl).count() == 90
