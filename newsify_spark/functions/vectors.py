@@ -42,6 +42,24 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """``cosine(a, b)`` with the two L2 norms PRECOMPUTED as columns.
+
+    Bit-identical to :func:`cosine` when ``na``/``nb`` are the
+    :func:`l2_norm` of ``a``/``b`` (same operations in the same order —
+    only where they are evaluated moves). Use inside join loops: the
+    plain form folds three O(d) aggregates per PAIR (dot, norm a,
+    norm b); computing each side's norm once per ROW before the join
+    leaves one fold per pair — the guide's §1.2 "per-task work" lever,
+    worth ~3x on broadcast cross joins scoring |Q| x |items| pairs."""
+    na_c, nb_c = _c(na), _c(nb)
+    return F.when(
+        (na_c > 0) & (nb_c > 0), dot(a, b) / (na_c * nb_c)
+    ).otherwise(F.lit(0.0))
+
+
 def l2_sq(a: Column | str, b: Column | str) -> Column:
     """Squared Euclidean distance — the ADC/assignment metric (sqrt is
     rank-preserving and skipped). Sequential left fold, bit-identical

@@ -218,12 +218,20 @@ def embedding_near_dup(
 
     All-pairs form — correct and oracle-checkable; at scale swap the
     crossJoin for knn_join_lsh candidates (same verify step)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from newsify_spark.functions.vectors import cosine_with_norms, l2_norm
+
+    # norms computed once per row per side, not per pair (r12, guide
+    # §1.2; bit-identical to the plain cosine)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
+        "_na", l2_norm("va")
+    )
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+        "_nb", l2_norm("vb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", cosine_with_norms(F.col("va"), F.col("vb"), "_na", "_nb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -342,6 +350,14 @@ def neardup_auto(
     Pass ``n_rows`` to skip the sizing ``.count()`` (cheap: column-pruned
     scan). The LSH route requires ``dim``.
     """
+    if allpairs_rows_max <= 0 and n_rows is None:
+        # forced-LSH route (e.g. the timed bench entry): the sizing
+        # count() would decide nothing — skip the driver action entirely
+        # (r12; embedding_near_dup_lsh counts itself iff it auto-tunes
+        # bits_per_band)
+        return embedding_near_dup_lsh(
+            emb, id_col, vec_col, threshold, dim=dim, **lsh_kw
+        )
     n = n_rows if n_rows is not None else emb.count()
     if n <= allpairs_rows_max:
         return embedding_near_dup(emb, id_col, vec_col, threshold)

@@ -101,8 +101,25 @@ def fit_log_ratio(
     other count model here."""
     tc = target_feats.groupBy("bucket").agg(F.count("*").alias("c_t"))
     rc = raw_feats.groupBy("bucket").agg(F.count("*").alias("c_r"))
-    nt = target_feats.agg(F.count("*").cast("double").alias("n_t"))
-    nr = raw_feats.agg(F.count("*").cast("double").alias("n_r"))
+    return _log_ratio_from_counts(tc, rc, buckets, add_k)
+
+
+def _log_ratio_from_counts(
+    tc: DataFrame, rc: DataFrame, buckets: int, add_k: float
+) -> DataFrame:
+    """(bucket, log_ratio) from the two per-bucket count tables.
+
+    N_t / N_r are derived by summing the count tables (exact: every
+    occurrence lands in exactly one bucket), NOT by re-counting the
+    feature streams — re-counting re-tokenized the whole corpus twice
+    more (guide §1.2: remove unnecessary passes). The sums run over at
+    most ``buckets`` rows each."""
+    nt = tc.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("double").alias("n_t")
+    )
+    nr = rc.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("double").alias("n_r")
+    )
     k = F.lit(float(add_k))
     b = F.lit(float(buckets))
     joined = (
@@ -116,6 +133,30 @@ def fit_log_ratio(
     return joined.select("bucket", lr.alias("log_ratio"))
 
 
+def dsir_pipeline(
+    target_feats: DataFrame,
+    pool_feats: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    add_k: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fit + score in one composition that tokenizes each corpus ONCE
+    (guide §1.2/§2.3). The pool's (doc, bucket) occurrence counts are
+    the shared intermediate: the model's per-bucket pool counts are the
+    column-sum of that table (exact integer rollup), so the raw pool
+    features are aggregated a single time and the two consumers (model
+    fit, per-doc scoring) hang off the same map-side-combined exchange
+    — AQE reuses the shuffle stage instead of re-tokenizing. Same
+    result as fit_log_ratio + dsir_log_weights (the arithmetic sees
+    identical integer inputs); pinned by the shared DuckDB oracle."""
+    per = pool_feats.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
+    tc = target_feats.groupBy("bucket").agg(F.count("*").alias("c_t"))
+    rc = per.groupBy("bucket").agg(F.sum("_c").alias("c_r"))
+    ratio = _log_ratio_from_counts(tc, rc, buckets, add_k)
+    return _weights_from_counts(per, ratio, id_col, round_dp)
+
+
 def dsir_log_weights(
     pool_feats: DataFrame,
     log_ratio: DataFrame,
@@ -127,6 +168,15 @@ def dsir_log_weights(
     the float result is deterministic and engine-portable; + 0.0
     canonicalizes a -0.0 fold result."""
     per = pool_feats.groupBy(id_col, "bucket").agg(F.count("*").alias("_c"))
+    return _weights_from_counts(per, log_ratio, id_col, round_dp)
+
+
+def _weights_from_counts(
+    per: DataFrame,
+    log_ratio: DataFrame,
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
     contrib = per.join(F.broadcast(log_ratio), "bucket").select(
         id_col,
         "bucket",

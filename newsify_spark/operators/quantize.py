@@ -107,20 +107,31 @@ def knn_join_sq(
     int8 under IVF/LSH candidate generation — the expressions here are
     the semantics contract those paths must match.
     """
-    from newsify_spark.functions.vectors import cosine
+    from newsify_spark.functions.vectors import cosine, cosine_with_norms, l2_norm
     from newsify_spark.operators.topk import top_k_per_group
 
     if mins is None or scales is None:
         mins, scales = sq_train(items, item_vec)
+    # decoded vector AND its norm are computed once per ITEM on the
+    # broadcast side; the per-pair cosine then folds only the dot
+    # product (r12: 3 O(d) folds per pair -> 1, bit-identical — guide
+    # §1.2 per-task work)
     enc = items.select(
         item_id,
         item_vec,
         sq_decode_col(sq_encode_col(item_vec, mins, scales), mins, scales).alias("_dec"),
-    )
+    ).withColumn("_dn", l2_norm("_dec"))
     approx = (
-        queries.crossJoin(F.broadcast(enc))
+        queries.withColumn("_qn", l2_norm(query_vec))
+        .crossJoin(F.broadcast(enc))
         .filter(F.col(item_id) != F.col(query_id))
-        .withColumn("_approx", F.round(cosine(query_vec, "_dec"), 6))
+        .withColumn(
+            "_approx",
+            F.round(cosine_with_norms(query_vec, "_dec", "_qn", "_dn"), 6),
+        )
+        # project the decoded array + norms away BEFORE the ranking
+        # exchange — only the rerank inputs cross the shuffle (guide §2.3)
+        .select(query_id, query_vec, item_id, item_vec, "_approx")
     )
     cands = top_k_per_group(
         approx, [query_id], [F.col("_approx").desc(), F.col(item_id).asc()], candidate_k

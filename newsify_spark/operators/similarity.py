@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from newsify_spark.functions.vectors import cosine, dot, l2_dist
+from newsify_spark.functions.vectors import cosine, cosine_with_norms, dot, l2_dist, l2_norm
 from newsify_spark.operators.topk import top_k_per_group
 
 METRICS = {"cosine": cosine, "l2": l2_dist, "dot": dot}
@@ -354,34 +354,43 @@ def knn_join_ivf(
         km = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
         trained = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
         cells = spark.createDataFrame(trained, "cell int, cell_vec array<double>")
-    cell_df = F.broadcast(cells)
+    # each side's L2 norm is computed once per ROW (item / query / cell)
+    # and carried through the joins — the per-pair cosines then fold only
+    # the dot product, bit-identical to the plain form (r12, guide §1.2)
+    cell_df = F.broadcast(cells.withColumn("_cn", l2_norm("cell_vec")))
 
     item_cells = (
-        items.crossJoin(cell_df)
-        .withColumn("csim", cosine(F.col(item_vec), F.col("cell_vec")))
+        items.withColumn("_vn", l2_norm(item_vec))
+        .crossJoin(cell_df)
+        .withColumn(
+            "csim", cosine_with_norms(F.col(item_vec), F.col("cell_vec"), "_vn", "_cn")
+        )
         .transform(
             lambda df: top_k_per_group(
                 df, [item_id], [F.col("csim").desc(), F.col("cell").asc()], 1
             )
         )
-        .select(item_id, item_vec, "cell")
+        .select(item_id, item_vec, "_vn", "cell")
     )
     query_cells = (
-        queries.crossJoin(cell_df)
-        .withColumn("csim", cosine(F.col(query_vec), F.col("cell_vec")))
+        queries.withColumn("_qn", l2_norm(query_vec))
+        .crossJoin(cell_df)
+        .withColumn(
+            "csim", cosine_with_norms(F.col(query_vec), F.col("cell_vec"), "_qn", "_cn")
+        )
         .transform(
             lambda df: top_k_per_group(
                 df, [query_id], [F.col("csim").desc(), F.col("cell").asc()], n_probe
             )
         )
-        .select(query_id, query_vec, "cell")
+        .select(query_id, query_vec, "_qn", "cell")
     )
     cands = query_cells.join(item_cells, "cell").select(
-        query_id, item_id, query_vec, item_vec
+        query_id, item_id, query_vec, item_vec, "_qn", "_vn"
     )
-    scored = cands.withColumn("score", cosine(F.col(query_vec), F.col(item_vec))).select(
-        query_id, item_id, "score"
-    )
+    scored = cands.withColumn(
+        "score", cosine_with_norms(F.col(query_vec), F.col(item_vec), "_qn", "_vn")
+    ).select(query_id, item_id, "score")
     return top_k_per_group(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k
     )
@@ -702,8 +711,11 @@ def _assign_items_to_cells(
     deterministic rule at build time and at incremental add time, so an
     added vector lands in exactly the cell a fresh build would pick."""
     return (
-        items.crossJoin(F.broadcast(cells))
-        .withColumn("csim", cosine(F.col(item_vec), F.col("cell_vec")))
+        items.withColumn("_vn", l2_norm(item_vec))
+        .crossJoin(F.broadcast(cells.withColumn("_cn", l2_norm("cell_vec"))))
+        .withColumn(
+            "csim", cosine_with_norms(F.col(item_vec), F.col("cell_vec"), "_vn", "_cn")
+        )
         .transform(
             lambda df: top_k_per_group(
                 df, [item_id], [F.col("csim").desc(), F.col("cell").asc()], 1

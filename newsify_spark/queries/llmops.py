@@ -2215,22 +2215,20 @@ w AS (
 def _dsir_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared DSIR scoring pipeline: hash-shard 0 is the target domain
     (the md5 device every split here uses), shards 1-4 are the raw pool."""
-    from newsify_spark.operators.dsir import (
-        dsir_log_weights,
-        fit_log_ratio,
-        hashed_ngram_features,
-    )
+    from newsify_spark.operators.dsir import dsir_pipeline, hashed_ngram_features
     from newsify_spark.operators.shards import shard_id
 
     docs = load(spark, sf_dir, "documents").withColumn(
         "_shard", shard_id(F.col("doc_id"), 5)
     )
     # the shard predicate pushes below the tokenize, so the two feature
-    # extractions together cost ONE disjoint pass over the corpus
+    # extractions together cost ONE disjoint pass over the corpus;
+    # dsir_pipeline derives the model's pool/target totals from the
+    # aggregated count tables instead of re-counting the feature streams
+    # (r12: 5 corpus tokenize passes -> 2, guide §1.2)
     target = hashed_ngram_features(docs.filter(F.col("_shard") == 0), buckets=1024)
     pool = hashed_ngram_features(docs.filter(F.col("_shard") != 0), buckets=1024)
-    ratio = fit_log_ratio(target, pool, buckets=1024, add_k=0.5)
-    return dsir_log_weights(pool, ratio)
+    return dsir_pipeline(target, pool, buckets=1024, add_k=0.5)
 
 
 @register(

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from newsify_spark.functions.scalars import epoch_us, event_score, safe_div
-from newsify_spark.functions.vectors import cosine
+from newsify_spark.functions.vectors import cosine_with_norms, l2_norm
 from newsify_spark.operators.topk import global_top_k, top_k_per_group
 from newsify_spark.queries.registry import register
 from newsify_spark.queries.relational import EVENT_WEIGHTS, EVENT_WEIGHTS_SQL
@@ -122,34 +122,47 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
     # centroids are tiny (one row per story cluster) -> broadcast, the
     # user side never shuffles for this join.
     content = (
-        profiles.crossJoin(F.broadcast(cents))
-        .select("user_id", "label", cosine("profile", "centroid").alias("cscore"))
+        profiles.withColumn("_pn", l2_norm("profile"))
+        .crossJoin(F.broadcast(cents.withColumn("_cn", l2_norm("centroid"))))
+        .select(
+            "user_id",
+            "label",
+            # norms computed once per user / per label instead of per
+            # (user, label) pair — bit-identical (r12, guide §1.2)
+            cosine_with_norms("profile", "centroid", "_pn", "_cn").alias("cscore"),
+        )
     )
     wu = Window.partitionBy("user_id")
     crange = F.max("cscore").over(wu) - F.min("cscore").over(wu)
     content = content.withColumn("cnorm", safe_div(F.col("cscore"), crange))
 
-    # label popularity over all interactions (A1), reference-formula
-    # range normalization (A7). Range via a 1-row agg + broadcast cross
-    # join — NOT a global window (which would single-partition the data).
-    pop = (
-        inter.join(item_lab, "item")
+    # label popularity over all interactions (A1) AND label freshness
+    # (F7/F8) in ONE label-keyed aggregation over the cached one-pass
+    # events rollup (r12: previously two separate join+groupBy trees over
+    # inter/inter_all — guide §2.4, share one exchange). pop sums only
+    # positive ratings (sum ignores the when()'s nulls — the identical
+    # addend set the old rating>0 pre-filter produced); labels whose
+    # events are ALL non-positive get a null sum and are filtered out,
+    # exactly the rows the old inner pipeline never emitted. Range
+    # normalization (A7) via a 1-row agg + broadcast cross join — NOT a
+    # global window (which would single-partition the data).
+    lab_stats = (
+        inter_all.join(item_lab, "item")
         .groupBy("label")
-        .agg(F.sum("rating").alias("pop"))
+        .agg(
+            F.sum(F.when(F.col("rating") > 0, F.col("rating"))).alias("pop"),
+            F.max("last_ts").alias("label_ts"),
+        )
     )
+    pop = lab_stats.filter(F.col("pop").isNotNull()).select("label", "pop")
     prange = pop.agg((F.max("pop") - F.min("pop")).alias("prange"))
     pop = pop.crossJoin(F.broadcast(prange)).withColumn(
         "pnorm", safe_div(F.col("pop"), F.col("prange"))
     )
 
-    # label freshness: exponential decay on hours since the label's
-    # latest event (F7/F8; recommendation-trainer.py:77-80) — derived
-    # from the cached one-pass aggregate, not a second events scan
-    lab_ts = (
-        inter_all.join(item_lab, "item")
-        .groupBy("label")
-        .agg(F.max("last_ts").alias("label_ts"))
-    )
+    # freshness: exponential decay on hours since the label's latest
+    # event (recommendation-trainer.py:77-80)
+    lab_ts = lab_stats.select("label", "label_ts")
     glob = lab_ts.agg(F.max("label_ts").alias("mx"))
     fresh = lab_ts.crossJoin(F.broadcast(glob)).select(
         "label",
@@ -162,10 +175,14 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
 
     # pop and fresh are both per-label aggregates (|labels| rows, bounded
     # by the label vocabulary at any scale) — without the hint Spark
-    # can't size the post-agg sides and falls back to sort-merge
-    label_side = F.broadcast(
-        pop.join(F.broadcast(fresh), "label").select("label", "pnorm", "fresh")
+    # can't size the post-agg sides and falls back to sort-merge.
+    # lab_scores is built ONCE and feeds both the per-user scoring join
+    # and the cold-start popularity top-k (r12: the old code recombined
+    # pop⋈fresh a second time for pop_top)
+    lab_scores = pop.join(F.broadcast(fresh), "label").select(
+        "label", "pnorm", "fresh"
     )
+    label_side = F.broadcast(lab_scores)
     scored = content.join(label_side, "label").select(
         "user_id",
         "label",
@@ -191,7 +208,7 @@ def hybrid_recommendations(spark: SparkSession, sf_dir: str, k: int = K) -> Data
         totals.filter(F.col("tot") >= COLD_MIN_RATING), "user_id", "left_anti"
     )
     pop_top = global_top_k(
-        pop.join(F.broadcast(fresh), "label").select(
+        lab_scores.select(
             "label", (F.col("pnorm") * F.col("fresh")).alias("score")
         ),
         [F.col("score").desc(), F.col("label").asc()],

@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newsify_spark.functions.vectors import cosine, l2_dist, l2_norm, l2_normalize
+from newsify_spark.functions.vectors import (
+    cosine,
+    cosine_with_norms,
+    l2_dist,
+    l2_norm,
+    l2_normalize,
+)
 from newsify_spark.operators.similarity import nearest_centroid_assign
 from newsify_spark.queries.registry import register
 from newsify_spark.queries.sqlkit import (
@@ -167,12 +173,20 @@ def vec_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # exclude self-matches from the item side before ranking
-    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    # exclude self-matches from the item side before ranking; each side's
+    # L2 norm is computed once per ROW before the cross join (r12: the
+    # plain cosine folded both norms again for every PAIR — 3 O(d) folds
+    # per pair -> 1; bit-identical, guide §1.2 per-task work)
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    ).withColumn("_in", l2_norm("item_vec"))
     scored = (
-        q.crossJoin(F.broadcast(items))
+        q.withColumn("_qn", l2_norm("query_vec"))
+        .crossJoin(F.broadcast(items))
         .filter(F.col("item_id") != F.col("query_id"))
-        .withColumn("score", cosine("query_vec", "item_vec"))
+        .withColumn(
+            "score", cosine_with_norms("query_vec", "item_vec", "_qn", "_in")
+        )
         .select("query_id", "item_id", "score")
     )
     from newsify_spark.operators.topk import top_k_per_group
@@ -458,12 +472,17 @@ def vec_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "item_id")
         .distinct()
     )
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    ie = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("iv"))
+    # norms hoisted to once-per-row on each join side (r12, bit-identical)
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).withColumn("_qn", l2_norm("qv"))
+    ie = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("iv")
+    ).withColumn("_in", l2_norm("iv"))
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ie, "item_id")
-        .withColumn("score", cosine(F.col("qv"), F.col("iv")))
+        .withColumn("score", cosine_with_norms(F.col("qv"), F.col("iv"), "_qn", "_in"))
         .select("query_id", "item_id", "score")
     )
     top = top_k_per_group(
@@ -702,9 +721,12 @@ def vec_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     book = spark.createDataFrame(entries, "j int, code int, entry array<double>")
 
-    # IVF layer: item -> top-1 cell, query -> top-NPROBE cells
-    paired = emb.crossJoin(F.broadcast(cells)).withColumn(
-        "s", cosine("embedding", "cell_vec")
+    # IVF layer: item -> top-1 cell, query -> top-NPROBE cells (norms
+    # hoisted to once-per-row — r12, bit-identical to the plain cosine)
+    paired = (
+        emb.withColumn("_vn", l2_norm("embedding"))
+        .crossJoin(F.broadcast(cells.withColumn("_cn", l2_norm("cell_vec"))))
+        .withColumn("s", cosine_with_norms("embedding", "cell_vec", "_vn", "_cn"))
     )
     rank_cells = [F.col("s").desc(), F.col("cell").asc()]
     icell = top_k_per_group(paired, ["vec_id"], rank_cells, 1).select(
