@@ -25,7 +25,7 @@ from newsify_spark.queries.registry import register
 from newsify_spark.queries.relational import EVENT_WEIGHTS_SQL
 from newsify_spark.queries.sqlkit import tokens_sql
 from newsify_spark.queries.vector import label_centroids
-from newsify_spark.tables import load, spread_small_scan
+from newsify_spark.tables import load
 
 
 # ---------------------------------------------------------------- rows-only
@@ -378,9 +378,17 @@ def rec_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     docs = load(spark, sf_dir, "documents")
+    # No spread_small_scan here (r12): unlike the cached hybrid pipeline,
+    # this tree is uncached, so the join's inferred isnotnull(item)
+    # predicate pushes the from_json BELOW the round-robin exchange — the
+    # parse ran single-threaded at the scan anyway AND re-ran above it.
+    # Dropping the spread removes the exchange (and its implicit
+    # sort-before-repartition) plus the duplicate parse; the distinct's
+    # own (user_id, item) exchange ships two longs, not props strings
+    # (guide §2.3/§2.4). On parallel production scans this is a no-op
+    # difference by construction.
     inter = (
-        spread_small_scan(ev)
-        .filter(event_score("event_type", EVENT_WEIGHTS) > 0)
+        ev.filter(event_score("event_type", EVENT_WEIGHTS) > 0)
         .select("user_id", F.from_json("props", "k bigint")["k"].alias("item"))
         .distinct()
     )

@@ -59,9 +59,14 @@ def _interactions_with_ts(events: DataFrame) -> DataFrame:
     # from_json with an explicit one-field schema is ~3x cheaper than
     # get_json_object on this hot path (one JSON parse per event);
     # spread_small_scan parallelizes the parse when the fixture is one
-    # unsplittable row group (no-op on multi-file production inputs)
+    # unsplittable row group (no-op on multi-file production inputs).
+    # Spread BY user_id (r12, guide §2.4): hash partitioning skips the
+    # round-robin's local sort, and HashPartitioning(user_id) satisfies
+    # ClusteredDistribution(user_id, item), so this groupBy — and every
+    # downstream user_id-keyed aggregate/window reading the cached
+    # result — plans without a second exchange.
     return (
-        spread_small_scan(events)
+        spread_small_scan(events, key="user_id")
         .withColumn("item", F.from_json("props", "k bigint")["k"])
         .withColumn("w", event_score("event_type", EVENT_WEIGHTS))
         .groupBy("user_id", "item")

@@ -103,20 +103,24 @@ def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
+    # two-level aggregation instead of count(DISTINCT ...): the per-order
+    # pre-agg keeps everything in plain partial-aggregating hash
+    # aggregates — no Expand operator doubling the shuffled rows. The
+    # orderkey level collapses BEFORE any join (orderkey functionally
+    # determines customer/nation/region, so grouping by it alone is the
+    # same partition of lineitem rows): the dim joins then probe one row
+    # per order instead of one per lineitem, and the orderkey exchange
+    # carries (key, partial sum) with no nation/region strings
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_o")
+    )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, "o_orderkey")
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    # two-level aggregation instead of count(DISTINCT ...): the per-order
-    # pre-agg keeps everything in plain partial-aggregating hash
-    # aggregates — no Expand operator doubling the shuffled rows, and the
-    # orderkey level collapses map-side after the join
-    per_order = joined.groupBy("n_name", "r_name", "o_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_o")
-    )
-    return per_order.groupBy("n_name", "r_name").agg(
+    return joined.groupBy("n_name", "r_name").agg(
         F.round(F.sum("rev_o"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )

@@ -96,7 +96,9 @@ def write_partitioned(df: DataFrame, path: str, *, partition_by: list[str] | Non
     w.parquet(path)
 
 
-def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame, min_parts: int | None = None, key: str | None = None
+) -> DataFrame:
     """Re-spread a scan whose file layout yields fewer input partitions
     than cores (a single small file / one parquet row group is
     unsplittable, so Spark runs every downstream projection in ONE task).
@@ -105,10 +107,20 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     inputs span many files/row groups, so this never fires there and adds
     no shuffle — it only triggers on small unsplittable inputs where the
     extra exchange is trivially cheap.
+
+    Pass ``key`` to spread by hash of that column instead of round-robin
+    (r12, guide §2.4): a keyless ``repartition(n)`` pays a local
+    sort-before-repartition of the full rows (SPARK-23207) that a hash
+    partitioning skips, and when downstream aggregations/windows cluster
+    by ``key`` (or by a superset like ``(key, item)``) the one exchange
+    satisfies their distribution too, so they plan with NO second
+    exchange. Only use a key whose values spread well (e.g. user_id).
     """
     spark = df.sparkSession
     if min_parts is None:
         min_parts = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= min_parts:
+        if key is not None:
+            return df.repartition(min_parts, key)
         return df.repartition(min_parts)
     return df

@@ -45,6 +45,39 @@ def test_dim_joins_are_broadcast(spark):
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
 
 
+def test_revenue_preaggregates_before_dim_joins(spark):
+    """r12: the per-order revenue rollup must sit BELOW every join — the
+    dim joins probe one row per order, not one per lineitem, and the
+    orderkey exchange carries (key, partial sum) with no dim strings."""
+    from newsify_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["rel_revenue_by_nation"].fn(spark, SF_DIR))
+    first_join = plan.find("Join")
+    first_agg = plan.find("HashAggregate")
+    assert 0 < first_join, plan
+    # the plan string is printed root-first, so the lineitem pre-agg
+    # (deepest operator) appears AFTER the joins in the text; the final
+    # nation-level aggregate appears BEFORE them. Assert both exist and
+    # that an aggregate sits below the deepest join: the last
+    # HashAggregate in the text must come after the last Join.
+    assert plan.rfind("HashAggregate") > plan.rfind("Join"), plan
+    assert first_agg < first_join, plan
+
+
+def test_interactions_spread_is_keyed(spark):
+    """r12: the small-fixture events spread hashes on user_id (no
+    round-robin sort; the (user,item) groupBy reuses the exchange)."""
+    from newsify_spark.queries.recommend import _interactions_with_ts
+    from newsify_spark.tables import load
+
+    df = _interactions_with_ts(load(spark, SF_DIR, "events"))
+    plan = _plan(df)
+    assert "RoundRobinPartitioning" not in plan, plan
+    # exactly one exchange: the keyed spread satisfies the groupBy's
+    # clustering requirement, so no second hash exchange is planned
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
 def test_no_python_udf_in_relational_paths(spark):
     from newsify_spark.queries import REGISTRY
 
