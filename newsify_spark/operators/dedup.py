@@ -431,7 +431,13 @@ def minhash_signatures_pandas(
             yield pd.DataFrame(rows, columns=[id_col, *[f"h{i}" for i in range(num_hashes)]])
 
     schema = f"{id_col} bigint, " + ", ".join(f"h{i} string" for i in range(num_hashes))
-    return docs.select(id_col, text_col).mapInPandas(sig, schema=schema)
+    # keyed fan-out before the Python stage (r12, guide §4): a one-file
+    # corpus scan otherwise hashes every shingle in ONE task; per-doc
+    # output is partitioning-independent (the memo is a per-task cache
+    # of a pure function)
+    return _fan_out_scan(docs.select(id_col, text_col), key=id_col).mapInPandas(
+        sig, schema=schema
+    )
 
 
 def winnow_fingerprints_pandas(
@@ -482,7 +488,7 @@ def winnow_fingerprints_pandas(
                 fps.extend(u.tolist())
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return _fan_out_scan(docs.select(id_col, text_col), key=id_col).mapInPandas(
         run, schema=f"{id_col} bigint, fp bigint"
     )
 
@@ -572,16 +578,23 @@ def incremental_dedup(
     )
 
 
-def _fan_out_scan(df: DataFrame) -> DataFrame:
+def _fan_out_scan(df: DataFrame, key: str | None = None) -> DataFrame:
     """Fan a small-file scan out to the session's parallelism before a
     heavy per-row projection: a single-parquet-file corpus (the sf0.1
     fixture) otherwise runs the whole tokenize+shingle+explode in ONE
     task — the actual bottleneck behind doc_dup_spans' 4.4s r8 cost. At
     real scale the scan already has >= defaultParallelism partitions and
     this is a NO-OP — it never adds a corpus-sized shuffle; when it does
-    fire, it exchanges the (small) pre-explode doc rows, not the spans."""
+    fire, it exchanges the (small) pre-explode doc rows, not the spans.
+
+    With ``key`` the spread hashes on that column (r12, guide §2.4): a
+    keyless ``repartition(n)`` first pays a local sort of the full rows
+    (SPARK-23207, deterministic round-robin); hashing a well-spread id
+    column skips it."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            return df.repartition(target, key)
         return df.repartition(target)
     return df
 
@@ -597,7 +610,7 @@ def _doc_spans(
     operator, so the hash never needs to be oracle-portable."""
     from newsify_spark.functions.text import word_shingles
 
-    return _fan_out_scan(docs.select(F.col(id_col), F.col(text_col))).select(
+    return _fan_out_scan(docs.select(F.col(id_col), F.col(text_col)), key=id_col).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, window)).alias("_span"),
     ).select(F.col(id_col), F.xxhash64("_span").alias("_h"))
@@ -810,7 +823,7 @@ def remove_duplicate_spans(
     from newsify_spark.functions.text import word_shingles
 
     toks = F.split(F.lower(F.col(text_col)), " ")
-    docs_p = _fan_out_scan(docs.select(F.col(id_col), F.col(text_col)))
+    docs_p = _fan_out_scan(docs.select(F.col(id_col), F.col(text_col)), key=id_col)
     spansi = docs_p.select(
         F.col(id_col),
         F.posexplode(word_shingles(text_col, window)).alias("_i", "_span"),
