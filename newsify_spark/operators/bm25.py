@@ -65,9 +65,13 @@ def _bm25_tables(
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """(tf, dl, scalars, df, idf) — the index tables, all derived from
     ONE tokenize+shuffle. tf is persisted: it feeds dl, df/idf, and the
-    scoring probe (at cluster scale it is the table you write out)."""
+    scoring probe (at cluster scale it is the table you write out).
+    dl is persisted too: it is |docs| rows but REFERENCED three ways
+    (count, avg, and the scoring join) — without the cache each
+    reference re-runs the groupBy(id).sum(tf) pass over the full
+    postings table."""
     tf = _postings(docs, id_col, text_col).persist()
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist()
     scalars = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -95,8 +99,12 @@ def _bm25_probe(
         F.col(query_id), F.explode(F.array_distinct(F.col(terms_col))).alias("term")
     )
     # (query_id, term, idf): idf restricted to the query vocabulary BEFORE
-    # broadcasting — idf is |corpus vocab| rows, this side is |query terms|
-    q_idf = F.broadcast(qterms.join(idf, "term"))
+    # broadcasting — idf is |corpus vocab| rows at most (|query vocab| on
+    # the inline-build path), this side is |query terms|. idf gets its own
+    # broadcast hint: when it derives from an aggregate the planner has no
+    # size estimate and falls back to a sort-merge join with an exchange
+    # on the (tiny) query-terms side.
+    q_idf = F.broadcast(qterms.join(F.broadcast(idf), "term"))
     scored = (
         tf.join(q_idf, "term")
         .join(dl, id_col)
@@ -139,10 +147,32 @@ def bm25_topk(
     count once (standard bag-of-words BM25 over distinct query terms).
     idf uses the +1 form ln(1 + (N - df + 0.5)/(df + 0.5)) — always
     positive, the Lucene convention.
+
+    Inline-build probe shape: the full-vocabulary df aggregate of
+    ``_bm25_tables`` (needed when PERSISTING an index) is pointless for
+    a one-shot search — only the query terms' df values ever reach a
+    score. The postings are restricted to the (broadcast, tiny) query
+    vocabulary FIRST and persisted; df/idf aggregate over that matched
+    slice (identical per-term counts — the slice holds every posting of
+    those terms) and the scoring probe reuses it. Corpus-wide passes
+    over the cached postings drop from four (df, n_docs, dl, avgdl)
+    to two (dl, matched); n_docs/avgdl are tiny aggregates over the
+    cached |docs|-row dl table.
     """
-    tf, dl, scalars, _df, idf = _bm25_tables(docs, id_col, text_col)
+    tf = _postings(docs, id_col, text_col).persist()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist()
+    scalars = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qvocab = queries.select(
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term")
+    ).distinct()
+    matched = tf.join(F.broadcast(qvocab), "term").persist()
+    df_t = matched.groupBy("term").agg(F.count("*").alias("df"))
+    idf = _idf_from_df(df_t, scalars)
     return _bm25_probe(
-        tf, dl, scalars, idf, queries, k, id_col, query_id, terms_col, k1, b
+        matched, dl, scalars, idf, queries, k, id_col, query_id, terms_col, k1, b
     )
 
 
@@ -176,6 +206,7 @@ def save_bm25_index(
     idf.write.mode("overwrite").parquet(f"{base}/idf")
     scalars.coalesce(1).write.mode("overwrite").parquet(f"{base}/scalars")
     tf.unpersist()
+    dl.unpersist()
 
 
 def load_bm25_index(

@@ -92,12 +92,19 @@ def train_bigram_lm(
     both count tables; vocabulary = distinct token types (unigrams, so
     a document's first token counts toward V too)."""
     bi = doc_bigrams(docs, id_col, text_col)
-    bigrams = bi.groupBy("ctx", "tok").agg(F.count("*").alias("c_bi"))
-    contexts = bigrams.groupBy("ctx").agg(F.sum("c_bi").alias("c_ctx"))
+    # The model tables are PERSISTED: they are bounded by the model size
+    # (|bigram types|, |contexts|, 1 row) however big the training corpus
+    # is, and each is referenced more than once per scoring plan — without
+    # the cache the bigram join side, the contexts derivation, and the
+    # vocab scalar each re-ran their own full tokenize pass over the
+    # training corpus (4 corpus scans per score action; r12, guide §1.2).
+    bigrams = bi.groupBy("ctx", "tok").agg(F.count("*").alias("c_bi")).persist()
+    contexts = bigrams.groupBy("ctx").agg(F.sum("c_bi").alias("c_ctx")).persist()
     vocab = (
         docs.select(F.explode(tokens(text_col)).alias("_tok"))
         .agg(F.countDistinct("_tok").cast("double").alias("n_vocab"))
         .withColumn("add_k", F.lit(float(add_k)))
+        .persist()
     )
     return BigramLM(bigrams, contexts, vocab)
 

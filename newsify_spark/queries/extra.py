@@ -943,6 +943,12 @@ FROM u
 )
 def rel_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # NOT persisted (r12, measured): each step frontier is consumed 2-3
+    # times and caching them looked like the textbook fix, but the A/B
+    # showed 1.3-3x CPU/wall REGRESSION — at this scale the recomputed
+    # subtree is one single-task events scan + a coalesced aggregate,
+    # while the cache pays materialization plus 32-partition cached
+    # scans per consumer (tasks 24 -> 237). See OPTIMIZATION_r12.md.
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -1036,6 +1042,10 @@ def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
         .select("user_id", "ts")
     )
+    # NOT persisted despite the double consumption (sizes + join): the
+    # r12 A/B showed the cache REGRESSES here for the same reason as
+    # rel_funnel_steps — recompute is one single-task scan, the cache
+    # adds 32-partition scan overhead per consumer.
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
