@@ -289,7 +289,13 @@ def knn_join_lsh(
     join on (band, sig) — shuffle-partitionable, AQE-skew-splittable.
     """
     # normalize=True: cosine of the originals == dot of the unit vectors,
-    # so the rerank needs ONE aggregate expression per pair, not three
+    # so the rerank needs ONE aggregate expression per pair, not three.
+    # Each signature table feeds both the bucket join (ids only) and the
+    # rerank (band 0 doubles as the unit-vector table): the ITEM side —
+    # the corpus-sized one whose GEMM pass is worth not repeating — is
+    # persisted (the embedding_near_dup_lsh shape); the query side is
+    # small by role, and the r12 persist-variant A/B showed caching it
+    # costs more than its recompute (see OPTIMIZATION_r12.md).
     qsig = rhp_signatures_pandas(
         queries.select(query_id, query_vec), query_id, query_vec, dim,
         n_bands, bits_per_band, seed, normalize=True,
@@ -297,14 +303,25 @@ def knn_join_lsh(
     isig = rhp_signatures_pandas(
         items.select(item_id, item_vec), item_id, item_vec, dim,
         n_bands, bits_per_band, seed, normalize=True,
-    )
+    ).persist()
+    # candidate generation carries IDS ONLY (r12, guide §2.3/§8): the
+    # before-plan shipped BOTH 64-dim vectors through the (band, sig)
+    # bucket shuffle — n_bands replicas of every vector — and again
+    # through the dedup exchange; at corpus scale those are the widest
+    # stages and vectors have no business in them.
     cands = (
-        qsig.join(isig, ["band", "sig"])
-        .select(query_id, item_id, query_vec, item_vec)
+        qsig.select("band", "sig", query_id)
+        .join(isig.select("band", "sig", item_id), ["band", "sig"])
+        .select(query_id, item_id)
         .dropDuplicates([query_id, item_id])
     )
-    scored = cands.withColumn("score", dot(F.col(query_vec), F.col(item_vec))).select(
-        query_id, item_id, "score"
+    qunit = qsig.filter(F.col("band") == 0).select(query_id, query_vec)
+    iunit = isig.filter(F.col("band") == 0).select(item_id, item_vec)
+    scored = (
+        cands.join(qunit, query_id)
+        .join(iunit, item_id)
+        .withColumn("score", dot(F.col(query_vec), F.col(item_vec)))
+        .select(query_id, item_id, "score")
     )
     return top_k_per_group(
         scored, [query_id], [F.col("score").desc(), F.col(item_id).asc()], k

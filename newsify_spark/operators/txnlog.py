@@ -660,7 +660,16 @@ def _partition_frame(
     schema = ", ".join(
         [f"`{key}` string"] + [f"`_pt_{c}` string" for c in pcols]
     )
-    pmap = spark.createDataFrame(rows, schema)
+    # pandas input takes the Arrow fast path: the map becomes a JVM-side
+    # local relation instead of a Python RDD scan, so partitioned reads
+    # stop round-tripping through pyspark workers at execution time
+    # (r12, guide §4 — keep the Python boundary out of the read path)
+    import pandas as pd
+
+    pmap = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[key] + [f"_pt_{c}" for c in pcols]),
+        schema,
+    )
     return pmap.select(
         key,
         *[

@@ -1515,6 +1515,10 @@ def rel_txnlog_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+    # Two sequential driver actions, kept deliberately (r12, measured):
+    # folding lo/hi/mid into one action via a broadcast-bounds crossJoin
+    # pushed 150k rows through a BroadcastNestedLoopJoin and cost MORE
+    # (cpu_min 1.94-2.17 -> 2.45-3.90) than the round trip it saved.
     b = orders.agg(
         F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
     ).first()

@@ -1561,9 +1561,18 @@ ORDER BY query_id, rank
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsify_spark.operators.bm25 import bm25_topk
 
+    import pandas as pd
+
     docs = load(spark, sf_dir, "documents")
+    # pandas input takes the Arrow fast path: the 4-row query frame
+    # becomes a JVM-local relation instead of a Python RDD scan, keeping
+    # pyspark workers out of an otherwise pure-JVM plan (r12, guide §4;
+    # same fix as txnlog._partition_frame)
     queries = spark.createDataFrame(
-        [(qid, terms) for qid, terms in _BM25_QUERIES],
+        pd.DataFrame(
+            [(qid, terms) for qid, terms in _BM25_QUERIES],
+            columns=["query_id", "terms"],
+        ),
         "query_id int, terms array<string>",
     )
     out = bm25_topk(docs, queries, k=10)

@@ -70,6 +70,11 @@ def test_interactions_spread_is_keyed(spark):
     from newsify_spark.queries.recommend import _interactions_with_ts
     from newsify_spark.tables import load
 
+    # this asserts the UNCACHED plan shape: when the full suite runs,
+    # an earlier test's inter_all.cache() makes this plan resolve to an
+    # InMemoryRelation whose stored AQE plan prints its one exchange
+    # twice (Initial + Final sections), breaking the string count
+    spark.catalog.clearCache()
     df = _interactions_with_ts(load(spark, SF_DIR, "events"))
     plan = _plan(df)
     assert "RoundRobinPartitioning" not in plan, plan
