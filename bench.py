@@ -75,7 +75,7 @@ def main() -> None:
     # JVM/codegen warmup so the first timed query isn't penalized
     force(spark.range(1_000_000).selectExpr("sum(id) AS s"))
     calib = calibrate(spark)
-    print(f"# calibration probe: {calib}s", file=sys.stderr)
+    print(f"# calibration probe (start): {calib}s", file=sys.stderr)
 
     names = sorted(n for n, q in REGISTRY.items() if q.bench)
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
@@ -92,6 +92,17 @@ def main() -> None:
     timings: dict[str, float] = {
         name: round(statistics.median(r[name] for r in runs), 3) for name in names
     }
+
+    # Second calibration probe AFTER the passes (r12 measurement fix,
+    # documented in OPTIMIZATION_r12.md): ambient load that arrives
+    # mid-run is invisible to a start-only probe — an r12 run measured
+    # every query ~1.8x slow with a NORMAL start probe (1.017), which
+    # the ADVICE-r11 arbitration then misread as a shared-infra
+    # regression. The noise decision below corroborates against the
+    # WORSE of the two probes; the history keeps storing the start
+    # probe (same semantics as every prior entry).
+    calib_end = calibrate(spark)
+    print(f"# calibration probe (end): {calib_end}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
@@ -167,7 +178,9 @@ def main() -> None:
                 noise_ratio = round(statistics.median(ratios), 3)
                 noisy = noise_ratio > 1.2
         calib_ratio = (
-            round(calib / statistics.median(calib_hist), 3) if calib_hist else None
+            round(max(calib, calib_end) / statistics.median(calib_hist), 3)
+            if calib_hist
+            else None
         )
         if noisy:
             corroborated = calib_ratio is None or calib_ratio > 1.1
@@ -274,6 +287,7 @@ def main() -> None:
                 "regressions": regressions,
                 "noise_ratio": noise_ratio,
                 "calibration": calib,
+                "calibration_end": calib_end,
                 "calibration_ratio": calib_ratio,
                 "suspect_ambient": suspect_ambient,
             }
