@@ -85,19 +85,8 @@ def lsh_candidate_pairs(
     """Band the signature, bucket-join within bands -> (id_a, id_b) with
     id_a < id_b. ``max_bucket`` drops degenerate mega-buckets (boilerplate)
     before the self-join — the skew guard that matters at 100 TB."""
-    n_bands = num_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        one = sigs.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
-    sized = bands.groupBy("band", "bucket").agg(
-        F.count("*").alias("n"), F.collect_list(id_col).alias("ids")
-    )
+    bands = _sig_bands(sigs, id_col, num_hashes, band_size)
+    sized = bands.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     ok = sized.filter(F.col("n").between(2, max_bucket)).select("band", "bucket")
     bands = bands.join(ok, ["band", "bucket"], "left_semi")
     a = bands.select("band", "bucket", F.col(id_col).alias("id_a"))
@@ -495,18 +484,27 @@ def winnow_fingerprints_pandas(
 
 def _sig_bands(sigs: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
     """(id, band, bucket) rows for a signature table — shared by the
-    self-join (lsh_candidate_pairs) and cross-set (incremental) paths."""
+    self-join (lsh_candidate_pairs) and cross-set (incremental) paths.
+
+    One pass: explode an array of (band, bucket) structs instead of a
+    union of n_bands scans (r13, guide §1.2) — the upstream signature
+    DAG (shingle + explode + 16-way min groupBy) is evaluated ONCE, not
+    once per band; identical output rows."""
     n_bands = num_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        one = sigs.select(
-            F.col(id_col),
+    entries = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"h{i}" for i in range(b * band_size, (b + 1) * band_size)]
+                )
+            ).alias("bucket"),
         )
-        bands = one if bands is None else bands.unionByName(one)
-    return bands
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_bb")
+    ).select(id_col, "_bb.band", "_bb.bucket")
 
 
 def incremental_dedup(

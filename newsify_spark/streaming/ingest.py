@@ -185,7 +185,11 @@ def ingest_batch(
         # (16 band scans x 2 join sides) — persist it so the probe's
         # join/groupBy chain runs once, not once per branch
         batch = batch.persist()
-    # 1. within-batch near-dup (min-id survivor)
+    # 1. within-batch near-dup (min-id survivor). Persisted: the store
+    #    check below re-reads it from FIVE branches (signature pass, two
+    #    band-join sides via the bucket sizing, the estimate join, the
+    #    final anti join) — unpersisted, each branch re-ran the whole
+    #    shingle/LSH/Jaccard DAG (r13, guide §5; ~5x the per-batch jobs).
     local = minhash_dedup(
         batch,
         id_col=id_col,
@@ -194,7 +198,7 @@ def ingest_batch(
         num_hashes=num_hashes,
         band_size=band_size,
         shingle_n=shingle_n,
-    )
+    ).persist()
     # 2. vs-store (signature-only estimate; excludes this batch's own
     #    partition so a replay is deterministic)
     store = pre_store.drop("text_hash") if "text_hash" in pre_store.columns else pre_store
@@ -248,12 +252,28 @@ def ingest_batch(
             bloom_store_path,
             batch_id,
         )
+        if not txn_bronze:
+            # hand the caller the WRITTEN rows (identical by
+            # construction: the overwrite above is the only writer of
+            # this partition) — post-return actions cost a file scan
+            # instead of re-running the whole shingle/LSH DAG after the
+            # unpersists below (r13, guide §5). Explicit schema: an
+            # empty batch writes a _SUCCESS-only dir.
+            result = spark.read.schema(survivors.schema).parquet(
+                f"{out_path}/batch={batch_id}"
+            )
+        else:
+            # bronze path: callers re-reading the result after return
+            # re-run the (batch-sized) plan; the txnlog itself holds the
+            # written rows
+            result = survivors
     finally:
+        local.unpersist()
         survivors.unpersist()
         if hashed is not None:
             batch.unpersist()
             hashed.unpersist()
-    return survivors
+    return result
 
 
 def expire_store_batches(
